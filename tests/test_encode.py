@@ -1,0 +1,93 @@
+"""Unit + property tests for the posting-list encoding kernel (SURVEY §5.2-3)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mongoesindexer_spark.functions.encode import (
+    bm25_idf,
+    bm25_tf_norm,
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_blocks,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+def test_varbyte_roundtrip_basic():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**40, 2**62], dtype=np.int64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(vals)), vals)
+
+
+def test_varbyte_empty():
+    assert varbyte_encode(np.array([], dtype=np.int64)) == b""
+    assert varbyte_decode(b"").size == 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(arr)), arr)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip_property(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    gaps = delta_encode(arr)
+    assert (gaps > 0).all()  # strictly increasing doc ids → positive gaps
+    assert np.array_equal(delta_decode(gaps), arr)
+
+
+def test_bm25_components():
+    # Lucene form: idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    assert abs(bm25_idf(1, 2) - np.log(1 + 1.5 / 1.5)) < 1e-12
+    # tf_norm at tf=1, dl=avgdl: (k1+1)/(1+k1) = 1
+    assert abs(bm25_tf_norm(np.array([1]), np.array([10]), 10.0)[0] - 1.0) < 1e-12
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=500),
+    st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=50, deadline=None)
+def test_encode_blocks_roundtrip(ids, tf_seed):
+    doc_ids = np.array(sorted(ids), dtype=np.int64)
+    rng = np.random.RandomState(tf_seed)
+    tfs = rng.randint(1, 50, size=doc_ids.size).astype(np.int64)
+    doc_lens = rng.randint(1, 500, size=doc_ids.size).astype(np.int64)
+    avgdl = float(doc_lens.mean())
+    rows = encode_blocks(doc_ids, tfs, doc_lens, avgdl, block_size=64)
+    # block invariants
+    got_docs, got_tfs = [], []
+    prev_last = -1
+    tfn = bm25_tf_norm(tfs, doc_lens, avgdl)
+    for i, r in enumerate(rows):
+        assert r["block_id"] == i
+        d, t = decode_block(r["docs_vb"], r["tfs_vb"])
+        assert r["first_doc"] == d[0] and r["last_doc"] == d[-1] and r["n"] == d.size
+        assert d[0] > prev_last  # blocks ordered, disjoint (skip-pointer navigable)
+        prev_last = d[-1]
+        got_docs.append(d)
+        got_tfs.append(t)
+    got_docs = np.concatenate(got_docs)
+    got_tfs = np.concatenate(got_tfs)
+    assert np.array_equal(got_docs, doc_ids)
+    assert np.array_equal(got_tfs, tfs)
+    # block_max dominates every member score
+    pos = 0
+    for r in rows:
+        members = tfn[pos : pos + r["n"]]
+        assert r["block_max_tfn"] >= members.max() - 1e-12
+        pos += r["n"]
+
+
+def test_encode_blocks_block_id_base():
+    ids = np.arange(0, 300, dtype=np.int64)
+    tfs = np.ones(300, dtype=np.int64)
+    dls = np.full(300, 100, dtype=np.int64)
+    rows = encode_blocks(ids, tfs, dls, 100.0, block_size=128, block_id_base=10)
+    assert [r["block_id"] for r in rows] == [10, 11, 12]
