@@ -1,0 +1,329 @@
+"""Inverted-index construction as a multi-stage PySpark DataFrame job.
+
+This is the engine's EP1 (SURVEY §3): the reference's cold-start path is
+scan → analyze → bulk-index into Elasticsearch (load.service.ts:343-419),
+where ES/Lucene internally builds posting lists per shard.  Here the whole
+thing is DataFrame jobs:
+
+stage ``flat``    pages → resolve text (pandas UDF html→text when null) →
+                  deterministic dense doc_id by url rank →
+                  tokenize + per-doc tf count (Arrow-batched mapInPandas;
+                  map-side combine: the shuffle carries (term, doc_id, tf)
+                  not raw tokens) → ``postings_flat`` + ``doc_stats``.
+stage ``stats``   ``term_dict`` (df, cf, idf) + ``global_stats`` (N, avgdl).
+stage ``encode``  salted repartition by (term-bucket, doc-range salt) →
+                  per-group numpy block encode (delta+varbyte+block-max) →
+                  ``postings_blocks`` segment files, one per group, written
+                  atomically with a lineage row each → resumable at group
+                  granularity (north rule: resume from last completed
+                  segment; completed partitions are never recomputed).
+
+Skew: the ES analog shards by _id (4 shards, configs/ltd_doc.settings.json:
+244-245); a term-hash shuffle alone would melt on head terms ("the" holds
+~N postings at 10^12 docs).  The salt key is a contiguous doc-id range, so
+every term's postings are split across salts into bounded groups, block ids
+stay globally ordered (block_id_base = salt * blocks_per_salt), and salted
+output is the byte-identical concatenation of an unsalted build.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import LTD_DOC, AnalyzerConfig, analyze_index, extract_text
+from ..functions.encode import BLOCK_SIZE, encode_blocks
+from ..plans.lineage import Lineage
+from ..sources.catalog import ParquetCatalog
+
+DEFAULT_N_BUCKETS = 32
+
+
+# ---------------------------------------------------------------------------
+# stage "flat" helpers
+# ---------------------------------------------------------------------------
+
+
+def resolve_text(pages: DataFrame) -> DataFrame:
+    """text := text if non-null else extract_text(html) — byte-identical
+    per url (input_hint invariant), Arrow-vectorized."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(lambda h: extract_text(h) if h is not None else None)
+
+    return pages.withColumn(
+        "text", F.coalesce(F.col("text"), _extract(F.col("html")))
+    )
+
+
+def assign_doc_ids(df: DataFrame, key: str = "url", num_partitions: int | None = None) -> DataFrame:
+    """Deterministic dense doc_id = global rank of ``key`` asc (0-based).
+
+    Scalable pattern (no single-partition window): range-repartition +
+    sort-within-partitions materializes a global sort; per-partition counts
+    are cumsum'd driver-side into offsets; a mapPartitions pass adds
+    offset + local position.  The url→doc_id mapping depends only on the
+    global sort order, never on where range boundaries land, so re-runs
+    and different parallelism levels produce identical ids.
+    """
+    from pyspark import StorageLevel
+
+    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        ranged.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    boff = df.sparkSession.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType(list(ranged.schema.fields) + [StructField("doc_id", LongType())])
+
+    def _number(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        pos = boff.value.get(pid, 0)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(pos, pos + len(pdf), dtype=np.int64)
+            pos += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(_number, schema=schema)
+
+
+def tokenize_flat(docs: DataFrame, cfg: AnalyzerConfig = LTD_DOC) -> DataFrame:
+    """(doc_id, text) → (term, doc_id, tf, doc_len) via Arrow-batched
+    mapInPandas; tf is counted inside the batch (map-side combine) so the
+    shuffle moves one row per distinct (term, doc) instead of one per token."""
+    from collections import Counter
+
+    def _tok(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            terms: list[str] = []
+            doc_ids: list[int] = []
+            tfs: list[int] = []
+            dls: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                toks = analyze_index(text or "", cfg)
+                dl = len(toks)
+                for term, tf in Counter(toks).items():
+                    terms.append(term)
+                    doc_ids.append(doc_id)
+                    tfs.append(tf)
+                    dls.append(dl)
+            yield pd.DataFrame({
+                "term": pd.Series(terms, dtype="object"),
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "tf": pd.Series(tfs, dtype="int64"),
+                "doc_len": pd.Series(dls, dtype="int64"),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _tok, schema="term string, doc_id long, tf long, doc_len long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage "encode"
+# ---------------------------------------------------------------------------
+
+_BLOCKS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("block_id", pa.int64()),
+    ("first_doc", pa.int64()),
+    ("last_doc", pa.int64()),
+    ("n", pa.int32()),
+    ("docs_vb", pa.binary()),
+    ("tfs_vb", pa.binary()),
+    ("block_max_tfn", pa.float64()),
+])
+
+
+def _encode_group_writer(seg_dir: str, lineage_root: str, avgdl: float,
+                         blocks_per_salt: int, block_size: int,
+                         fail_partitions: frozenset[str]) -> Callable:
+    """Build the applyInPandas function for one (bucket, salt) group.
+
+    Each group encodes every term's postings for its doc range, writes ONE
+    segment parquet file atomically (tmp + rename, so task retries can't
+    leave partial files), writes its lineage row, and returns a metrics row.
+    """
+
+    def _encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket, salt = int(key[0]), int(key[1])
+        part = f"b{bucket:05d}-s{salt:05d}"
+        if part in fail_partitions:
+            raise RuntimeError(f"injected failure at encode:{part}")
+        base = salt * blocks_per_salt
+        rows: list[dict] = []
+        pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
+        for term, g in pdf.groupby("term", sort=True):
+            for r in encode_blocks(g["doc_id"].values, g["tf"].values,
+                                   g["doc_len"].values, avgdl,
+                                   block_size=block_size, block_id_base=base):
+                r["term"] = term
+                rows.append(r)
+        table = pa.Table.from_pylist(rows, schema=_BLOCKS_SCHEMA) if rows else _BLOCKS_SCHEMA.empty_table()
+        final = os.path.join(seg_dir, f"seg-{part}.parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+        Lineage(lineage_root).mark_partition(
+            "encode", part, rows=len(pdf), blocks=len(rows),
+            bytes=int(table.nbytes),
+        )
+        return pd.DataFrame({
+            "partition": [part], "rows": [len(pdf)], "blocks": [len(rows)],
+        })
+
+    return _encode
+
+
+# ---------------------------------------------------------------------------
+# the build job
+# ---------------------------------------------------------------------------
+
+
+class IndexBuilder:
+    """Builds (and resumes) one full-text index under ``index_dir``.
+
+    Tables produced (via ParquetCatalog under index_dir):
+      doc_stats(doc_id, url, doc_len)  global_stats(n_docs, avgdl)
+      term_dict(term, df, cf, idf)     postings_flat(term, doc_id, tf, doc_len)
+      postings_blocks(term, block_id, first_doc, last_doc, n, docs_vb,
+                      tfs_vb, block_max_tfn)
+    """
+
+    def __init__(self, index_dir: str, cfg: AnalyzerConfig = LTD_DOC,
+                 n_buckets: int = DEFAULT_N_BUCKETS,
+                 docs_per_salt: int = 1 << 20,
+                 block_size: int = BLOCK_SIZE):
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self.n_buckets = n_buckets
+        self.docs_per_salt = docs_per_salt
+        self.block_size = block_size
+        self.catalog = ParquetCatalog(index_dir)
+        self.lineage = Lineage(index_dir)
+
+    # -- stages --------------------------------------------------------------
+
+    def _stage_flat(self, spark: SparkSession, pages: DataFrame) -> None:
+        if self.lineage.stage_complete("flat"):
+            return
+        docs = assign_doc_ids(resolve_text(pages), key="url")
+        flat = tokenize_flat(docs, self.cfg)
+        self.catalog.overwrite(flat, "postings_flat")
+        # doc_stats from flat (sum tf = token count); docs with zero tokens
+        # still appear in doc_stats with doc_len 0 via the left join.
+        flat_t = self.catalog.read(spark, "postings_flat")
+        dl = flat_t.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+        stats = (
+            docs.select("doc_id", "url")
+            .join(dl, "doc_id", "left")
+            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+        )
+        self.catalog.overwrite(stats, "doc_stats")
+        docs.unpersist()
+        self.lineage.mark_stage("flat")
+
+    def _stage_stats(self, spark: SparkSession) -> None:
+        if self.lineage.stage_complete("stats"):
+            return
+        stats = self.catalog.read(spark, "doc_stats")
+        g = stats.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+        )
+        self.catalog.overwrite(g, "global_stats")
+        n_docs = self.catalog.read(spark, "global_stats").collect()[0]["n_docs"]
+        flat = self.catalog.read(spark, "postings_flat")
+        td = flat.groupBy("term").agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+        ).withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        self.catalog.overwrite(td, "term_dict")
+        self.lineage.mark_stage("stats", n_docs=int(n_docs))
+
+    def _stage_encode(self, spark: SparkSession,
+                      fail_partitions: frozenset[str] = frozenset()) -> None:
+        if self.lineage.stage_complete("encode"):
+            return
+        g = self.catalog.read(spark, "global_stats").collect()[0]
+        avgdl = float(g["avgdl"] or 0.0) or 1.0
+        n_docs = int(g["n_docs"])
+        n_salts = max(1, math.ceil(n_docs / self.docs_per_salt))
+        blocks_per_salt = math.ceil(self.docs_per_salt / self.block_size) + 1
+
+        flat = self.catalog.read(spark, "postings_flat")
+        keyed = flat.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int")
+        ).withColumn(
+            "salt", (F.col("doc_id") / F.lit(self.docs_per_salt)).cast("int")
+        )
+        done = self.lineage.done_partitions("encode")
+        if done:
+            done_pairs = [(int(p[1:6]), int(p[8:13])) for p in done]
+            done_df = spark.createDataFrame(done_pairs, "bucket int, salt int")
+            keyed = keyed.join(F.broadcast(done_df), ["bucket", "salt"], "left_anti")
+
+        seg_dir = os.path.join(self.index_dir, "segments", "base")
+        os.makedirs(seg_dir, exist_ok=True)
+        fn = _encode_group_writer(seg_dir, self.index_dir, avgdl,
+                                  blocks_per_salt, self.block_size,
+                                  fail_partitions)
+        metrics = keyed.groupBy("bucket", "salt").applyInPandas(
+            fn, schema="partition string, rows long, blocks long"
+        )
+        metrics.collect()  # execute; rows land in lineage as a side effect
+        self.lineage.mark_stage(
+            "encode", n_salts=n_salts, n_buckets=self.n_buckets, avgdl=avgdl,
+        )
+
+    def _register_blocks(self, spark: SparkSession) -> None:
+        seg_dir = os.path.join(self.index_dir, "segments", "base")
+        if not self.catalog.table_exists("postings_blocks"):
+            blocks = spark.read.schema(
+                "term string, block_id long, first_doc long, last_doc long, "
+                "n int, docs_vb binary, tfs_vb binary, block_max_tfn double"
+            ).parquet(seg_dir)
+            self.catalog.overwrite(blocks, "postings_blocks")
+
+    # -- entry point -----------------------------------------------------------
+
+    def build(self, spark: SparkSession, pages: DataFrame,
+              fail_partitions: frozenset[str] = frozenset()) -> dict:
+        """Run (or resume) the full build; returns lineage metric summary."""
+        self._stage_flat(spark, pages)
+        self._stage_stats(spark)
+        self._stage_encode(spark, fail_partitions)
+        self._register_blocks(spark)
+        rows = self.lineage.rows()
+        return {
+            "stages": sorted({r["stage"] for r in rows}),
+            "partitions": sum(1 for r in rows if r.get("partition")),
+        }

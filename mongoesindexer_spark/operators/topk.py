@@ -1,0 +1,240 @@
+"""Top-k BM25 retrieval: DataFrame scoring path + block-max WAND pruning.
+
+The reference's query layer is Elasticsearch: every ``"type": "text"``
+mapping scores with the default BM25 similarity (k1=1.2, b=0.75; no
+``similarity`` override anywhere in /root/reference/configs/), queries are
+term/bool filters with sort+top-k (the reference's own resume-token lookup,
+load.service.ts:148-174, is exactly sort-desc + size 1).  ES internally
+prunes with block-max WAND; we implement both an exhaustive DataFrame
+scorer (the correctness spine, oracle-checkable in SQL) and a native WAND
+over the encoded block segments.
+
+Determinism: ties broken by doc_id asc everywhere; float64 end-to-end.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import LTD_DOC, AnalyzerConfig, analyze_search
+from ..functions.encode import B, K1, decode_block
+from ..sources.catalog import ParquetCatalog
+
+
+def _query_terms(query_text: str, cfg: AnalyzerConfig) -> list[str]:
+    """Search-analyzer terms, deduplicated (a bool query of unique
+    TermQueries — duplicate query terms do not double-score in ES)."""
+    return sorted(set(analyze_search(query_text, cfg)))
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive DataFrame path (correctness spine; Catalyst does the pruning)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
+                 cfg: AnalyzerConfig = LTD_DOC, mode: str = "or") -> DataFrame:
+    """Score with pure DataFrame ops over ``postings_flat``.
+
+    The term filter is an ``isin`` over ≤|q| terms → pushed into the
+    parquet scan; scoring is whole-stage-codegen arithmetic; top-k is
+    TakeOrderedAndProject (no global sort materialized).
+
+    ``mode="and"`` gives conjunctive semantics (ES ``bool.filter`` of term
+    queries, J6 in SURVEY §2.3): only docs containing every term.
+    """
+    cat = ParquetCatalog(index_dir)
+    terms = _query_terms(query_text, cfg)
+    g = cat.read(spark, "global_stats").collect()[0]
+    n_docs, avgdl = int(g["n_docs"]), float(g["avgdl"] or 1.0) or 1.0
+
+    flat = cat.read(spark, "postings_flat").filter(F.col("term").isin(terms))
+    td = cat.read(spark, "term_dict").filter(F.col("term").isin(terms))
+    scored = (
+        flat.join(F.broadcast(td.select("term", "idf")), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf") * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("n_terms"))
+    )
+    if mode == "and":
+        scored = scored.filter(F.col("n_terms") == len(terms))
+    topk = (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    urls = cat.read(spark, "doc_stats").select("doc_id", "url")
+    return (
+        topk.join(urls, "doc_id", "left")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select("doc_id", "url", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block-max WAND over encoded segments
+# ---------------------------------------------------------------------------
+
+
+class _TermCursor:
+    """Cursor over one term's encoded blocks (sorted by block_id)."""
+
+    __slots__ = ("idf", "blocks", "bi", "docs", "tfs", "pos", "max_tfn")
+
+    def __init__(self, idf: float, blocks: list[dict]):
+        self.idf = idf
+        self.blocks = blocks  # dicts: first_doc,last_doc,docs_vb,tfs_vb,block_max_tfn
+        self.max_tfn = max(b["block_max_tfn"] for b in blocks)
+        self.bi = -1
+        self.docs: np.ndarray | None = None
+        self.tfs: np.ndarray | None = None
+        self.pos = 0
+        self._advance_block()
+
+    def _advance_block(self) -> None:
+        self.bi += 1
+        if self.bi < len(self.blocks):
+            b = self.blocks[self.bi]
+            self.docs, self.tfs = decode_block(b["docs_vb"], b["tfs_vb"])
+            self.pos = 0
+        else:
+            self.docs = None
+
+    @property
+    def exhausted(self) -> bool:
+        return self.docs is None
+
+    @property
+    def doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    @property
+    def tf(self) -> int:
+        return int(self.tfs[self.pos])
+
+    @property
+    def block_max_score(self) -> float:
+        return self.idf * self.blocks[self.bi]["block_max_tfn"]
+
+    @property
+    def max_score(self) -> float:
+        return self.idf * self.max_tfn
+
+    def seek(self, target: int) -> None:
+        """Advance to the first doc >= target (skip whole blocks via the
+        last_doc skip pointer, then binary-search inside the block)."""
+        while not self.exhausted and self.blocks[self.bi]["last_doc"] < target:
+            self._advance_block()
+        if self.exhausted:
+            return
+        # target <= last_doc of current block → position exists in-block
+        self.pos += int(np.searchsorted(self.docs[self.pos:], target, side="left"))
+
+    def next(self) -> None:
+        self.pos += 1
+        if self.pos >= self.docs.size:
+            self._advance_block()
+
+
+def wand_topk_arrays(cursors: list[_TermCursor], doc_lens: np.ndarray,
+                     avgdl: float, k: int) -> list[tuple[float, int]]:
+    """Block-max WAND over term cursors → [(score, doc_id)] best-first.
+
+    ``doc_lens`` maps doc_id → doc_len (dense int doc ids).
+    """
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    threshold = 0.0
+    cursors = [c for c in cursors if not c.exhausted]
+    while cursors:
+        cursors = [c for c in cursors if not c.exhausted]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.doc)
+        # pivot: smallest prefix whose cumulative max_score exceeds threshold
+        acc = 0.0
+        pivot_i = -1
+        for i, c in enumerate(cursors):
+            acc += c.max_score
+            if acc > threshold:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break  # no doc can beat the threshold
+        pivot_doc = cursors[pivot_i].doc
+        if cursors[0].doc == pivot_doc:
+            # block-max check: sum of CURRENT block maxima for cursors at pivot
+            bm = 0.0
+            for c in cursors:
+                if c.exhausted or c.doc > pivot_doc:
+                    break
+                bm += c.block_max_score
+            if bm > threshold:
+                dl = float(doc_lens[pivot_doc])
+                norm = K1 * (1.0 - B + B * dl / avgdl)
+                score = 0.0
+                for c in cursors:
+                    if not c.exhausted and c.doc == pivot_doc:
+                        tf = float(c.tf)
+                        score += c.idf * tf * (K1 + 1.0) / (tf + norm)
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                    if len(heap) == k:
+                        threshold = heap[0][0]
+                elif (score, -pivot_doc) > heap[0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+                    threshold = heap[0][0]
+            for c in cursors:
+                if not c.exhausted and c.doc == pivot_doc:
+                    c.next()
+        else:
+            # advance all pre-pivot cursors to the pivot doc
+            for c in cursors:
+                if c.exhausted or c.doc >= pivot_doc:
+                    break
+                c.seek(pivot_doc)
+    out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return [(s, -nd) for s, nd in out]
+
+
+def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
+                   cfg: AnalyzerConfig = LTD_DOC) -> pd.DataFrame:
+    """Top-k via block-max WAND over the encoded ``postings_blocks``.
+
+    The block fetch is a DataFrame scan with the term predicate pushed to
+    parquet; the WAND loop itself runs driver-side in numpy (|q| cursors).
+    For a head term at extreme scale use :func:`bm25_topk_wand_distributed`.
+    """
+    cat = ParquetCatalog(index_dir)
+    terms = _query_terms(query_text, cfg)
+    g = cat.read(spark, "global_stats").collect()[0]
+    avgdl = float(g["avgdl"] or 1.0) or 1.0
+    td = {r["term"]: r["idf"] for r in
+          cat.read(spark, "term_dict").filter(F.col("term").isin(terms)).collect()}
+    blocks = (
+        cat.read(spark, "postings_blocks")
+        .filter(F.col("term").isin(terms))
+        .orderBy("term", "block_id")
+        .collect()
+    )
+    by_term: dict[str, list[dict]] = {}
+    for r in blocks:
+        by_term.setdefault(r["term"], []).append(r.asDict())
+    stats = cat.read(spark, "doc_stats").select("doc_id", "doc_len", "url").toPandas()
+    doc_lens = np.zeros(int(stats["doc_id"].max()) + 1 if len(stats) else 1, dtype=np.int64)
+    doc_lens[stats["doc_id"].values] = stats["doc_len"].values
+    cursors = [_TermCursor(td[t], by_term[t]) for t in terms if t in by_term]
+    hits = wand_topk_arrays(cursors, doc_lens, avgdl, k) if cursors else []
+    urls = dict(zip(stats["doc_id"].values, stats["url"].values))
+    return pd.DataFrame(
+        [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
+        columns=["doc_id", "url", "score"],
+    )

@@ -1,0 +1,130 @@
+"""Table catalog seam: Iceberg on a real cluster, snapshot-logged parquet here.
+
+The north rule targets Iceberg tables; no Iceberg runtime jar ships in this
+sandbox (offline), so the engine talks to this thin seam instead of
+hard-coding a format.  ``ParquetCatalog`` gives the Iceberg semantics the
+engine relies on — atomic append/overwrite commits and incremental reads
+between snapshots — via a JSON snapshot log over parquet directories.
+On a cluster, swap in ``IcebergCatalog`` (same interface, ``writeTo``/
+``table`` + ``spark.read.option("start-snapshot-id", ...)``).
+
+This replaces the reference's sink-DDL surface (createIndex/deleteIndex/
+upsertIndex/listAllIndices, load.service.ts:180-243) and its resume-token
+offset store (load.service.ts:55-69,430-440): a snapshot id IS the offset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetCatalog:
+    """Path-based tables: ``root/<table>/snap-<k>-<uuid>/`` parquet dirs +
+    ``root/<table>/_log.json`` listing committed snapshots in order."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- log helpers -------------------------------------------------------
+    def _log_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_log.json")
+
+    def _read_log(self, table: str) -> list[dict]:
+        p = self._log_path(table)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, log: list[dict]) -> None:
+        p = self._log_path(table)
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(log, f, indent=1)
+        os.replace(tmp, p)  # atomic commit
+
+    # -- DDL (S9 parity) ---------------------------------------------------
+    def table_exists(self, table: str) -> bool:
+        return bool(self._read_log(table))
+
+    def list_tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.exists(self._log_path(d))
+        )
+
+    def drop_table(self, table: str) -> None:
+        path = os.path.join(self.root, table)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+    # -- write -------------------------------------------------------------
+    def _write_snapshot(self, df: DataFrame, table: str) -> str:
+        log = self._read_log(table)
+        snap_id = (log[-1]["id"] + 1) if log else 1
+        rel = f"snap-{snap_id:06d}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.root, table, rel)
+        df.write.mode("overwrite").parquet(path)
+        return rel
+
+    def append(self, df: DataFrame, table: str) -> int:
+        """Atomic append (Iceberg ``append()`` analog). Returns snapshot id."""
+        rel = self._write_snapshot(df, table)
+        log = self._read_log(table)
+        snap_id = (log[-1]["id"] + 1) if log else 1
+        log.append({"id": snap_id, "dir": rel, "op": "append"})
+        self._commit(table, log)
+        return snap_id
+
+    def overwrite(self, df: DataFrame, table: str) -> int:
+        """Atomic replace (Iceberg ``overwritePartitions``/``replace``
+        analog): new log points only at the new snapshot; old snapshot dirs
+        stay on disk for time travel until vacuumed."""
+        rel = self._write_snapshot(df, table)
+        log = self._read_log(table)
+        snap_id = (log[-1]["id"] + 1) if log else 1
+        log.append({"id": snap_id, "dir": rel, "op": "overwrite"})
+        self._commit(table, log)
+        return snap_id
+
+    # -- read ---------------------------------------------------------------
+    def _live_dirs(self, table: str, since: int | None = None,
+                   as_of: int | None = None) -> list[str]:
+        log = self._read_log(table)
+        if as_of is not None:
+            log = [e for e in log if e["id"] <= as_of]
+        live: list[dict] = []
+        for e in log:
+            if e["op"] == "overwrite":
+                live = [e]
+            else:
+                live.append(e)
+        if since is not None:
+            live = [e for e in live if e["id"] > since]
+        return [os.path.join(self.root, table, e["dir"]) for e in live]
+
+    def read(self, spark: SparkSession, table: str, as_of: int | None = None) -> DataFrame:
+        dirs = self._live_dirs(table, as_of=as_of)
+        if not dirs:
+            raise FileNotFoundError(f"table {table!r} has no snapshots in {self.root}")
+        return spark.read.parquet(*dirs)
+
+    def read_incremental(self, spark: SparkSession, table: str, since: int) -> DataFrame | None:
+        """Rows appended after snapshot ``since`` (Iceberg incremental scan
+        analog — the change-stream/resume-token replacement, SURVEY §2.1 S5)."""
+        dirs = self._live_dirs(table, since=since)
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def current_snapshot(self, table: str) -> int:
+        log = self._read_log(table)
+        return log[-1]["id"] if log else 0
