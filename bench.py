@@ -1,0 +1,169 @@
+"""Benchmark harness: index-build throughput, BM25 query latency, operator
+suite timings, and the two-parallelism scaling protocol.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "index_docs_per_sec": ..., "bm25_p95_ms": ...,
+   "scaling": {"local8_docs_per_sec":..., "local32_docs_per_sec":...,
+               "efficiency": ...}}
+
+Scaling protocol (BASELINE.md): the identical build job on the identical
+input at local[8] and local[32]; efficiency = (tp@32 / tp@8) / 4.
+Run `python bench.py --build-worker <master> <pages> <out>` is the
+subprocess entry for one scaling leg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+
+BM25_QUERIES = [
+    ("data query spark", 10), ("merge join", 10), ("the", 100),
+    ("filter group window", 10), ("customer batch value slow", 100),
+    ("scan", 10), ("hash table sort", 10), ("row line part", 10),
+]
+
+
+def _sf_value(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_index_timed(spark, pages_df, index_dir: str, **kw) -> tuple[float, int]:
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+
+    n_docs = pages_df.count()
+    t0 = time.perf_counter()
+    IndexBuilder(index_dir, **kw).build(spark, pages_df)
+    return time.perf_counter() - t0, n_docs
+
+
+def scaling_leg(master: str, pages_path: str) -> float:
+    """One subprocess leg: build the index from pages parquet, print docs/sec."""
+    from mongoesindexer_spark.session import get_spark
+
+    cpus = master.split("[")[1].rstrip("]")
+    spark = get_spark(f"bench-scaling-{cpus}", master=master,
+                      shuffle_partitions=int(cpus))
+    pages = spark.read.parquet(pages_path)
+    out = tempfile.mkdtemp(prefix="mei_bench_idx_")
+    try:
+        secs, n = build_index_timed(spark, pages, out)
+        return n / secs
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--build-worker":
+        dps = scaling_leg(sys.argv[2], sys.argv[3])
+        with open(sys.argv[4], "w") as f:
+            json.dump({"docs_per_sec": dps}, f)
+        return
+
+    from mongoesindexer_spark.session import get_spark
+    from mongoesindexer_spark.operators.topk import bm25_topk_df, bm25_topk_wand
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    total_t0 = time.perf_counter()
+    results: dict[str, float] = {}
+
+    # 1) index build throughput over the sf documents table
+    idx_dir = tempfile.mkdtemp(prefix="mei_bench_docs_idx_")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    t0 = time.perf_counter()
+    IndexBuilder(idx_dir, n_buckets=CPUS, key_col="doc_id", id_col="doc_id").build(spark, docs)
+    build_secs = time.perf_counter() - t0
+    n_docs = docs.count()
+    results["index_build"] = round(build_secs, 3)
+    docs_per_sec = n_docs / build_secs
+
+    # 2) BM25 query latency (df path once each; WAND path for p95 stats)
+    lat_ms = []
+    for q, k in BM25_QUERIES:
+        t0 = time.perf_counter()
+        bm25_topk_df(spark, idx_dir, q, k).collect()
+        results[f"bm25_df:{q.split()[0]}"] = round(time.perf_counter() - t0, 3)
+    for q, k in BM25_QUERIES * 2:
+        t0 = time.perf_counter()
+        bm25_topk_wand(spark, idx_dir, q, k)
+        lat_ms.append((time.perf_counter() - t0) * 1000)
+    p95 = statistics.quantiles(lat_ms, n=20)[-1] if len(lat_ms) >= 2 else lat_ms[0]
+    results["bm25_wand_suite"] = round(sum(lat_ms) / 1000, 3)
+
+    # 3) operator suite (the driver-facing queries at this sf)
+    suite = [
+        "ft_term_stats", "lookup_join", "nested_lookup", "dedup_exact",
+        "dedup_fingerprint", "minhash_lsh_pairs", "simhash",
+        "ann_cosine_topk", "text_quality", "token_counts",
+        "topk_latest_per_user", "stale_filter",
+    ]
+    qs = entry_mod.queries()
+    for name in suite:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    # 4) scaling protocol: identical build at local[8] vs local[32] on the
+    # 50k-page bench fixture (pinned-seed web pages, FIXTURES.md §1)
+    scaling = {}
+    if RUN_SCALING:
+        from mongoesindexer_spark.sources.fixtures import fixture_dir
+        pages_path = os.path.join(fixture_dir("bench"), "pages.parquet")
+        legs = {}
+        for n in (8, 32):
+            out = tempfile.mktemp(suffix=".json")
+            t0 = time.perf_counter()
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--build-worker",
+                 f"local[{n}]", pages_path, out],
+                check=True, cwd=REPO,
+                env={**os.environ, "SPARK_GRAFT_CPUS": str(n)},
+            )
+            with open(out) as f:
+                legs[n] = json.load(f)["docs_per_sec"]
+            results[f"scaling_build_local{n}"] = round(time.perf_counter() - t0, 3)
+        scaling = {
+            "local8_docs_per_sec": round(legs[8], 1),
+            "local32_docs_per_sec": round(legs[32], 1),
+            "efficiency": round((legs[32] / legs[8]) / 4.0, 3),
+        }
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    out = {
+        "metric": "index docs/sec + BM25 top-k p95 + operator suite seconds",
+        "value": round(time.perf_counter() - total_t0, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": _sf_value(SF_DIR),
+        "index_docs_per_sec": round(docs_per_sec, 1),
+        "bm25_p95_ms": round(p95, 1),
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,9 +134,14 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
     """Encode one term's postings (sorted by doc_id) into block rows.
 
     Returns a list of dicts with keys: ``block_id, first_doc, last_doc, n,
-    docs_vb, tfs_vb, block_max_tfn`` — one row per block, directly usable
-    as DataFrame rows.  ``block_id_base`` offsets block ids so salted
-    sub-builds of the same term produce disjoint, ordered block ids.
+    docs_vb, tfs_vb, block_max_tfn, max_tf, min_dl`` — one row per block,
+    directly usable as DataFrame rows.  ``block_id_base`` offsets block ids
+    so salted sub-builds of the same term produce disjoint, ordered ids.
+
+    ``block_max_tfn`` is exact for the build-time ``avgdl``; ``max_tf`` and
+    ``min_dl`` allow recomputing a safe (slightly looser) upper bound
+    ``tf_norm(max_tf, min_dl, avgdl')`` for any later ``avgdl'`` — needed
+    because incremental updates shift avgdl without rewriting base blocks.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -148,6 +153,7 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
     for bi, start in enumerate(range(0, doc_ids.size, block_size)):
         d = doc_ids[start:start + block_size]
         t = tfs[start:start + block_size]
+        dl = doc_lens[start:start + block_size]
         rows.append({
             "block_id": block_id_base + bi,
             "first_doc": int(d[0]),
@@ -156,6 +162,8 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
             "docs_vb": varbyte_encode(delta_encode(d)),
             "tfs_vb": varbyte_encode(t - 1),
             "block_max_tfn": float(tfn[start:start + block_size].max()),
+            "max_tf": int(t.max()),
+            "min_dl": int(dl.min()),
         })
     return rows
 

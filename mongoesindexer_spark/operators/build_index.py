@@ -157,7 +157,12 @@ _BLOCKS_SCHEMA = pa.schema([
     ("docs_vb", pa.binary()),
     ("tfs_vb", pa.binary()),
     ("block_max_tfn", pa.float64()),
+    ("max_tf", pa.int64()),
+    ("min_dl", pa.int64()),
 ])
+BLOCKS_DDL = ("term string, block_id long, first_doc long, last_doc long, "
+              "n int, docs_vb binary, tfs_vb binary, block_max_tfn double, "
+              "max_tf long, min_dl long")
 
 
 def _encode_group_writer(seg_dir: str, lineage_root: str, avgdl: float,
@@ -218,12 +223,21 @@ class IndexBuilder:
     def __init__(self, index_dir: str, cfg: AnalyzerConfig = LTD_DOC,
                  n_buckets: int = DEFAULT_N_BUCKETS,
                  docs_per_salt: int = 1 << 20,
-                 block_size: int = BLOCK_SIZE):
+                 block_size: int = BLOCK_SIZE,
+                 key_col: str = "url", text_col: str = "text",
+                 id_col: str | None = None):
+        """``key_col``: unique string document key (stored as ``url`` in
+        doc_stats).  ``id_col``: optional pre-assigned integer doc id — when
+        given, the deterministic rank assignment is skipped and the source
+        ids are used verbatim (they must be unique)."""
         self.index_dir = index_dir
         self.cfg = cfg
         self.n_buckets = n_buckets
         self.docs_per_salt = docs_per_salt
         self.block_size = block_size
+        self.key_col = key_col
+        self.text_col = text_col
+        self.id_col = id_col
         self.catalog = ParquetCatalog(index_dir)
         self.lineage = Lineage(index_dir)
 
@@ -232,7 +246,14 @@ class IndexBuilder:
     def _stage_flat(self, spark: SparkSession, pages: DataFrame) -> None:
         if self.lineage.stage_complete("flat"):
             return
-        docs = assign_doc_ids(resolve_text(pages), key="url")
+        if "html" in pages.columns and self.text_col == "text":
+            pages = resolve_text(pages)
+        pages = pages.withColumn("url", F.col(self.key_col).cast("string")) \
+            .withColumn("text", F.col(self.text_col))
+        if self.id_col:
+            docs = pages.withColumn("doc_id", F.col(self.id_col).cast("long"))
+        else:
+            docs = assign_doc_ids(pages, key="url")
         flat = tokenize_flat(docs, self.cfg)
         self.catalog.overwrite(flat, "postings_flat")
         # doc_stats from flat (sum tf = token count); docs with zero tokens
@@ -255,6 +276,7 @@ class IndexBuilder:
         g = stats.agg(
             F.count("*").alias("n_docs"),
             F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("sum_dl"),
         )
         self.catalog.overwrite(g, "global_stats")
         n_docs = self.catalog.read(spark, "global_stats").collect()[0]["n_docs"]
@@ -307,10 +329,7 @@ class IndexBuilder:
     def _register_blocks(self, spark: SparkSession) -> None:
         seg_dir = os.path.join(self.index_dir, "segments", "base")
         if not self.catalog.table_exists("postings_blocks"):
-            blocks = spark.read.schema(
-                "term string, block_id long, first_doc long, last_doc long, "
-                "n int, docs_vb binary, tfs_vb binary, block_max_tfn double"
-            ).parquet(seg_dir)
+            blocks = spark.read.schema(BLOCKS_DDL).parquet(seg_dir)
             self.catalog.overwrite(blocks, "postings_blocks")
 
     # -- entry point -----------------------------------------------------------

@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale text corpora.
+
+The reference dedups during migration with a per-batch anti-join on _id
+(scripts/migrate-ltd-docs.js:59-66 — J5 in SURVEY §2.3); a web-scale corpus
+additionally needs content dedup.  All operators below are DataFrame-native
+(JVM expressions; no Python in the hot path except the numpy SimHash
+kernel), shuffle once on the dedup key, and scale by construction: the
+grouping key is always a fixed-width hash/bucket, so skew is bounded by
+true duplicate-group size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKENS = "filter(split(lower({col}), ' '), x -> x != '')"
+
+
+def _tokens(col: str):
+    return F.expr(TOKENS.format(col=col))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: (text_md5, n_docs, keeper).
+
+    Keeper = min id (deterministic).  One shuffle on the 128-bit hash."""
+    return (
+        df.select(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_md5"),
+                  F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
+    )
+
+
+def fingerprint_dedup_groups(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Bag-of-words (order/multiplicity-insensitive) duplicate groups:
+    fingerprint = md5 of the sorted distinct token set."""
+    fp = F.md5(F.encode(
+        F.array_join(F.array_sort(F.array_distinct(_tokens(text_col))), " "),
+        "UTF-8",
+    )).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       shingle_k: int = 3) -> DataFrame:
+    """MinHash signatures over k-token shingles, fully JVM-side.
+
+    hash_i(shingle) = xxhash64(i, shingle); minhash_i = min over shingles.
+    Output: (id, sig: array<long> of length num_hashes).
+    """
+    out = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+    out = out.withColumn(
+        "shingles",
+        F.when(
+            F.size("toks") >= shingle_k,
+            F.expr(
+                f"transform(sequence(0, size(toks) - {shingle_k}), "
+                f"i -> concat_ws(' ', {', '.join(f'toks[i+{j}]' for j in range(shingle_k))}))"
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", F.col("toks")))),
+    )
+    sig = F.array(*[
+        F.array_min(F.expr(f"transform(shingles, s -> xxhash64({i}, s))"))
+        for i in range(num_hashes)
+    ]).alias("sig")
+    return out.select("id", sig)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 32,
+                           bands: int = 8, shingle_k: int = 3) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    shingle → minhash(num_hashes) → split into ``bands`` bands of
+    ``num_hashes/bands`` rows → bucket = hash(band slice) → self-join per
+    bucket.  Output: (id_a, id_b, n_bands) with id_a < id_b.  The bucket
+    join is the only shuffle; bucket sizes are bounded by true near-dup
+    cluster size, not corpus size.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.lit(b), F.expr(
+                    f"concat_ws(',', slice(sig, {b * rows + 1}, {rows}))"
+                )).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(right, (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification pass after
+    LSH): (id_a, id_b, jaccard)."""
+    cat = ", ".join(f"toks[i+{j}]" for j in range(shingle_k))
+    sh = (
+        df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+        .withColumn(
+            "sh",
+            F.array_distinct(F.when(
+                F.size("toks") >= shingle_k,
+                F.expr(f"transform(sequence(0, size(toks) - {shingle_k}), "
+                       f"i -> concat_ws(' ', {cat}))"),
+            ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))),
+        )
+        .select("id", "sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .select("id_a", "id_b",
+                (F.col("inter") / F.col("uni")).alias("jaccard"))
+    )
+    return j
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc (near-dup by small hamming distance).
+
+    numpy kernel in mapInPandas: token hash bits weighted by tf, sign of
+    the per-bit sum.  Token hashing uses a stable FNV-1a (pure numpy) so
+    results are reproducible across runs/partitions.
+    """
+
+    def _fnv1a(tokens: list[str]) -> np.ndarray:
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            h = np.uint64(0xCBF29CE484222325)
+            for byte in t.encode("utf-8"):
+                h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            out[i] = h
+        return out
+
+    def _kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitpos = np.arange(64, dtype=np.uint64)
+        for pdf in it:
+            ids, hashes = [], []
+            for did, text in zip(pdf["id"].values, pdf["text"].values):
+                toks = (text or "").lower().split()
+                if not toks:
+                    ids.append(did)
+                    hashes.append(0)
+                    continue
+                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+                hs = _fnv1a(list(uniq))
+                bits = ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
+                weights = np.where(bits == 1, 1, -1) * counts[:, None]
+                sig_bits = (weights.sum(axis=0) > 0).astype(np.uint64)
+                sig = int((sig_bits << bitpos).sum())
+                ids.append(did)
+                hashes.append(np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(hashes, dtype="int64")})
+
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"),
+                  F.col(text_col).alias("text"))
+        .mapInPandas(_kernel, schema="id long, simhash long")
+    )

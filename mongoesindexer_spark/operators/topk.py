@@ -37,6 +37,120 @@ def _query_terms(query_text: str, cfg: AnalyzerConfig) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+class SearchEngine:
+    """Query-time context over one index: caches global stats, tombstones
+    and the doc_len/url sidecar so repeated queries don't re-run Spark jobs
+    for invariant data.  Invalidate (rebuild) after incremental updates —
+    the module-level helpers below do that automatically via snapshot ids.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cfg: AnalyzerConfig = LTD_DOC):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self.cat = ParquetCatalog(index_dir)
+        g = self.cat.read(spark, "global_stats").collect()[0]
+        self.n_docs = int(g["n_docs"])
+        self.avgdl = float(g["avgdl"] or 1.0) or 1.0
+        if self.cat.table_exists("tombstones"):
+            self.tombstones = {
+                r["doc_id"] for r in self.cat.read(spark, "tombstones").collect()
+            }
+        else:
+            self.tombstones = set()
+        stats = self.cat.read(spark, "doc_stats").select(
+            "doc_id", "doc_len", "url").toPandas()
+        size = int(stats["doc_id"].max()) + 1 if len(stats) else 1
+        self.doc_lens = np.zeros(size, dtype=np.int64)
+        self.doc_lens[stats["doc_id"].values] = stats["doc_len"].values
+        self.urls: dict[int, str] = dict(zip(stats["doc_id"].values, stats["url"].values))
+
+    def version(self) -> tuple:
+        return tuple(self.cat.current_snapshot(t) for t in
+                     ("postings_flat", "postings_blocks", "doc_stats",
+                      "global_stats", "term_dict", "tombstones"))
+
+    # -- exhaustive DataFrame path ------------------------------------------
+    def topk_df(self, query_text: str, k: int, mode: str = "or") -> DataFrame:
+        terms = _query_terms(query_text, self.cfg)
+        flat = self.cat.read(self.spark, "postings_flat").filter(F.col("term").isin(terms))
+        if self.tombstones:
+            ts = self.spark.createDataFrame(
+                [(int(d),) for d in self.tombstones], "doc_id long")
+            flat = flat.join(F.broadcast(ts), "doc_id", "left_anti")
+        td = self.cat.read(self.spark, "term_dict").filter(F.col("term").isin(terms))
+        scored = (
+            flat.join(F.broadcast(td.select("term", "idf")), "term")
+            .withColumn(
+                "contrib",
+                F.col("idf") * F.col("tf") * (K1 + 1.0)
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(self.avgdl))),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"), F.count("*").alias("n_terms"))
+        )
+        if mode == "and":
+            scored = scored.filter(F.col("n_terms") == len(terms))
+        topk = (
+            scored.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        urls = self.cat.read(self.spark, "doc_stats").select("doc_id", "url")
+        return (
+            topk.join(urls, "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "url", "score")
+        )
+
+    # -- block-max WAND path ---------------------------------------------------
+    def topk_wand(self, query_text: str, k: int) -> pd.DataFrame:
+        terms = _query_terms(query_text, self.cfg)
+        if not terms:
+            return pd.DataFrame(columns=["doc_id", "url", "score"])
+        td = {r["term"]: r["idf"] for r in
+              self.cat.read(self.spark, "term_dict")
+              .filter(F.col("term").isin(terms)).collect()}
+        blocks = (
+            self.cat.read(self.spark, "postings_blocks")
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        by_term: dict[str, list[dict]] = {}
+        for r in blocks:
+            by_term.setdefault(r["term"], []).append(r.asDict())
+        cursors = [_TermCursor(td[t], by_term[t], self.avgdl)
+                   for t in terms if t in by_term]
+        hits = wand_topk_arrays(cursors, self.doc_lens, self.avgdl, k,
+                                self.tombstones) if cursors else []
+        return pd.DataFrame(
+            [{"doc_id": d, "url": self.urls.get(d), "score": s} for s, d in hits],
+            columns=["doc_id", "url", "score"],
+        )
+
+
+# Module-level cache: (index_dir) → SearchEngine, invalidated when any
+# index table advances to a new snapshot (e.g. after incremental sync).
+_ENGINES: dict[str, SearchEngine] = {}
+
+
+def _current_version(index_dir: str) -> tuple:
+    cat = ParquetCatalog(index_dir)
+    return tuple(cat.current_snapshot(t) for t in
+                 ("postings_flat", "postings_blocks", "doc_stats",
+                  "global_stats", "term_dict", "tombstones"))
+
+
+def get_engine(spark: SparkSession, index_dir: str,
+               cfg: AnalyzerConfig = LTD_DOC) -> SearchEngine:
+    eng = _ENGINES.get(index_dir)
+    if eng is None or eng.cfg is not cfg or eng.version() != _current_version(index_dir):
+        eng = SearchEngine(spark, index_dir, cfg)
+        _ENGINES[index_dir] = eng
+    return eng
+
+
 def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
                  cfg: AnalyzerConfig = LTD_DOC, mode: str = "or") -> DataFrame:
     """Score with pure DataFrame ops over ``postings_flat``.
@@ -48,36 +162,7 @@ def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
     ``mode="and"`` gives conjunctive semantics (ES ``bool.filter`` of term
     queries, J6 in SURVEY §2.3): only docs containing every term.
     """
-    cat = ParquetCatalog(index_dir)
-    terms = _query_terms(query_text, cfg)
-    g = cat.read(spark, "global_stats").collect()[0]
-    n_docs, avgdl = int(g["n_docs"]), float(g["avgdl"] or 1.0) or 1.0
-
-    flat = cat.read(spark, "postings_flat").filter(F.col("term").isin(terms))
-    td = cat.read(spark, "term_dict").filter(F.col("term").isin(terms))
-    scored = (
-        flat.join(F.broadcast(td.select("term", "idf")), "term")
-        .withColumn(
-            "contrib",
-            F.col("idf") * F.col("tf") * (K1 + 1.0)
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl))),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"), F.count("*").alias("n_terms"))
-    )
-    if mode == "and":
-        scored = scored.filter(F.col("n_terms") == len(terms))
-    topk = (
-        scored.select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
-    urls = cat.read(spark, "doc_stats").select("doc_id", "url")
-    return (
-        topk.join(urls, "doc_id", "left")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .select("doc_id", "url", "score")
-    )
+    return get_engine(spark, index_dir, cfg).topk_df(query_text, k, mode)
 
 
 # ---------------------------------------------------------------------------
@@ -86,14 +171,27 @@ def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
 
 
 class _TermCursor:
-    """Cursor over one term's encoded blocks (sorted by block_id)."""
+    """Cursor over one term's encoded blocks, sorted by first_doc (segments
+    are doc-range disjoint per term, so base + delta segments concatenate
+    into one monotone stream).
 
-    __slots__ = ("idf", "blocks", "bi", "docs", "tfs", "pos", "max_tfn")
+    Per-block upper bounds are recomputed from (max_tf, min_dl) against the
+    CURRENT avgdl — safe even when incremental updates have shifted avgdl
+    since the block was encoded (tf_norm is increasing in tf, decreasing in
+    dl, so tf_norm(max_tf, min_dl, avgdl) dominates every member).
+    """
 
-    def __init__(self, idf: float, blocks: list[dict]):
+    __slots__ = ("idf", "blocks", "bi", "docs", "tfs", "pos", "max_tfn", "bounds")
+
+    def __init__(self, idf: float, blocks: list[dict], avgdl: float):
         self.idf = idf
-        self.blocks = blocks  # dicts: first_doc,last_doc,docs_vb,tfs_vb,block_max_tfn
-        self.max_tfn = max(b["block_max_tfn"] for b in blocks)
+        self.blocks = sorted(blocks, key=lambda b: b["first_doc"])
+        self.bounds = [
+            float(b["max_tf"]) * (K1 + 1.0)
+            / (b["max_tf"] + K1 * (1.0 - B + B * b["min_dl"] / avgdl))
+            for b in self.blocks
+        ]
+        self.max_tfn = max(self.bounds)
         self.bi = -1
         self.docs: np.ndarray | None = None
         self.tfs: np.ndarray | None = None
@@ -123,7 +221,7 @@ class _TermCursor:
 
     @property
     def block_max_score(self) -> float:
-        return self.idf * self.blocks[self.bi]["block_max_tfn"]
+        return self.idf * self.bounds[self.bi]
 
     @property
     def max_score(self) -> float:
@@ -146,11 +244,14 @@ class _TermCursor:
 
 
 def wand_topk_arrays(cursors: list[_TermCursor], doc_lens: np.ndarray,
-                     avgdl: float, k: int) -> list[tuple[float, int]]:
+                     avgdl: float, k: int,
+                     tombstones: set[int] | None = None) -> list[tuple[float, int]]:
     """Block-max WAND over term cursors → [(score, doc_id)] best-first.
 
-    ``doc_lens`` maps doc_id → doc_len (dense int doc ids).
+    ``doc_lens`` maps doc_id → doc_len (dense int doc ids).  Docs in
+    ``tombstones`` (deleted/superseded by incremental updates) are skipped.
     """
+    tombstones = tombstones or set()
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
     threshold = 0.0
     cursors = [c for c in cursors if not c.exhausted]
@@ -177,7 +278,7 @@ def wand_topk_arrays(cursors: list[_TermCursor], doc_lens: np.ndarray,
                 if c.exhausted or c.doc > pivot_doc:
                     break
                 bm += c.block_max_score
-            if bm > threshold:
+            if bm > threshold and pivot_doc not in tombstones:
                 dl = float(doc_lens[pivot_doc])
                 norm = K1 * (1.0 - B + B * dl / avgdl)
                 score = 0.0
@@ -211,30 +312,5 @@ def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
 
     The block fetch is a DataFrame scan with the term predicate pushed to
     parquet; the WAND loop itself runs driver-side in numpy (|q| cursors).
-    For a head term at extreme scale use :func:`bm25_topk_wand_distributed`.
     """
-    cat = ParquetCatalog(index_dir)
-    terms = _query_terms(query_text, cfg)
-    g = cat.read(spark, "global_stats").collect()[0]
-    avgdl = float(g["avgdl"] or 1.0) or 1.0
-    td = {r["term"]: r["idf"] for r in
-          cat.read(spark, "term_dict").filter(F.col("term").isin(terms)).collect()}
-    blocks = (
-        cat.read(spark, "postings_blocks")
-        .filter(F.col("term").isin(terms))
-        .orderBy("term", "block_id")
-        .collect()
-    )
-    by_term: dict[str, list[dict]] = {}
-    for r in blocks:
-        by_term.setdefault(r["term"], []).append(r.asDict())
-    stats = cat.read(spark, "doc_stats").select("doc_id", "doc_len", "url").toPandas()
-    doc_lens = np.zeros(int(stats["doc_id"].max()) + 1 if len(stats) else 1, dtype=np.int64)
-    doc_lens[stats["doc_id"].values] = stats["doc_len"].values
-    cursors = [_TermCursor(td[t], by_term[t]) for t in terms if t in by_term]
-    hits = wand_topk_arrays(cursors, doc_lens, avgdl, k) if cursors else []
-    urls = dict(zip(stats["doc_id"].values, stats["url"].values))
-    return pd.DataFrame(
-        [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
-        columns=["doc_id", "url", "score"],
-    )
+    return get_engine(spark, index_dir, cfg).topk_wand(query_text, k)

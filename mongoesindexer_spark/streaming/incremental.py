@@ -1,0 +1,185 @@
+"""Incremental index sync — the engine's EP2/EP3 (SURVEY §3).
+
+The reference keeps an index fresh two ways: a Mongo change stream with
+persisted resume tokens (insert/update/delete dispatch,
+load.service.ts:457-491) and a 1-minute cron poll for new/stale docs
+(load.service.ts:501-573).  The Spark-native equivalent consumes a batch
+of change rows (op, url, ...page columns) — in production an Iceberg
+incremental scan between snapshots or a readStream micro-batch; the
+snapshot id is the resume token — and applies it as a delta segment:
+
+* delete / update → the old doc_id goes into the ``tombstones`` table
+  (query paths anti-join it; physical removal happens at compaction);
+* insert / update → new rows are tokenized and appended to
+  ``postings_flat`` + ``doc_stats`` under fresh doc_ids (> all existing,
+  so delta posting blocks stay doc-range-disjoint from base blocks and
+  WAND cursors concatenate segments without a merge);
+* ``global_stats`` and ``term_dict`` are recomputed by *exact delta
+  arithmetic* (integer N/sum_dl adjustments; df/cf corrections from the
+  dead docs' own postings) — never a full corpus pass, and the result is
+  bit-identical to a full rebuild's stats.
+
+Update = delete + insert, the same contract as the reference's indexOne
+upsert-by-_id (load.service.ts:274-309).
+
+At-least-once safety: applying the same batch twice is detected via the
+``sync_log`` table (batch_id) — the analog of the reference's
+resume_tokens index (load.service.ts:55-69).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import LTD_DOC, AnalyzerConfig
+from ..operators.build_index import IndexBuilder, resolve_text, tokenize_flat
+
+
+class IncrementalIndexer:
+    def __init__(self, index_dir: str, cfg: AnalyzerConfig = LTD_DOC,
+                 block_size: int | None = None):
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self.builder = IndexBuilder(index_dir, cfg=cfg)
+        self.cat = self.builder.catalog
+
+    def apply_updates(self, spark: SparkSession, updates: DataFrame,
+                      batch_id: str | None = None) -> dict:
+        """Apply one change batch. ``updates`` columns: op (insert/update/
+        delete), url, warc_ts, html, text, lang."""
+        if batch_id and self.cat.table_exists("sync_log"):
+            seen = {r["batch_id"] for r in
+                    self.cat.read(spark, "sync_log").collect()}
+            if batch_id in seen:
+                return {"applied": False, "reason": "duplicate batch"}
+
+        stats = self.cat.read(spark, "doc_stats")
+        g = self.cat.read(spark, "global_stats").collect()[0]
+        n_docs, sum_dl = int(g["n_docs"]), int(g["sum_dl"] or 0)
+
+        dead_urls = (updates.filter(F.col("op").isin("update", "delete"))
+                     .select("url").distinct())
+        # old doc ids being retired (join is broadcast: a change batch is small)
+        if self.cat.table_exists("tombstones"):
+            live = stats.join(
+                self.cat.read(spark, "tombstones"), "doc_id", "left_anti")
+        else:
+            live = stats
+        dead = live.join(F.broadcast(dead_urls), "url", "inner") \
+            .select("doc_id", "doc_len")
+        dead_rows = dead.collect()
+        dead_ids = [r["doc_id"] for r in dead_rows]
+        n_dead = len(dead_ids)
+        dl_dead = sum(r["doc_len"] for r in dead_rows)
+
+        # --- new docs: insert + update payloads, fresh ids above max ------
+        new_pages = updates.filter(F.col("op").isin("insert", "update")) \
+            .select("url", "warc_ts", "html", "text", "lang")
+        max_id = stats.agg(F.max("doc_id")).collect()[0][0]
+        base_id = int(max_id if max_id is not None else -1) + 1
+        from pyspark.sql import Window
+        w = Window.orderBy("url")  # change batches are small; single-partition OK
+        new_docs = (resolve_text(new_pages)
+                    .withColumn("doc_id",
+                                (F.row_number().over(w) - 1 + base_id).cast("long")))
+        delta_flat = tokenize_flat(new_docs, self.cfg)
+        # cache: used for postings append, doc_stats, stats deltas, encode
+        delta_flat = delta_flat.persist()
+        delta_flat.count()
+
+        new_doc_stats = (
+            new_docs.select("doc_id", "url")
+            .join(delta_flat.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")),
+                  "doc_id", "left")
+            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+        )
+        new_stats_rows = new_doc_stats.select("doc_id", "doc_len").collect()
+        n_new = len(new_stats_rows)
+        dl_new = sum(r["doc_len"] for r in new_stats_rows)
+
+        # --- term_dict exact delta update ---------------------------------
+        n_docs2 = n_docs - n_dead + n_new
+        dead_delta = None
+        if dead_ids:
+            dead_df = spark.createDataFrame([(int(d),) for d in dead_ids], "doc_id long")
+            dead_delta = (
+                self.cat.read(spark, "postings_flat")
+                .join(F.broadcast(dead_df), "doc_id", "inner")
+                .groupBy("term")
+                .agg((-F.count("*")).alias("d_df"), (-F.sum("tf")).alias("d_cf"))
+            )
+        add_delta = delta_flat.groupBy("term").agg(
+            F.count("*").alias("d_df"), F.sum("tf").alias("d_cf"))
+        deltas = add_delta if dead_delta is None else add_delta.unionByName(dead_delta)
+        td = self.cat.read(spark, "term_dict").select("term", "df", "cf")
+        td2 = (
+            td.unionByName(deltas.select("term", F.col("d_df").alias("df"),
+                                         F.col("d_cf").alias("cf")))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .filter(F.col("df") > 0)
+            .withColumn("idf", F.log(F.lit(1.0) + (F.lit(float(n_docs2)) - F.col("df") + 0.5)
+                                     / (F.col("df") + 0.5)))
+        )
+
+        # --- encode delta segment (new doc range ⇒ disjoint blocks) --------
+        avgdl2 = (sum_dl - dl_dead + dl_new) / max(1, n_docs2)
+        self._encode_delta(spark, delta_flat, avgdl2, base_id)
+
+        # --- commit table updates -----------------------------------------
+        self.cat.append(delta_flat, "postings_flat")
+        self.cat.append(new_doc_stats, "doc_stats")
+        if dead_ids:
+            self.cat.append(
+                spark.createDataFrame([(int(d),) for d in dead_ids], "doc_id long"),
+                "tombstones")
+        self.cat.overwrite(td2, "term_dict")
+        self.cat.overwrite(
+            spark.createDataFrame(
+                [(n_docs2, float(avgdl2), int(sum_dl - dl_dead + dl_new))],
+                "n_docs long, avgdl double, sum_dl long"),
+            "global_stats")
+        if batch_id:
+            self.cat.append(
+                spark.createDataFrame([(batch_id,)], "batch_id string"), "sync_log")
+        delta_flat.unpersist()
+        return {"applied": True, "inserted": n_new, "tombstoned": n_dead,
+                "n_docs": n_docs2}
+
+    def _encode_delta(self, spark: SparkSession, delta_flat: DataFrame,
+                      avgdl: float, base_id: int) -> None:
+        """Encode the delta postings as new block rows appended to
+        ``postings_blocks``.  Block ids continue above every existing block
+        id; blocks are doc-range-disjoint from base blocks by id
+        construction (all delta doc_ids > base max)."""
+        import pandas as pd
+
+        from ..functions.encode import encode_blocks
+        from ..operators.build_index import BLOCKS_DDL
+
+        bs = self.builder.block_size
+        max_block = self.cat.read(spark, "postings_blocks") \
+            .agg(F.max("block_id")).collect()[0][0] or 0
+        block_base = int(max_block) + 1
+
+        def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
+            for term, grp in pdf.groupby("term", sort=True):
+                for r in encode_blocks(grp["doc_id"].values, grp["tf"].values,
+                                       grp["doc_len"].values, avgdl,
+                                       block_size=bs, block_id_base=block_base):
+                    r["term"] = term
+                    rows.append(r)
+            cols = ["term", "block_id", "first_doc", "last_doc", "n",
+                    "docs_vb", "tfs_vb", "block_max_tfn", "max_tf", "min_dl"]
+            return pd.DataFrame(rows, columns=cols)
+
+        delta_blocks = (
+            delta_flat.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(self.builder.n_buckets)).cast("int"))
+            .groupBy("bucket")
+            .applyInPandas(_enc, schema=BLOCKS_DDL)
+        )
+        self.cat.append(delta_blocks, "postings_blocks")

@@ -1,0 +1,114 @@
+"""Incremental-sync correctness (SURVEY §5.2-6, FIXTURES.md §3): after
+applying the change batch, the incrementally-maintained index answers
+queries identically to a from-scratch oracle on the updated corpus;
+compaction preserves results; duplicate batches are no-ops.
+"""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+QUERIES = ["data", "the fast", "merge join", "scan", "table sort hash",
+           "zzzzmissingterm"]
+
+
+@pytest.fixture(scope="module")
+def inc_index(spark, tiny_index, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx-inc")) + "/idx"
+    shutil.copytree(tiny_index, d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def updated_pages(tiny_dir, tiny_pages):
+    upd = pd.read_parquet(os.path.join(tiny_dir, "pages_updates.parquet"))
+    pages = tiny_pages.set_index("url")
+    for r in upd.itertuples():
+        if r.op == "delete":
+            pages = pages.drop(r.url)
+        else:
+            pages.loc[r.url] = {"warc_ts": r.warc_ts, "html": r.html,
+                                "text": r.text, "lang": r.lang}
+    return pages.reset_index()
+
+
+@pytest.fixture(scope="module")
+def oracle_updated(updated_pages):
+    from tests.oracle import OracleIndex
+
+    return OracleIndex.build(updated_pages)
+
+
+@pytest.fixture(scope="module")
+def synced(spark, inc_index, tiny_dir):
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    upd = spark.read.parquet(os.path.join(tiny_dir, "pages_updates.parquet"))
+    inc = IncrementalIndexer(inc_index)
+    res = inc.apply_updates(spark, upd, batch_id="batch-1")
+    assert res["applied"]
+    assert res["inserted"] == 35  # 20 inserts + 15 updates
+    assert res["tombstoned"] == 25  # 15 updates + 10 deletes
+    return inc_index
+
+
+def _topk_pairs_df(spark, idx, q, k):
+    from mongoesindexer_spark.operators.topk import bm25_topk_df
+    return sorted(
+        (round(r["score"], 6), r["url"])
+        for r in bm25_topk_df(spark, idx, q, k).collect()
+    )
+
+
+def _topk_pairs_wand(spark, idx, q, k):
+    from mongoesindexer_spark.operators.topk import bm25_topk_wand
+    pdf = bm25_topk_wand(spark, idx, q, k)
+    return sorted(zip(pdf["score"].round(6), pdf["url"]))
+
+
+def _oracle_pairs(oracle, q, k):
+    return sorted((round(s, 6), u) for _, u, s in oracle.topk(q, k))
+
+
+def test_incremental_equals_rebuild_df_path(spark, synced, oracle_updated):
+    for q in QUERIES:
+        got = _topk_pairs_df(spark, synced, q, 10)
+        want = _oracle_pairs(oracle_updated, q, 10)
+        assert got == want, q
+
+
+def test_incremental_equals_rebuild_wand_path(spark, synced, oracle_updated):
+    for q in QUERIES:
+        got = _topk_pairs_wand(spark, synced, q, 10)
+        want = _oracle_pairs(oracle_updated, q, 10)
+        assert got == want, q
+
+
+def test_global_stats_exact_after_sync(spark, synced, oracle_updated):
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+    g = ParquetCatalog(synced).read(spark, "global_stats").collect()[0]
+    assert g["n_docs"] == oracle_updated.n_docs
+    assert abs(g["avgdl"] - oracle_updated.avgdl) < 1e-9
+
+
+def test_duplicate_batch_is_noop(spark, synced, tiny_dir):
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+    upd = spark.read.parquet(os.path.join(tiny_dir, "pages_updates.parquet"))
+    res = IncrementalIndexer(synced).apply_updates(spark, upd, batch_id="batch-1")
+    assert not res["applied"]
+
+
+def test_compaction_preserves_results(spark, synced, oracle_updated):
+    from mongoesindexer_spark.operators.merge import compact
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+
+    before = {q: _topk_pairs_wand(spark, synced, q, 10) for q in QUERIES}
+    res = compact(spark, synced)
+    assert res["compacted"] and res["removed_docs"] == 25
+    cat = ParquetCatalog(synced)
+    assert cat.read(spark, "tombstones").count() == 0
+    for q in QUERIES:
+        assert _topk_pairs_wand(spark, synced, q, 10) == before[q], q
+        assert _topk_pairs_df(spark, synced, q, 10) == _oracle_pairs(oracle_updated, q, 10), q
