@@ -1,0 +1,97 @@
+"""spark-submit entry points: build / query / sync / compact.
+
+Usage (north rule: runs via spark-submit --py-files on a cluster):
+
+  spark-submit --py-files engine.zip -m mongoesindexer_spark.cli build \
+      --pages /path/pages_parquet --index /path/index [--config cfg.json]
+  ... query  --index /path/index --q "terms here" --k 10 [--wand]
+  ... sync   --index /path/index --updates /path/updates_parquet --batch-id b1
+  ... compact --index /path/index
+  ... status --index /path/index        # lineage / progress report (ST8)
+
+Local smoke: python -m mongoesindexer_spark.cli build --pages ... --index ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import IndexConfig
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mongoesindexer_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--config")
+    b.add_argument("--force-delete", action="store_true")
+    b.add_argument("--fail-after", default="",
+                   help="fault injection: partition tag like b00002-s00001")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--wand", action="store_true")
+    q.add_argument("--mode", default="or", choices=["or", "and"])
+
+    s = sub.add_parser("sync")
+    s.add_argument("--index", required=True)
+    s.add_argument("--updates", required=True)
+    s.add_argument("--batch-id", default=None)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+
+    st = sub.add_parser("status")
+    st.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+    spark = get_spark(f"mei-{args.cmd}")
+
+    if args.cmd == "build":
+        from .operators.build_index import IndexBuilder
+        cfg = IndexConfig.from_json(args.config) if args.config else IndexConfig(
+            source_table=args.pages, index_name=args.index)
+        if args.force_delete or cfg.force_delete:
+            import shutil
+            shutil.rmtree(args.index, ignore_errors=True)
+        builder = IndexBuilder(
+            args.index, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
+            docs_per_salt=cfg.docs_per_salt, block_size=cfg.block_size,
+            key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col)
+        fail = frozenset({args.fail_after}) if args.fail_after else frozenset()
+        res = builder.build(spark, spark.read.parquet(args.pages), fail_partitions=fail)
+        print(json.dumps(res))
+    elif args.cmd == "query":
+        from .operators.topk import bm25_topk_df, bm25_topk_wand
+        if args.wand:
+            pdf = bm25_topk_wand(spark, args.index, args.q, args.k)
+            print(pdf.to_string(index=False))
+        else:
+            bm25_topk_df(spark, args.index, args.q, args.k, mode=args.mode).show(
+                args.k, truncate=False)
+    elif args.cmd == "sync":
+        from .streaming.incremental import IncrementalIndexer
+        res = IncrementalIndexer(args.index).apply_updates(
+            spark, spark.read.parquet(args.updates), batch_id=args.batch_id)
+        print(json.dumps(res))
+    elif args.cmd == "compact":
+        from .operators.merge import compact
+        print(json.dumps(compact(spark, args.index)))
+    elif args.cmd == "status":
+        from .plans.lineage import Lineage
+        rows = Lineage(args.index).rows()
+        print(json.dumps({"rows": rows, "partitions_done":
+                          sum(1 for r in rows if r.get("partition"))}, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

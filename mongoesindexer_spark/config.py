@@ -1,0 +1,68 @@
+"""Engine configuration: the analog of the reference's Zod-validated JSON
+configs (configuration.ts:3-24; one file per collection→index pair in
+configs/).
+
+A reference config carries: source collection, sink index name, the
+aggregation pipeline (source query), analyzer settings, batch/refresh
+policy (batch_size, skip_after_seconds, update_field, exclude_fields,
+index_on_start, force_delete).  The engine keeps the same knobs where they
+still mean something under Spark, and documents the ones Spark's execution
+model removes (batch_size → Arrow batch/partition sizing; concurrency →
+scheduler pools/executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from .functions.analysis import KEYWORD, LTD_DOC, AnalyzerConfig
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """One (source table → index) job description."""
+
+    source_table: str                       # was: collection
+    index_name: str                         # was: index_name
+    key_col: str = "url"                    # document identity (was: _id)
+    text_col: str = "text"
+    id_col: str | None = None               # pre-assigned integer ids
+    index_on_start: bool = True
+    force_delete: bool = False              # drop + full rebuild
+    update_field: str = "warc_ts"           # staleness column (was: updated)
+    skip_after_seconds: int = 86_400        # freshness window
+    exclude_fields: tuple[str, ...] = ()    # self-update loop-breaker (P7)
+    analyzer: str = "ltd_docs"              # ltd_docs | keywords family
+    n_buckets: int = 32
+    docs_per_salt: int = 1 << 20
+    block_size: int = 128
+
+    def analyzer_config(self) -> AnalyzerConfig:
+        return KEYWORD if self.analyzer == "keywords" else LTD_DOC
+
+    @classmethod
+    def from_json(cls, path: str) -> "IndexConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        allowed = set(cls.__dataclass_fields__)
+        unknown = set(raw) - allowed
+        if unknown:
+            raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+        if "exclude_fields" in raw:
+            raw["exclude_fields"] = tuple(raw["exclude_fields"])
+        cfg = cls(**raw)
+        if not cfg.source_table or not cfg.index_name:
+            raise ValueError(f"{path}: source_table and index_name are required")
+        return cfg
+
+
+def load_config_dir(config_dir: str) -> list[IndexConfig]:
+    """Read + validate every ``*.json`` in a directory (init(configDir)
+    parity, load.service.ts:52-96)."""
+    out = []
+    for fn in sorted(os.listdir(config_dir)):
+        if fn.endswith(".json"):
+            out.append(IndexConfig.from_json(os.path.join(config_dir, fn)))
+    return out

@@ -69,7 +69,9 @@ def resolve_text(pages: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(df: DataFrame, key: str = "url", num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(df: DataFrame, key: str = "url",
+                   num_partitions: int | None = None,
+                   _persist_handle: list | None = None) -> DataFrame:
     """Deterministic dense doc_id = global rank of ``key`` asc (0-based).
 
     Scalable pattern (no single-partition window): range-repartition +
@@ -84,6 +86,8 @@ def assign_doc_ids(df: DataFrame, key: str = "url", num_partitions: int | None =
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
     ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    if _persist_handle is not None:
+        _persist_handle.append(ranged)
     counts = (
         ranged.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid").count().collect()
@@ -250,10 +254,11 @@ class IndexBuilder:
             pages = resolve_text(pages)
         pages = pages.withColumn("url", F.col(self.key_col).cast("string")) \
             .withColumn("text", F.col(self.text_col))
+        handle: list = []
         if self.id_col:
             docs = pages.withColumn("doc_id", F.col(self.id_col).cast("long"))
         else:
-            docs = assign_doc_ids(pages, key="url")
+            docs = assign_doc_ids(pages, key="url", _persist_handle=handle)
         flat = tokenize_flat(docs, self.cfg)
         self.catalog.overwrite(flat, "postings_flat")
         # doc_stats from flat (sum tf = token count); docs with zero tokens
@@ -266,7 +271,8 @@ class IndexBuilder:
             .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
         )
         self.catalog.overwrite(stats, "doc_stats")
-        docs.unpersist()
+        for cached in handle:
+            cached.unpersist()
         self.lineage.mark_stage("flat")
 
     def _stage_stats(self, spark: SparkSession) -> None:
@@ -327,10 +333,10 @@ class IndexBuilder:
         )
 
     def _register_blocks(self, spark: SparkSession) -> None:
+        # adopt the segment dir in place — no rewrite of the encoded index
         seg_dir = os.path.join(self.index_dir, "segments", "base")
         if not self.catalog.table_exists("postings_blocks"):
-            blocks = spark.read.schema(BLOCKS_DDL).parquet(seg_dir)
-            self.catalog.overwrite(blocks, "postings_blocks")
+            self.catalog.register_external(seg_dir, "postings_blocks")
 
     # -- entry point -----------------------------------------------------------
 

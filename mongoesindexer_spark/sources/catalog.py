@@ -95,6 +95,18 @@ class ParquetCatalog:
         self._commit(table, log)
         return snap_id
 
+    def register_external(self, path: str, table: str, op: str = "overwrite") -> int:
+        """Adopt an existing parquet directory as a snapshot without
+        rewriting it (the segment-build stage writes its output once,
+        executor-side; re-copying a 100 TB index to 'commit' it would be
+        absurd — Iceberg's add_files has the same role)."""
+        log = self._read_log(table)
+        snap_id = (log[-1]["id"] + 1) if log else 1
+        os.makedirs(os.path.join(self.root, table), exist_ok=True)
+        log.append({"id": snap_id, "dir": os.path.abspath(path), "op": op})
+        self._commit(table, log)
+        return snap_id
+
     # -- read ---------------------------------------------------------------
     def _live_dirs(self, table: str, since: int | None = None,
                    as_of: int | None = None) -> list[str]:
@@ -109,7 +121,8 @@ class ParquetCatalog:
                 live.append(e)
         if since is not None:
             live = [e for e in live if e["id"] > since]
-        return [os.path.join(self.root, table, e["dir"]) for e in live]
+        return [e["dir"] if os.path.isabs(e["dir"])
+                else os.path.join(self.root, table, e["dir"]) for e in live]
 
     def read(self, spark: SparkSession, table: str, as_of: int | None = None) -> DataFrame:
         dirs = self._live_dirs(table, as_of=as_of)

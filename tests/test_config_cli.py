@@ -1,0 +1,48 @@
+"""Config loader (S10 parity) and catalog seam tests."""
+
+import json
+import os
+
+import pytest
+
+from mongoesindexer_spark.config import IndexConfig, load_config_dir
+from mongoesindexer_spark.sources.catalog import ParquetCatalog
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = {"source_table": "pages", "index_name": "web_idx",
+           "exclude_fields": ["downloads"], "analyzer": "keywords",
+           "force_delete": True}
+    p = tmp_path / "web.json"
+    p.write_text(json.dumps(cfg))
+    c = IndexConfig.from_json(str(p))
+    assert c.index_name == "web_idx" and c.force_delete
+    assert c.exclude_fields == ("downloads",)
+    assert c.analyzer_config().use_edge_ngram  # keywords family
+    assert load_config_dir(str(tmp_path))[0] == c
+
+
+def test_config_rejects_unknown_keys(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"source_table": "t", "index_name": "i", "nope": 1}))
+    with pytest.raises(ValueError, match="unknown config keys"):
+        IndexConfig.from_json(str(p))
+
+
+def test_catalog_append_overwrite_incremental(spark, tmp_path):
+    cat = ParquetCatalog(str(tmp_path / "cat"))
+    df1 = spark.createDataFrame([(1,), (2,)], "x long")
+    df2 = spark.createDataFrame([(3,)], "x long")
+    s1 = cat.append(df1, "t")
+    s2 = cat.append(df2, "t")
+    assert {r["x"] for r in cat.read(spark, "t").collect()} == {1, 2, 3}
+    inc = cat.read_incremental(spark, "t", since=s1)
+    assert {r["x"] for r in inc.collect()} == {3}
+    assert cat.read_incremental(spark, "t", since=s2) is None
+    # time travel to s1
+    assert {r["x"] for r in cat.read(spark, "t", as_of=s1).collect()} == {1, 2}
+    cat.overwrite(spark.createDataFrame([(9,)], "x long"), "t")
+    assert {r["x"] for r in cat.read(spark, "t").collect()} == {9}
+    assert cat.list_tables() == ["t"]
+    cat.drop_table("t")
+    assert not cat.table_exists("t")
