@@ -117,35 +117,64 @@ def assign_doc_ids(df: DataFrame, key: str = "url",
 
 
 def tokenize_flat(docs: DataFrame, cfg: AnalyzerConfig = LTD_DOC) -> DataFrame:
-    """(doc_id, text) → (term, doc_id, tf, doc_len) via Arrow-batched
-    mapInPandas; tf is counted inside the batch (map-side combine) so the
-    shuffle moves one row per distinct (term, doc) instead of one per token."""
+    """(doc_id, url, text) → postings rows + one doc-marker row per doc,
+    in a single Arrow-batched pass.
+
+    Postings rows: (term, doc_id, tf, doc_len, url=NULL) — tf counted
+    inside the batch (map-side combine: the shuffle moves one row per
+    distinct (term, doc), never one per token).  Marker rows
+    (term=NULL, tf=0, doc_len, url) carry the per-doc stats so doc_stats
+    needs no extra aggregate/join stage over the corpus.  Read postings
+    through :func:`read_flat`, markers through :func:`read_doc_markers`.
+    """
     from collections import Counter
 
     def _tok(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            terms: list[str] = []
+            terms: list[str | None] = []
             doc_ids: list[int] = []
             tfs: list[int] = []
             dls: list[int] = []
-            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+            urls: list[str | None] = []
+            for doc_id, url, text in zip(pdf["doc_id"].values, pdf["url"].values,
+                                         pdf["text"].values):
                 toks = analyze_index(text or "", cfg)
                 dl = len(toks)
+                terms.append(None)
+                doc_ids.append(doc_id)
+                tfs.append(0)
+                dls.append(dl)
+                urls.append(url)
                 for term, tf in Counter(toks).items():
                     terms.append(term)
                     doc_ids.append(doc_id)
                     tfs.append(tf)
                     dls.append(dl)
+                    urls.append(None)
             yield pd.DataFrame({
                 "term": pd.Series(terms, dtype="object"),
                 "doc_id": pd.Series(doc_ids, dtype="int64"),
                 "tf": pd.Series(tfs, dtype="int64"),
                 "doc_len": pd.Series(dls, dtype="int64"),
+                "url": pd.Series(urls, dtype="object"),
             })
 
-    return docs.select("doc_id", "text").mapInPandas(
-        _tok, schema="term string, doc_id long, tf long, doc_len long"
+    return docs.select("doc_id", "url", "text").mapInPandas(
+        _tok, schema="term string, doc_id long, tf long, doc_len long, url string"
     )
+
+
+def read_flat(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
+    """Postings rows of the flat table (markers filtered; pushed to scan)."""
+    return (cat.read(spark, "postings_flat")
+            .filter(F.col("term").isNotNull())
+            .drop("url"))
+
+
+def read_doc_markers(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
+    return (cat.read(spark, "postings_flat")
+            .filter(F.col("term").isNull())
+            .select("doc_id", "url", "doc_len"))
 
 
 # ---------------------------------------------------------------------------
@@ -250,8 +279,22 @@ class IndexBuilder:
     def _stage_flat(self, spark: SparkSession, pages: DataFrame) -> None:
         if self.lineage.stage_complete("flat"):
             return
+        # parallelize the expensive html→text extraction immediately — a
+        # single large parquet file would otherwise run it on one input
+        # split — and prune to the columns the build needs before any
+        # shuffle (html is dropped right after extraction).
+        parallelism = spark.sparkContext.defaultParallelism
+        keep = [self.key_col, self.text_col] + (
+            ["html"] if "html" in pages.columns else []) + (
+            [self.id_col] if self.id_col and self.id_col not in
+            (self.key_col, self.text_col) else [])
+        pages = pages.select(*dict.fromkeys(keep))
+        if pages.rdd.getNumPartitions() < parallelism:
+            # only widen when the source is under-split (one big file);
+            # a well-partitioned 100 TB table must NOT be re-shuffled here
+            pages = pages.repartition(parallelism)
         if "html" in pages.columns and self.text_col == "text":
-            pages = resolve_text(pages)
+            pages = resolve_text(pages).drop("html")
         pages = pages.withColumn("url", F.col(self.key_col).cast("string")) \
             .withColumn("text", F.col(self.text_col))
         handle: list = []
@@ -261,16 +304,9 @@ class IndexBuilder:
             docs = assign_doc_ids(pages, key="url", _persist_handle=handle)
         flat = tokenize_flat(docs, self.cfg)
         self.catalog.overwrite(flat, "postings_flat")
-        # doc_stats from flat (sum tf = token count); docs with zero tokens
-        # still appear in doc_stats with doc_len 0 via the left join.
-        flat_t = self.catalog.read(spark, "postings_flat")
-        dl = flat_t.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-        stats = (
-            docs.select("doc_id", "url")
-            .join(dl, "doc_id", "left")
-            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
-        )
-        self.catalog.overwrite(stats, "doc_stats")
+        # doc_stats = the marker rows (tiny filtered re-read, no corpus
+        # aggregate or join — the tokenize pass already counted doc_len)
+        self.catalog.overwrite(read_doc_markers(self.catalog, spark), "doc_stats")
         for cached in handle:
             cached.unpersist()
         self.lineage.mark_stage("flat")
@@ -286,7 +322,7 @@ class IndexBuilder:
         )
         self.catalog.overwrite(g, "global_stats")
         n_docs = self.catalog.read(spark, "global_stats").collect()[0]["n_docs"]
-        flat = self.catalog.read(spark, "postings_flat")
+        flat = read_flat(self.catalog, spark)
         td = flat.groupBy("term").agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("cf"),
@@ -307,7 +343,7 @@ class IndexBuilder:
         n_salts = max(1, math.ceil(n_docs / self.docs_per_salt))
         blocks_per_salt = math.ceil(self.docs_per_salt / self.block_size) + 1
 
-        flat = self.catalog.read(spark, "postings_flat")
+        flat = read_flat(self.catalog, spark)
         keyed = flat.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int")
         ).withColumn(

@@ -36,8 +36,9 @@ def compact(spark: SparkSession, index_dir: str,
     ts = cat.read(spark, "tombstones")
     n_dead = ts.count()
 
-    live_flat = cat.read(spark, "postings_flat").join(
+    live_all = cat.read(spark, "postings_flat").join(
         F.broadcast(ts), "doc_id", "left_anti")
+    live_flat = live_all.filter(F.col("term").isNotNull()).drop("url")
     live_stats = cat.read(spark, "doc_stats").join(
         F.broadcast(ts), "doc_id", "left_anti")
     g = cat.read(spark, "global_stats").collect()[0]
@@ -64,7 +65,7 @@ def compact(spark: SparkSession, index_dir: str,
     )
     # order matters: rewrite data tables first, clear tombstones last —
     # a crash in between leaves a consistent merge-on-read view.
-    cat.overwrite(live_flat, "postings_flat")
+    cat.overwrite(live_all, "postings_flat")
     cat.overwrite(live_stats, "doc_stats")
     cat.overwrite(blocks, "postings_blocks")
     cat.overwrite(spark.createDataFrame([], "doc_id long"), "tombstones")

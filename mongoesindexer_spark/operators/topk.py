@@ -73,8 +73,9 @@ class SearchEngine:
 
     # -- exhaustive DataFrame path ------------------------------------------
     def topk_df(self, query_text: str, k: int, mode: str = "or") -> DataFrame:
+        from .build_index import read_flat
         terms = _query_terms(query_text, self.cfg)
-        flat = self.cat.read(self.spark, "postings_flat").filter(F.col("term").isin(terms))
+        flat = read_flat(self.cat, self.spark).filter(F.col("term").isin(terms))
         if self.tombstones:
             ts = self.spark.createDataFrame(
                 [(int(d),) for d in self.tombstones], "doc_id long")

@@ -83,17 +83,14 @@ class IncrementalIndexer:
         new_docs = (resolve_text(new_pages)
                     .withColumn("doc_id",
                                 (F.row_number().over(w) - 1 + base_id).cast("long")))
-        delta_flat = tokenize_flat(new_docs, self.cfg)
+        delta_all = tokenize_flat(new_docs, self.cfg)
         # cache: used for postings append, doc_stats, stats deltas, encode
-        delta_flat = delta_flat.persist()
-        delta_flat.count()
+        delta_all = delta_all.persist()
+        delta_all.count()
+        delta_flat = delta_all.filter(F.col("term").isNotNull()).drop("url")
 
-        new_doc_stats = (
-            new_docs.select("doc_id", "url")
-            .join(delta_flat.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")),
-                  "doc_id", "left")
-            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
-        )
+        new_doc_stats = delta_all.filter(F.col("term").isNull()) \
+            .select("doc_id", "url", "doc_len")
         new_stats_rows = new_doc_stats.select("doc_id", "doc_len").collect()
         n_new = len(new_stats_rows)
         dl_new = sum(r["doc_len"] for r in new_stats_rows)
@@ -102,9 +99,10 @@ class IncrementalIndexer:
         n_docs2 = n_docs - n_dead + n_new
         dead_delta = None
         if dead_ids:
+            from ..operators.build_index import read_flat
             dead_df = spark.createDataFrame([(int(d),) for d in dead_ids], "doc_id long")
             dead_delta = (
-                self.cat.read(spark, "postings_flat")
+                read_flat(self.cat, spark)
                 .join(F.broadcast(dead_df), "doc_id", "inner")
                 .groupBy("term")
                 .agg((-F.count("*")).alias("d_df"), (-F.sum("tf")).alias("d_cf"))
@@ -128,7 +126,7 @@ class IncrementalIndexer:
         self._encode_delta(spark, delta_flat, avgdl2, base_id)
 
         # --- commit table updates -----------------------------------------
-        self.cat.append(delta_flat, "postings_flat")
+        self.cat.append(delta_all, "postings_flat")
         self.cat.append(new_doc_stats, "doc_stats")
         if dead_ids:
             self.cat.append(
@@ -143,7 +141,7 @@ class IncrementalIndexer:
         if batch_id:
             self.cat.append(
                 spark.createDataFrame([(batch_id,)], "batch_id string"), "sync_log")
-        delta_flat.unpersist()
+        delta_all.unpersist()
         return {"applied": True, "inserted": n_new, "tombstoned": n_dead,
                 "n_docs": n_docs2}
 

@@ -47,8 +47,9 @@ def test_term_dict_matches_oracle(spark, tiny_index, oracle_tiny):
 
 
 def test_postings_flat_matches_oracle(spark, tiny_index, oracle_tiny):
+    from mongoesindexer_spark.operators.build_index import read_flat
     cat = ParquetCatalog(tiny_index)
-    flat = cat.read(spark, "postings_flat").toPandas()
+    flat = read_flat(cat, spark).toPandas()
     got = {(r.term, r.doc_id): r.tf for r in flat.itertuples()}
     want = {
         (t, d): tf for t, plist in oracle_tiny.postings.items() for d, tf in plist.items()
@@ -59,8 +60,9 @@ def test_postings_flat_matches_oracle(spark, tiny_index, oracle_tiny):
 def test_encoded_blocks_roundtrip_to_flat(spark, tiny_index):
     """Segment decode == flat postings: the compressed index is lossless,
     blocks are doc-ordered and disjoint per term (segment-merge invariant)."""
+    from mongoesindexer_spark.operators.build_index import read_flat
     cat = ParquetCatalog(tiny_index)
-    flat = cat.read(spark, "postings_flat").toPandas()
+    flat = read_flat(cat, spark).toPandas()
     blocks = cat.read(spark, "postings_blocks").toPandas()
     want = {
         t: g.sort_values("doc_id")[["doc_id", "tf"]].values
@@ -86,8 +88,9 @@ def test_encoded_blocks_roundtrip_to_flat(spark, tiny_index):
 def test_spark_tokens_equal_pure_function(spark, tiny_index, tiny_pages, oracle_tiny):
     """Per-row invariant under Spark: the Arrow-batched tokenize path emits
     exactly the tokens the pure function emits (byte-identical)."""
+    from mongoesindexer_spark.operators.build_index import read_flat
     cat = ParquetCatalog(tiny_index)
-    flat = cat.read(spark, "postings_flat").toPandas()
+    flat = read_flat(cat, spark).toPandas()
     got_terms_per_doc = {
         d: set(g["term"]) for d, g in flat.groupby("doc_id")
     }

@@ -1,0 +1,66 @@
+"""Property test (SURVEY §5.2-4a): block-max WAND top-k == exhaustive
+scoring top-k on random corpora — pure numpy, no Spark, so hypothesis can
+hammer it."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mongoesindexer_spark.functions.encode import (
+    bm25_idf,
+    bm25_tf_norm,
+    encode_blocks,
+)
+from mongoesindexer_spark.operators.topk import _TermCursor, wand_topk_arrays
+
+
+@st.composite
+def corpus(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=120))
+    n_terms = draw(st.integers(min_value=1, max_value=8))
+    rng = np.random.RandomState(draw(st.integers(0, 10_000)))
+    doc_lens = rng.randint(1, 60, size=n_docs).astype(np.int64)
+    postings = {}
+    for t in range(n_terms):
+        df = rng.randint(1, n_docs + 1)
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.randint(1, 6, size=df).astype(np.int64)
+        postings[f"t{t}"] = (docs, tfs)
+    q_size = draw(st.integers(1, n_terms))
+    k = draw(st.integers(1, 30))
+    return doc_lens, postings, [f"t{i}" for i in range(q_size)], k
+
+
+@given(corpus())
+@settings(max_examples=150, deadline=None)
+def test_wand_equals_exhaustive(data):
+    doc_lens, postings, terms, k = data
+    n_docs = doc_lens.size
+    avgdl = float(doc_lens.mean())
+    tomb = set(np.flatnonzero(np.arange(n_docs) % 7 == 3).tolist())
+
+    # exhaustive reference scorer
+    scores = np.zeros(n_docs, dtype=np.float64)
+    seen = np.zeros(n_docs, dtype=bool)
+    for t in terms:
+        docs, tfs = postings[t]
+        idf = float(bm25_idf(docs.size, n_docs))
+        scores[docs] += idf * bm25_tf_norm(tfs, doc_lens[docs], avgdl)
+        seen[docs] = True
+    cand = [d for d in np.flatnonzero(seen) if d not in tomb]
+    want = sorted(((scores[d], int(d)) for d in cand),
+                  key=lambda x: (-x[0], x[1]))[:k]
+
+    # WAND over encoded blocks (small blocks to force skipping)
+    cursors = []
+    for t in terms:
+        docs, tfs = postings[t]
+        idf = float(bm25_idf(docs.size, n_docs))
+        blocks = encode_blocks(docs, tfs, doc_lens[docs], avgdl, block_size=8)
+        cursors.append(_TermCursor(idf, blocks, avgdl))
+    got = wand_topk_arrays(cursors, doc_lens, avgdl, k, tombstones=tomb)
+
+    assert len(got) == len(want)
+    for (gs, gd), (ws, wd) in zip(got, want):
+        assert gd == wd
+        assert abs(gs - ws) < 1e-9
