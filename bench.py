@@ -163,23 +163,31 @@ def main() -> None:
     scaling = {}
     if RUN_SCALING:
         pages_path = scale_input(spark)
-        legs = {}
-        for n in (8, 32):
-            out = tempfile.mktemp(suffix=".json")
-            t0 = time.perf_counter()
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--build-worker",
-                 f"local[{n}]", pages_path, out],
-                check=True, cwd=REPO,
-                env={**os.environ, "SPARK_GRAFT_CPUS": str(n)},
-            )
-            with open(out) as f:
-                legs[n] = json.load(f)["docs_per_sec"]
-            results[f"scaling_build_local{n}"] = round(time.perf_counter() - t0, 3)
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+        legs: dict[int, list[float]] = {8: [], 32: []}
+        # alternate legs and keep the best of each: this sandbox VM shows
+        # large host-level timing variance; best-of-N measures capacity,
+        # alternation prevents a slow host phase from biasing one leg.
+        for rep in range(repeats):
+            for n in (8, 32):
+                out = tempfile.mktemp(suffix=".json")
+                t0 = time.perf_counter()
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--build-worker",
+                     f"local[{n}]", pages_path, out],
+                    check=True, cwd=REPO,
+                    env={**os.environ, "SPARK_GRAFT_CPUS": str(n)},
+                )
+                with open(out) as f:
+                    legs[n].append(json.load(f)["docs_per_sec"])
+                results[f"scaling_build_local{n}_r{rep}"] = round(time.perf_counter() - t0, 3)
+        best8, best32 = max(legs[8]), max(legs[32])
         scaling = {
-            "local8_docs_per_sec": round(legs[8], 1),
-            "local32_docs_per_sec": round(legs[32], 1),
-            "efficiency": round((legs[32] / legs[8]) / 4.0, 3),
+            "local8_docs_per_sec": round(best8, 1),
+            "local32_docs_per_sec": round(best32, 1),
+            "efficiency": round((best32 / best8) / 4.0, 3),
+            "runs_local8": [round(x, 1) for x in legs[8]],
+            "runs_local32": [round(x, 1) for x in legs[32]],
         }
 
     shutil.rmtree(idx_dir, ignore_errors=True)

@@ -210,24 +210,66 @@ KEYWORD = AnalyzerConfig(
 )
 
 
-def analyze_index(text: str, cfg: AnalyzerConfig = LTD_DOC) -> list[str]:
-    """Index-side ``autocomplete_analyzer`` chain."""
-    tokens = word_delimiter(lowercase(whitespace_tokenize(text)))
+# Every filter in both chains is per-token, so a whole chain is a pure
+# function of (analyzer, lowercased token) — memoized below.  Web text is
+# Zipf-distributed, so on a real corpus nearly every token is a cache hit;
+# this turns the hot tokenize path into split + dict lookups and is the
+# single biggest index-build CPU win.  Deterministic by construction (the
+# cache only memoizes a pure function).
+_TOKEN_CACHE: dict[tuple[str, str], tuple[str, ...]] = {}
+_TOKEN_CACHE_MAX = 1_000_000
+
+
+def _analyze_index_token(t: str, cfg: AnalyzerConfig) -> tuple[str, ...]:
+    tokens = word_delimiter([t])
     if cfg.use_stopwords:
         tokens = stop_filter(tokens, cfg.stopwords)
     if cfg.use_edge_ngram:
         tokens = edge_ngram(tokens, cfg.min_gram, cfg.max_gram)
-    return tokens
+    return tuple(tokens)
 
 
-def analyze_search(text: str, cfg: AnalyzerConfig = LTD_DOC) -> list[str]:
-    """Search-side ``autosearch`` chain (asymmetric: no edge-ngrams)."""
-    tokens = lowercase(whitespace_tokenize(text))
+def analyze_index(text: str, cfg: AnalyzerConfig = LTD_DOC) -> list[str]:
+    """Index-side ``autocomplete_analyzer`` chain."""
+    out: list[str] = []
+    cache = _TOKEN_CACHE
+    name = "i:" + cfg.name
+    for raw in text.split():
+        t = raw.lower()
+        key = (name, t)
+        e = cache.get(key)
+        if e is None:
+            e = _analyze_index_token(t, cfg)
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[key] = e
+        out.extend(e)
+    return out
+
+
+def _analyze_search_token(t: str, cfg: AnalyzerConfig) -> tuple[str, ...]:
+    tokens = [t]
     if cfg.search_word_delimiter:
         tokens = word_delimiter(tokens)
     if cfg.use_stopwords:
         tokens = stop_filter(tokens, cfg.stopwords)
-    return tokens
+    return tuple(tokens)
+
+
+def analyze_search(text: str, cfg: AnalyzerConfig = LTD_DOC) -> list[str]:
+    """Search-side ``autosearch`` chain (asymmetric: no edge-ngrams)."""
+    out: list[str] = []
+    cache = _TOKEN_CACHE
+    name = "s:" + cfg.name
+    for raw in text.split():
+        t = raw.lower()
+        key = (name, t)
+        e = cache.get(key)
+        if e is None:
+            e = _analyze_search_token(t, cfg)
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[key] = e
+        out.extend(e)
+    return out
 
 
 def normalize(value: str) -> str:

@@ -84,10 +84,14 @@ def assign_doc_ids(df: DataFrame, key: str = "url",
     from pyspark import StorageLevel
 
     num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
+    # Persist the input first: the range partitioner runs a separate
+    # sampling pass over it, which would otherwise recompute the upstream
+    # (html→text extraction) a second time.
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    ranged = src.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
     ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     if _persist_handle is not None:
-        _persist_handle.append(ranged)
+        _persist_handle.extend([src, ranged])
     counts = (
         ranged.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid").count().collect()

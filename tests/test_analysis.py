@@ -127,3 +127,37 @@ def test_extract_text_no_body_no_title():
 def test_extract_text_idempotent_bytes_vs_str():
     html = "<html><head><title>É</title></head><body>café</body></html>"
     assert extract_text(html) == extract_text(html.encode("utf-8")) == "É\ncafé"
+
+
+def test_memoized_chain_equals_unmemoized():
+    """The token cache must be a pure memo: chain output == direct filter
+    composition for any input, including specials and stopwords."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from mongoesindexer_spark.functions import analysis as A
+
+    token = st.one_of(
+        st.sampled_from(["WiFi", "state-of-the-art", "IC-01/04", "café",
+                         "the", "ipv6_addr", "--", "john's", "a1b2C3"]),
+        st.text(alphabet="abzAZ019'-_é/ ", min_size=1, max_size=8),
+    )
+
+    @given(st.lists(token, max_size=12))
+    @settings(max_examples=300, deadline=None)
+    def check(tokens):
+        text = " ".join(tokens)
+        for cfg in (A.LTD_DOC, A.KEYWORD):
+            direct = A.word_delimiter(A.lowercase(A.whitespace_tokenize(text)))
+            if cfg.use_stopwords:
+                direct = A.stop_filter(direct, cfg.stopwords)
+            if cfg.use_edge_ngram:
+                direct = A.edge_ngram(direct, cfg.min_gram, cfg.max_gram)
+            assert A.analyze_index(text, cfg) == direct
+            sdirect = A.lowercase(A.whitespace_tokenize(text))
+            if cfg.search_word_delimiter:
+                sdirect = A.word_delimiter(sdirect)
+            if cfg.use_stopwords:
+                sdirect = A.stop_filter(sdirect, cfg.stopwords)
+            assert A.analyze_search(text, cfg) == sdirect
+
+    check()
