@@ -50,6 +50,10 @@ class SearchEngine:
         self.index_dir = index_dir
         self.cfg = cfg
         self.cat = ParquetCatalog(index_dir)
+        # freeze the snapshot version NOW: version() must report what this
+        # engine was built from, not the live catalog state, or the
+        # get_engine cache can never detect staleness after incremental sync
+        self._version = _current_version(index_dir)
         g = self.cat.read(spark, "global_stats").collect()[0]
         self.n_docs = int(g["n_docs"])
         self.avgdl = float(g["avgdl"] or 1.0) or 1.0
@@ -67,9 +71,7 @@ class SearchEngine:
         self.urls: dict[int, str] = dict(zip(stats["doc_id"].values, stats["url"].values))
 
     def version(self) -> tuple:
-        return tuple(self.cat.current_snapshot(t) for t in
-                     ("postings_flat", "postings_blocks", "doc_stats",
-                      "global_stats", "term_dict", "tombstones"))
+        return self._version
 
     # -- exhaustive DataFrame path ------------------------------------------
     def topk_df(self, query_text: str, k: int, mode: str = "or") -> DataFrame:

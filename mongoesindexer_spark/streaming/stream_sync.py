@@ -37,7 +37,8 @@ def stream_sync(spark: SparkSession, index_dir: str, updates_dir: str,
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        indexer.apply_updates(batch_df, batch_id=f"stream-{batch_id}")
+        indexer.apply_updates(batch_df.sparkSession, batch_df,
+                              batch_id=f"stream-{batch_id}")
 
     stream = (
         spark.readStream.schema(UPDATES_DDL)
