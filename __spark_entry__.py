@@ -282,6 +282,81 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cosine") * 1e4).cast("long").alias("cos_e4"))
 
 
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (threshold 0.42)."""
+    from mongoesindexer_spark.operators.ann import embedding_near_dups
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, 0.42).select(
+        "id_a", "id_b",
+        F.round(F.col("cosine") * 1e4).cast("long").alias("cos_e4"))
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup candidates, exact-verified (scale path;
+    recall<1 → rows-only check)."""
+    from mongoesindexer_spark.operators.ann import embedding_near_dups_lsh
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_dups_lsh(emb, 0.42, dim=dim, n_planes=4).select(
+        "id_a", "id_b",
+        F.round(F.col("cosine") * 1e4).cast("long").alias("cos_e4"))
+
+
+def _media_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as an opaque binary column — the multimodal plumbing
+    is byte-typed end-to-end; sandbox blobs are derived deterministically."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+        F.lit("text").alias("kind"))
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mongoesindexer_spark.multimodal.binary import media_metadata
+    return media_metadata(_media_blobs(spark, sf_dir))
+
+
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub (1 KiB strides, ≤16 frames): per-media frame
+    count + sampled bytes — the one-to-many explode shape of a real
+    frame extractor."""
+    from mongoesindexer_spark.multimodal.binary import frame_sample
+    frames = frame_sample(_media_blobs(spark, sf_dir))
+    return frames.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum(F.length("frame_blob")).cast("long").alias("sampled_bytes"))
+
+
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stub (deterministic fake codec): per-media
+    feature vector reduced to integer components for stable comparison."""
+    from mongoesindexer_spark.multimodal.binary import (decode_features,
+                                                        fake_decoder)
+    feats = decode_features(_media_blobs(spark, sf_dir), decoder=fake_decoder)
+    return feats.select(
+        "media_id", F.size("features").alias("n_features"),
+        F.expr("transform(features, x -> cast(round(x * 1e6) as long))")
+        .alias("features_e6"))
+
+
+def q_changed_fields_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-update loop-breaker (P7): drop events whose changed fields are
+    all in the excluded set (the indexer's own writeback columns)."""
+    from mongoesindexer_spark.operators.lookup import changed_fields_subset
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    changed = (
+        F.when(k % 3 == 0,
+               F.array(F.lit("lastESIndexedAt"), F.lit("lastESIndexResponse")))
+        .when(k % 3 == 1, F.array(F.lit("title"), F.lit("lastESIndexedAt")))
+        .otherwise(F.array(F.lit("title"))))
+    df = ev.withColumn("changed_cols", changed)
+    keep = ~changed_fields_subset(
+        df, "changed_cols", ["lastESIndexedAt", "lastESIndexResponse"])
+    return df.filter(keep).select("event_id", F.size("changed_cols").alias("n_changed"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongoesindexer_spark.functions.textstats import quality_metrics
     return quality_metrics(_read(spark, sf_dir, "documents")).select(
@@ -349,6 +424,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        # multimodal plumbing (binary columns, Arrow-batched kernels)
+        "media_metadata": q_media_metadata,
+        "media_frame_stats": q_media_frame_stats,
+        "media_decode_features": q_media_decode_features,
+        # CDC self-update loop-breaker (P7)
+        "changed_fields_filter": q_changed_fields_filter,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -501,6 +584,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len({_TOK_DD})::INT AS ws_tokens,
                    len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::INT AS bpe_ish_tokens
             FROM documents
+        """,
+        "dedup_embedding_pairs": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(
+                     (list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                      / (sqrt(list_aggregate(list_transform(a.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                         * sqrt(list_aggregate(list_transform(b.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))) * 1e4
+                   ) AS BIGINT) AS cos_e4
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE (list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))) >= 0.42
+        """,
+        "media_metadata": """
+            SELECT doc_id AS media_id, 'text' AS kind,
+                   'application/octet-stream' AS mime,
+                   strlen(text)::BIGINT AS n_bytes
+            FROM documents
+        """,
+        "media_frame_stats": """
+            SELECT doc_id AS media_id,
+                   least(16, greatest(1, strlen(text) // 1024))::BIGINT AS n_frames,
+                   least(least(16, greatest(1, strlen(text) // 1024)) * 1024,
+                         strlen(text))::BIGINT AS sampled_bytes
+            FROM documents
+        """,
+        "changed_fields_filter": """
+            SELECT event_id,
+                   CASE WHEN json_extract_string(props, '$.k')::INT % 3 = 1
+                        THEN 2 ELSE 1 END::INT AS n_changed
+            FROM events
+            WHERE json_extract_string(props, '$.k')::INT % 3 <> 0
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

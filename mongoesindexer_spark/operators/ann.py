@@ -48,6 +48,66 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int,
     )
 
 
+def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, nv): unit-normalized double vectors — norms computed once per
+    row, so the pairwise cosine below is a plain dot product."""
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    return d.select(
+        "id", F.transform("v", lambda x: x / F.col("n")).alias("nv"))
+
+
+def embedding_near_dups(df: DataFrame, threshold: float,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cosine)
+    with id_a < id_b and cosine >= threshold.
+
+    The self-join is a broadcast nested-loop (O(n^2) comparisons) — the
+    exact baseline for small corpora and the verifier for candidates.  At
+    10^12-row scale use :func:`embedding_near_dups_lsh`, whose bucket
+    equi-join shuffles instead of crossing.
+    """
+    nv = _normalized(df, vec_col, id_col)
+    a = nv.select(F.col("id").alias("id_a"), F.col("nv").alias("va"))
+    b = nv.select(F.col("id").alias("id_b"), F.col("nv").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dups_lsh(df: DataFrame, threshold: float, dim: int,
+                            n_planes: int = 6, vec_col: str = "embedding",
+                            id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+    """Near-dup pairs via random-hyperplane LSH candidate generation.
+
+    Vectors only compare within their bucket → the join is an equi-join on
+    bucket (shuffle-partitionable, no cross product); candidates are then
+    verified with the exact cosine.  Recall < 1 by construction (pairs
+    split across buckets are missed) — the scale path trade-off; raise
+    recall by unioning several plane seeds (OR-amplification).
+    """
+    bk = hyperplane_buckets(df, dim, n_planes, vec_col, id_col, seed)
+    nv = _normalized(df, vec_col, id_col)
+    bk = bk.select("id", "bucket").join(nv, "id")
+    a = bk.select(F.col("bucket"), F.col("id").alias("id_a"),
+                  F.col("nv").alias("va"))
+    b = bk.select(F.col("bucket"), F.col("id").alias("id_b"),
+                  F.col("nv").alias("vb"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplane_buckets(df: DataFrame, dim: int, n_planes: int = 8,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        seed: int = 42) -> DataFrame:

@@ -207,3 +207,56 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(df, every_n_bytes=1024).groupBy("media_id").count()
     got = {r["media_id"]: r["count"] for r in frames.collect()}
     assert got[1] == 2 and got[0] == 1 and got[3] == 1
+
+
+def test_embedding_near_dups_exact_and_lsh(spark):
+    from mongoesindexer_spark.operators.ann import (embedding_near_dups,
+                                                    embedding_near_dups_lsh)
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    vecs = list(base)
+    vecs.append(base[0] + rng.standard_normal(8).astype(np.float32) * 0.01)  # ~dup of 0
+    vecs.append(base[5])                                                     # exact dup of 5
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(df, 0.95).collect()}
+    assert (0, 20) in exact and (5, 21) in exact
+
+    # LSH candidates are a subset of the exact pairs (verified cosine),
+    # and exact duplicates always share a bucket → never missed
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dups_lsh(df, 0.95, dim=8, n_planes=4).collect()}
+    assert lsh <= exact
+    assert (5, 21) in lsh
+
+
+def test_search_engine_cache_invalidates_after_sync(spark, tmp_path):
+    """Regression: a query in the SAME process after an incremental sync
+    must see tombstones/new docs (get_engine version must be frozen at
+    construction, not read live)."""
+    from pyspark.sql import functions as F
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.topk import bm25_topk_df
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    idx = str(tmp_path / "idx")
+    pages = spark.createDataFrame(
+        [(f"https://r/{i}", "zebra alpha") for i in range(6)],
+        "url string, text string") \
+        .withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))) \
+        .withColumn("html", F.lit(None).cast("binary")) \
+        .withColumn("lang", F.lit("en"))
+    IndexBuilder(idx).build(spark, pages)
+    assert bm25_topk_df(spark, idx, "zebra", 50).count() == 6  # warms cache
+
+    updates = spark.createDataFrame(
+        [("delete", "https://r/0", None)], "op string, url string, text string") \
+        .withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-02 00:00:00"))) \
+        .withColumn("html", F.lit(None).cast("binary")) \
+        .withColumn("lang", F.lit("en")) \
+        .select("op", "url", "warc_ts", "html", "text", "lang")
+    IncrementalIndexer(idx).apply_updates(spark, updates, batch_id="b1")
+    assert bm25_topk_df(spark, idx, "zebra", 50).count() == 5
