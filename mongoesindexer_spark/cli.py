@@ -8,6 +8,7 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
   ... sync   --index /path/index --updates /path/updates_parquet --batch-id b1
   ... compact --index /path/index
   ... status --index /path/index        # lineage / progress report (ST8)
+  ... build-all --configs /path/configs_dir   # indexAll parity (S10/ST6)
 
 Local smoke: python -m mongoesindexer_spark.cli build --pages ... --index ...
 """
@@ -52,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status")
     st.add_argument("--index", required=True)
 
+    ba = sub.add_parser("build-all")
+    ba.add_argument("--configs", required=True,
+                    help="directory of per-index JSON configs")
+    ba.add_argument("--index-root", default=".",
+                    help="indexes land at <index-root>/<index_name>")
+
     args = p.parse_args(argv)
     spark = get_spark(f"mei-{args.cmd}")
 
@@ -85,6 +92,28 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         from .operators.merge import compact
         print(json.dumps(compact(spark, args.index)))
+    elif args.cmd == "build-all":
+        # indexAll parity (load.service.ts:108-138): one build per config.
+        # The reference throttles 3 collections via Bottleneck (ST6); on
+        # Spark the executor pool is the concurrency knob, so configs run
+        # sequentially, each using the whole cluster — same total work,
+        # no cross-job memory contention.
+        import os as _os
+        import shutil as _shutil
+        from .config import load_config_dir
+        from .operators.build_index import IndexBuilder
+        out = {}
+        for cfg in load_config_dir(args.configs):
+            idx = _os.path.join(args.index_root, cfg.index_name)
+            if cfg.force_delete:
+                _shutil.rmtree(idx, ignore_errors=True)
+            builder = IndexBuilder(
+                idx, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
+                docs_per_salt=cfg.docs_per_salt, block_size=cfg.block_size,
+                key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col)
+            out[cfg.index_name] = builder.build(
+                spark, spark.read.parquet(cfg.source_table))
+        print(json.dumps(out))
     elif args.cmd == "status":
         from .plans.lineage import Lineage
         rows = Lineage(args.index).rows()

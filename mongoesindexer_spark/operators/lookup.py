@@ -70,6 +70,22 @@ def stale_docs(source: DataFrame, lineage: DataFrame, key: str,
     )
 
 
+def migrate_append(source: DataFrame, target: DataFrame | None,
+                   key: str) -> DataFrame:
+    """Collection-to-collection copy with dedup (S11,
+    migrate-ltd-docs.js:39-107): rows of ``source`` whose key is absent
+    from ``target`` — the batch to append.
+
+    The reference pages with keyset pagination (`_id > lastId` limit 100)
+    and an in-memory `some()` per batch; here one anti-join covers the
+    whole copy, and the partitioned scan IS the pagination.  Caller
+    appends the result (`catalog.append` / `writeTo(...).append()`).
+    """
+    if target is None:
+        return source
+    return source.join(target.select(key).distinct(), key, "left_anti")
+
+
 def changed_fields_subset(events: DataFrame, changed_col: str,
                           excluded: list[str]) -> Column:
     """True when every changed field is in the excluded set — such events

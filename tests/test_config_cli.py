@@ -46,3 +46,32 @@ def test_catalog_append_overwrite_incremental(spark, tmp_path):
     assert cat.list_tables() == ["t"]
     cat.drop_table("t")
     assert not cat.table_exists("t")
+
+
+def test_migrate_append_dedup(spark):
+    from mongoesindexer_spark.operators.lookup import migrate_append
+    src = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    tgt = spark.createDataFrame([(2, "b")], "k long, v string")
+    batch = migrate_append(src, tgt, "k")
+    assert sorted(r["k"] for r in batch.collect()) == [1, 3]
+    assert migrate_append(src, None, "k").count() == 3
+
+
+def test_cli_build_all(spark, tmp_path, tiny_dir):
+    """indexAll parity: one config dir → one index per config, queryable."""
+    import json as _json
+    from mongoesindexer_spark.cli import main
+    from mongoesindexer_spark.operators.topk import bm25_topk_df
+
+    pages = os.path.join(tiny_dir, "pages.parquet")
+    cfgs = tmp_path / "configs"
+    cfgs.mkdir()
+    for name in ("idx_a", "idx_b"):
+        (cfgs / f"{name}.json").write_text(_json.dumps(
+            {"source_table": pages, "index_name": name}))
+    rc = main(["build-all", "--configs", str(cfgs),
+               "--index-root", str(tmp_path)])
+    assert rc == 0
+    for name in ("idx_a", "idx_b"):
+        idx = str(tmp_path / name)
+        assert bm25_topk_df(spark, idx, "the", 5).count() > 0
