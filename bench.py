@@ -59,11 +59,13 @@ def build_index_timed(spark, pages_df, index_dir: str, **kw) -> tuple[float, int
 def scaling_leg(master: str, pages_path: str) -> float:
     """One subprocess leg: build the index from pages parquet, print docs/sec.
 
-    A small untimed warm-up build runs first so the measurement captures
-    steady-state throughput (JIT, Python worker pool, shuffle machinery),
-    not JVM cold-start — the cluster-protocol analog measures a warm
+    An untimed warm-up runs first so the measurement captures steady-state
+    throughput, not cold-start: worker-pool creation is serial (~300ms/core)
+    and the C2 JIT needs real invocation counts, so the warm-up build uses
+    a meaningful slice of the input (all stages, all workers, shuffle +
+    encode paths hot).  The cluster-protocol analog measures a warm
     cluster too."""
-    from mongoesindexer_spark.session import get_spark
+    from mongoesindexer_spark.session import get_spark, warm_python_workers
 
     cpus = master.split("[")[1].rstrip("]")
     spark = get_spark(f"bench-scaling-{cpus}", master=master,
@@ -72,7 +74,8 @@ def scaling_leg(master: str, pages_path: str) -> float:
     warm = tempfile.mkdtemp(prefix="mei_bench_warm_")
     out = tempfile.mkdtemp(prefix="mei_bench_idx_")
     try:
-        build_index_timed(spark, pages.limit(2000), warm)
+        warm_python_workers(spark)
+        build_index_timed(spark, pages.limit(30000), warm)
         secs, n = build_index_timed(spark, pages, out)
         return n / secs
     finally:

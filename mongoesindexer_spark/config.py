@@ -36,7 +36,7 @@ class IndexConfig:
     exclude_fields: tuple[str, ...] = ()    # self-update loop-breaker (P7)
     analyzer: str = "ltd_docs"              # ltd_docs | keywords family
     n_buckets: int = 32
-    docs_per_salt: int = 1 << 20
+    docs_per_salt: int = 1 << 17
     block_size: int = 128
 
     def analyzer_config(self) -> AnalyzerConfig:

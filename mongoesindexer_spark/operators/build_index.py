@@ -76,10 +76,17 @@ def assign_doc_ids(df: DataFrame, key: str = "url",
 
     Scalable pattern (no single-partition window): range-repartition +
     sort-within-partitions materializes a global sort; per-partition counts
-    are cumsum'd driver-side into offsets; a mapPartitions pass adds
-    offset + local position.  The url→doc_id mapping depends only on the
-    global sort order, never on where range boundaries land, so re-runs
-    and different parallelism levels produce identical ids.
+    are cumsum'd driver-side into offsets; a mapInPandas pass adds
+    offset + local position.  The mapping depends only on the global sort
+    order, never on where range boundaries land, so re-runs and different
+    parallelism levels produce identical ids.
+
+    The sorted frame MUST be pinned (persisted): the count job and the
+    numbering job would otherwise each re-plan the range exchange, whose
+    boundary SAMPLING is seeded by the compiled RDD id — two compilations
+    can disagree on partition boundaries, silently corrupting the
+    offset↦partition mapping.  The IndexBuilder hot path avoids the cache
+    cost via a sorted parquet stage artifact instead (see _stage_flat).
     """
     from pyspark import StorageLevel
 
@@ -131,41 +138,106 @@ def tokenize_flat(docs: DataFrame, cfg: AnalyzerConfig = LTD_DOC) -> DataFrame:
     needs no extra aggregate/join stage over the corpus.  Read postings
     through :func:`read_flat`, markers through :func:`read_doc_markers`.
     """
-    from collections import Counter
-
     def _tok(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            terms: list[str | None] = []
-            doc_ids: list[int] = []
-            tfs: list[int] = []
-            dls: list[int] = []
-            urls: list[str | None] = []
-            for doc_id, url, text in zip(pdf["doc_id"].values, pdf["url"].values,
-                                         pdf["text"].values):
-                toks = analyze_index(text or "", cfg)
-                dl = len(toks)
-                terms.append(None)
-                doc_ids.append(doc_id)
-                tfs.append(0)
-                dls.append(dl)
-                urls.append(url)
-                for term, tf in Counter(toks).items():
-                    terms.append(term)
-                    doc_ids.append(doc_id)
-                    tfs.append(tf)
-                    dls.append(dl)
-                    urls.append(None)
-            yield pd.DataFrame({
-                "term": pd.Series(terms, dtype="object"),
-                "doc_id": pd.Series(doc_ids, dtype="int64"),
-                "tf": pd.Series(tfs, dtype="int64"),
-                "doc_len": pd.Series(dls, dtype="int64"),
-                "url": pd.Series(urls, dtype="object"),
-            })
+            yield _tokenize_batch(pdf["doc_id"].values, pdf["url"].values,
+                                  pdf["text"].values, cfg)
 
     return docs.select("doc_id", "url", "text").mapInPandas(
-        _tok, schema="term string, doc_id long, tf long, doc_len long, url string"
+        _tok, schema=FLAT_DDL
     )
+
+
+FLAT_DDL = "term string, doc_id long, tf long, doc_len long, url string"
+
+
+def _tokenize_batch(doc_id_vals, url_vals, text_vals,
+                    cfg: AnalyzerConfig) -> pd.DataFrame:
+    from collections import Counter
+
+    terms: list[str | None] = []
+    doc_ids: list[int] = []
+    tfs: list[int] = []
+    dls: list[int] = []
+    urls: list[str | None] = []
+    for doc_id, url, text in zip(doc_id_vals, url_vals, text_vals):
+        toks = analyze_index(text or "", cfg)
+        dl = len(toks)
+        terms.append(None)
+        doc_ids.append(doc_id)
+        tfs.append(0)
+        dls.append(dl)
+        urls.append(url)
+        for term, tf in Counter(toks).items():
+            terms.append(term)
+            doc_ids.append(doc_id)
+            tfs.append(tf)
+            dls.append(dl)
+            urls.append(None)
+    return pd.DataFrame({
+        "term": pd.Series(terms, dtype="object"),
+        "doc_id": pd.Series(doc_ids, dtype="int64"),
+        "tf": pd.Series(tfs, dtype="int64"),
+        "doc_len": pd.Series(dls, dtype="int64"),
+        "url": pd.Series(urls, dtype="object"),
+    })
+
+
+def sorted_doc_files(art_dir: str) -> list[tuple[str, int]]:
+    """(path, rank_offset) per part-file of a range-sorted parquet artifact.
+
+    File-name order == range-partition order == global key order, and each
+    footer's row count is exact — so cumulative offsets give every row's
+    global rank with zero extra jobs.  Driver-side listing is fine up to
+    ~10^5 files; beyond that, distribute the footer reads.
+    """
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        os.path.join(art_dir, f) for f in os.listdir(art_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    out = []
+    acc = 0
+    for p in files:
+        out.append((p, acc))
+        acc += _pq.ParquetFile(p).metadata.num_rows
+    return out
+
+
+def rank_and_tokenize_files(spark: SparkSession,
+                            files_offsets: list[tuple[str, int]],
+                            cfg: AnalyzerConfig = LTD_DOC) -> DataFrame:
+    """Fused doc-id assignment + tokenization over sorted part-files.
+
+    One single-layer mapInPandas (chained Python stages would run both
+    kernels concurrently per task, doubling the Python-worker pool and
+    Arrow-serializing the corpus twice).  Each task streams its file's
+    row groups in order with pyarrow, numbers rows from the file's rank
+    offset, and tokenizes in the same pass — identical output to
+    assign_doc_ids ∘ tokenize_flat, with the file as the resumable,
+    deterministic unit of work (on a cluster, pass a pyarrow filesystem
+    for S3/HDFS paths).
+    """
+    n = max(1, len(files_offsets))
+    fdf = spark.createDataFrame(files_offsets, "path string, rank_offset long") \
+        .repartitionByRange(n, "rank_offset")
+
+    def _rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as _pq
+        for pdf in it:
+            for path, off in zip(pdf["path"].values, pdf["rank_offset"].values):
+                pf = _pq.ParquetFile(path)
+                pos = int(off)
+                for batch in pf.iter_batches(columns=["url", "text"],
+                                             batch_size=10_000):
+                    b = batch.to_pandas()
+                    ids = np.arange(pos, pos + len(b), dtype=np.int64)
+                    pos += len(b)
+                    yield _tokenize_batch(ids, b["url"].values,
+                                          b["text"].values, cfg)
+
+    return fdf.mapInPandas(_rt, schema=FLAT_DDL)
 
 
 def read_flat(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
@@ -259,7 +331,12 @@ class IndexBuilder:
 
     def __init__(self, index_dir: str, cfg: AnalyzerConfig = LTD_DOC,
                  n_buckets: int = DEFAULT_N_BUCKETS,
-                 docs_per_salt: int = 1 << 20,
+                 # bounds every encode group to ~docs_per_salt×avg_distinct/
+                 # n_buckets postings rows regardless of corpus size: a pure
+                 # function of doc ids (NOT of cluster size), so output
+                 # bytes stay parallelism-invariant while groups stay small
+                 # enough to balance load and never spill the pandas kernel
+                 docs_per_salt: int = 1 << 17,
                  block_size: int = BLOCK_SIZE,
                  key_col: str = "url", text_col: str = "text",
                  id_col: str | None = None):
@@ -297,22 +374,38 @@ class IndexBuilder:
             # only widen when the source is under-split (one big file);
             # a well-partitioned 100 TB table must NOT be re-shuffled here
             pages = pages.repartition(parallelism)
-        if "html" in pages.columns and self.text_col == "text":
-            pages = resolve_text(pages).drop("html")
         pages = pages.withColumn("url", F.col(self.key_col).cast("string")) \
             .withColumn("text", F.col(self.text_col))
-        handle: list = []
         if self.id_col:
+            if "html" in pages.columns:
+                pages = resolve_text(pages).drop("html")
             docs = pages.withColumn("doc_id", F.col(self.id_col).cast("long"))
+            flat = tokenize_flat(docs, self.cfg)
         else:
-            docs = assign_doc_ids(pages, key="url", _persist_handle=handle)
-        flat = tokenize_flat(docs, self.cfg)
+            # Substage "extract": ONE job writes the range-sorted, extracted
+            # corpus as a parquet stage artifact.  Sorting BEFORE extraction
+            # keeps the range-boundary sampling pass on the raw scan (no
+            # UDF recompute); extraction runs post-sort in the same stage.
+            # No DataFrame caching: building Spark's columnar cache over a
+            # wide text column costs multiples of the work it saves, and
+            # the artifact doubles as the resumable checkpoint.
+            art_dir = os.path.join(self.index_dir, "docs_sorted")
+            if not self.lineage.stage_complete("extract"):
+                ranged = pages.repartitionByRange(parallelism, F.col("url")) \
+                    .sortWithinPartitions("url")
+                if "html" in ranged.columns:
+                    ranged = resolve_text(ranged).drop("html")
+                ranged.select("url", "text").write.mode("overwrite").parquet(art_dir)
+                self.lineage.mark_stage("extract")
+            # Substage tokenize: per-file kernel; exact rank offsets come
+            # from the artifact's parquet footers (no count job, and the
+            # two consumers cannot disagree on partition boundaries).
+            flat = rank_and_tokenize_files(
+                spark, sorted_doc_files(art_dir), self.cfg)
         self.catalog.overwrite(flat, "postings_flat")
         # doc_stats = the marker rows (tiny filtered re-read, no corpus
         # aggregate or join — the tokenize pass already counted doc_len)
         self.catalog.overwrite(read_doc_markers(self.catalog, spark), "doc_stats")
-        for cached in handle:
-            cached.unpersist()
         self.lineage.mark_stage("flat")
 
     def _stage_stats(self, spark: SparkSession) -> None:

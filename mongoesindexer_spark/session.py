@@ -30,7 +30,36 @@ def get_spark(app: str = "mongoesindexer-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode: driver heap IS the executor heap.  Execution memory is
+        # divided across concurrent tasks, so high-core local runs spill in
+        # sort/aggregate stages long before an 8g heap is "full" — size for
+        # cores × a few hundred MB of execution memory per task.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return b.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Force creation of ``n`` Python UDF workers (default: defaultParallelism).
+
+    Spark creates pandas-UDF workers lazily and SERIALLY (one daemon fork +
+    handshake at a time, then heavy pandas/pyarrow imports per worker), so
+    the first vectorized stage of a fresh session pays an O(cores) serial
+    ramp — ~10s at 32 cores.  Long-lived clusters amortize this; short
+    benchmark jobs must warm explicitly so measurements reflect
+    steady-state throughput.  Idempotent and cheap when already warm.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    n = n or spark.sparkContext.defaultParallelism
+
+    # no type hints: string annotations (future-import) break inference
+    @pandas_udf("long")
+    def _touch(s):
+        return s
+
+    (spark.range(0, n * 4, 1, numPartitions=n * 4)
+     .select(_touch(col("id")).alias("x"))
+     .write.format("noop").mode("overwrite").save())
