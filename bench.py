@@ -56,7 +56,7 @@ def build_index_timed(spark, pages_df, index_dir: str, **kw) -> tuple[float, int
     return time.perf_counter() - t0, n_docs
 
 
-def scaling_leg(master: str, pages_path: str) -> float:
+def scaling_leg(master: str, pages_path: str, warm_path: str | None = None) -> float:
     """One subprocess leg: build the index from pages parquet, print docs/sec.
 
     An untimed warm-up runs first so the measurement captures steady-state
@@ -67,15 +67,18 @@ def scaling_leg(master: str, pages_path: str) -> float:
     cluster too."""
     from mongoesindexer_spark.session import get_spark, warm_python_workers
 
-    cpus = master.split("[")[1].rstrip("]")
-    spark = get_spark(f"bench-scaling-{cpus}", master=master,
-                      shuffle_partitions=int(cpus))
+    spec = master.split("[")[1].rstrip("]").split(",")
+    cores = int(spec[0]) * int(spec[1]) if len(spec) >= 2 else int(spec[0])
+    spark = get_spark(f"bench-scaling-{cores}", master=master,
+                      shuffle_partitions=cores)
     pages = spark.read.parquet(pages_path)
     warm = tempfile.mkdtemp(prefix="mei_bench_warm_")
     out = tempfile.mkdtemp(prefix="mei_bench_idx_")
     try:
         warm_python_workers(spark)
-        build_index_timed(spark, pages.limit(30000), warm)
+        warm_pages = (spark.read.parquet(warm_path) if warm_path
+                      else pages.limit(30000))
+        build_index_timed(spark, warm_pages, warm)
         secs, n = build_index_timed(spark, pages, out)
         return n / secs
     finally:
@@ -84,11 +87,12 @@ def scaling_leg(master: str, pages_path: str) -> float:
         spark.stop()
 
 
-def scale_input(spark, replication: int = 8) -> str:
+def scale_input(spark, replication: int = 32) -> str:
     """Materialize (once) the scaling-protocol input: the 50k-page bench
-    fixture replicated with url-disambiguating prefixes.  50k pages finish
-    in seconds at any parallelism — all fixed overhead; the scaling claim
-    needs enough parallel work to measure."""
+    fixture replicated with url-disambiguating prefixes.  Small inputs
+    finish inside the build's fixed job-orchestration latency (~10 Spark
+    jobs × stage setup/commit) at ANY parallelism — the scaling claim
+    needs enough parallel work that the 8-core leg is compute-bound."""
     from pyspark.sql import functions as F
     from mongoesindexer_spark.sources.fixtures import fixture_dir
 
@@ -110,7 +114,8 @@ def scale_input(spark, replication: int = 8) -> str:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--build-worker":
-        dps = scaling_leg(sys.argv[2], sys.argv[3])
+        dps = scaling_leg(sys.argv[2], sys.argv[3],
+                          sys.argv[5] if len(sys.argv) > 5 else None)
         with open(sys.argv[4], "w") as f:
             json.dump({"docs_per_sec": dps}, f)
         return
@@ -161,12 +166,18 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.perf_counter() - t0, 3)
 
-    # 4) scaling protocol: identical build at local[8] vs local[32] on the
-    # 50k-page bench fixture (pinned-seed web pages, FIXTURES.md §1)
+    # 4) scaling protocol: identical build at N=2 vs 4N=8 executor JVMs
+    # (local-cluster mode, 4 cores each) on the replicated bench fixture
+    # (pinned-seed web pages, FIXTURES.md §1).  Separate executor
+    # PROCESSES are the honest sandbox proxy for the north rule's
+    # "N and 4N executors" — and this VM's single-JVM thread scaling is
+    # pathological (hypervisor/scheduler), while process scaling is clean.
     scaling = {}
     if RUN_SCALING:
+        from mongoesindexer_spark.sources.fixtures import fixture_dir
         pages_path = scale_input(spark)
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+        legs_spec = {8: "local-cluster[2,4,6144]", 32: "local-cluster[8,4,6144]"}
         legs: dict[int, list[float]] = {8: [], 32: []}
         # alternate legs and keep the best of each: this sandbox VM shows
         # large host-level timing variance; best-of-N measures capacity,
@@ -177,7 +188,8 @@ def main() -> None:
                 t0 = time.perf_counter()
                 subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--build-worker",
-                     f"local[{n}]", pages_path, out],
+                     legs_spec[n], pages_path, out,
+                     os.path.join(fixture_dir("bench"), "pages.parquet")],
                     check=True, cwd=REPO,
                     env={**os.environ, "SPARK_GRAFT_CPUS": str(n)},
                 )
@@ -186,6 +198,7 @@ def main() -> None:
                 results[f"scaling_build_local{n}_r{rep}"] = round(time.perf_counter() - t0, 3)
         best8, best32 = max(legs[8]), max(legs[32])
         scaling = {
+            "n_executors": 2, "n4_executors": 8, "cores_per_executor": 4,
             "local8_docs_per_sec": round(best8, 1),
             "local32_docs_per_sec": round(best32, 1),
             "efficiency": round((best32 / best8) / 4.0, 3),

@@ -208,16 +208,20 @@ def sorted_doc_files(art_dir: str) -> list[tuple[str, int]]:
 def rank_and_tokenize_files(spark: SparkSession,
                             files_offsets: list[tuple[str, int]],
                             cfg: AnalyzerConfig = LTD_DOC) -> DataFrame:
-    """Fused doc-id assignment + tokenization over sorted part-files.
+    """Fused extraction + doc-id assignment + tokenization over sorted
+    part-files.
 
-    One single-layer mapInPandas (chained Python stages would run both
-    kernels concurrently per task, doubling the Python-worker pool and
-    Arrow-serializing the corpus twice).  Each task streams its file's
-    row groups in order with pyarrow, numbers rows from the file's rank
-    offset, and tokenizes in the same pass — identical output to
-    assign_doc_ids ∘ tokenize_flat, with the file as the resumable,
-    deterministic unit of work (on a cluster, pass a pyarrow filesystem
-    for S3/HDFS paths).
+    The corpus never crosses the JVM↔Python Arrow boundary: each task
+    opens its parquet file with pyarrow directly and streams row groups
+    in order, extracting (html→text where text is null), numbering rows
+    from the file's rank offset, and tokenizing in one pass.  Shipping
+    wide text/binary columns into a pandas UDF costs more JVM CPU in
+    Arrow serialization than the Python work itself — reading the
+    columnar file in the kernel removes that entirely; only the (small)
+    postings rows flow back.  Identical output to
+    assign_doc_ids ∘ resolve_text ∘ tokenize_flat, with the file as the
+    resumable, deterministic unit of work (on a cluster, pass a pyarrow
+    filesystem for S3/HDFS paths).
     """
     n = max(1, len(files_offsets))
     fdf = spark.createDataFrame(files_offsets, "path string, rank_offset long") \
@@ -228,14 +232,19 @@ def rank_and_tokenize_files(spark: SparkSession,
         for pdf in it:
             for path, off in zip(pdf["path"].values, pdf["rank_offset"].values):
                 pf = _pq.ParquetFile(path)
+                cols = [c for c in ("url", "text", "html")
+                        if c in pf.schema_arrow.names]
                 pos = int(off)
-                for batch in pf.iter_batches(columns=["url", "text"],
-                                             batch_size=10_000):
+                for batch in pf.iter_batches(columns=cols, batch_size=10_000):
                     b = batch.to_pandas()
+                    texts = b["text"].values
+                    if "html" in b.columns:
+                        htmls = b["html"].values
+                        texts = [t if t is not None else extract_text(h)
+                                 for t, h in zip(texts, htmls)]
                     ids = np.arange(pos, pos + len(b), dtype=np.int64)
                     pos += len(b)
-                    yield _tokenize_batch(ids, b["url"].values,
-                                          b["text"].values, cfg)
+                    yield _tokenize_batch(ids, b["url"].values, texts, cfg)
 
     return fdf.mapInPandas(_rt, schema=FLAT_DDL)
 
@@ -382,24 +391,29 @@ class IndexBuilder:
             docs = pages.withColumn("doc_id", F.col(self.id_col).cast("long"))
             flat = tokenize_flat(docs, self.cfg)
         else:
-            # Substage "extract": ONE job writes the range-sorted, extracted
-            # corpus as a parquet stage artifact.  Sorting BEFORE extraction
-            # keeps the range-boundary sampling pass on the raw scan (no
-            # UDF recompute); extraction runs post-sort in the same stage.
-            # No DataFrame caching: building Spark's columnar cache over a
-            # wide text column costs multiples of the work it saves, and
-            # the artifact doubles as the resumable checkpoint.
+            # Substage "sort": ONE pure-JVM job (no Python anywhere in it)
+            # writes the range-sorted raw corpus as a parquet stage
+            # artifact.  No DataFrame caching: building Spark's columnar
+            # cache over a wide text column costs multiples of the work it
+            # saves, and the artifact doubles as the resumable checkpoint.
             art_dir = os.path.join(self.index_dir, "docs_sorted")
             if not self.lineage.stage_complete("extract"):
-                ranged = pages.repartitionByRange(parallelism, F.col("url")) \
+                cols = ["url", "text"] + (["html"] if "html" in pages.columns
+                                          else [])
+                # partition count scales with DATA (scan splits track input
+                # bytes), never just cores: each range partition is one
+                # sort+write task and one tokenize unit — size it to stay
+                # comfortably inside executor memory at any corpus size
+                n_parts = max(parallelism, pages.rdd.getNumPartitions() * 2)
+                ranged = pages.select(*cols) \
+                    .repartitionByRange(n_parts, F.col("url")) \
                     .sortWithinPartitions("url")
-                if "html" in ranged.columns:
-                    ranged = resolve_text(ranged).drop("html")
-                ranged.select("url", "text").write.mode("overwrite").parquet(art_dir)
+                ranged.write.mode("overwrite").parquet(art_dir)
                 self.lineage.mark_stage("extract")
-            # Substage tokenize: per-file kernel; exact rank offsets come
-            # from the artifact's parquet footers (no count job, and the
-            # two consumers cannot disagree on partition boundaries).
+            # Substage tokenize: per-file kernel fusing extraction +
+            # numbering + tokenization; exact rank offsets come from the
+            # artifact's parquet footers (no count job, and the two
+            # consumers cannot disagree on partition boundaries).
             flat = rank_and_tokenize_files(
                 spark, sorted_doc_files(art_dir), self.cfg)
         self.catalog.overwrite(flat, "postings_flat")

@@ -23,6 +23,17 @@ def get_spark(app: str = "mongoesindexer-spark", master: str | None = None,
     b = (
         SparkSession.builder.appName(app)
         .master(master)
+    )
+    if master.startswith("local-cluster"):
+        # multi-executor-JVM mode (the honest sandbox proxy for "N vs 4N
+        # executors"): executors are separate processes that don't inherit
+        # the driver's sys.path — ship the package like spark-submit
+        # --py-files would.
+        import mongoesindexer_spark as _pkg
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        b = b.config("spark.executorEnv.PYTHONPATH", repo)
+    b = (
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
