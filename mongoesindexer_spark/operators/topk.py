@@ -108,21 +108,42 @@ class SearchEngine:
         )
 
     # -- block-max WAND path ---------------------------------------------------
+    def _read_filtered(self, table: str, terms: list[str],
+                       columns: list[str] | None = None) -> pd.DataFrame:
+        """Point-read index rows for ≤|q| terms WITHOUT a Spark job.
+
+        Query serving must not pay per-job scheduling latency (hundreds of
+        ms) to fetch a handful of posting blocks — the Lucene analog is a
+        segment reader, not a MapReduce job.  pyarrow scans the same
+        parquet snapshot dirs with the term predicate pushed to row-group
+        stats (segments are written term-sorted, so pruning is tight).
+        The Spark path remains for analytical scoring (topk_df).
+        """
+        import pyarrow.dataset as _ds
+
+        dirs = self.cat._live_dirs(table)
+        frames = []
+        for d in dirs:
+            dataset = _ds.dataset(d, format="parquet")
+            t = dataset.to_table(filter=_ds.field("term").isin(terms),
+                                 columns=columns)
+            if t.num_rows:
+                frames.append(t.to_pandas())
+        if not frames:
+            cols = columns or []
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True)
+
     def topk_wand(self, query_text: str, k: int) -> pd.DataFrame:
         terms = _query_terms(query_text, self.cfg)
         if not terms:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
-        td = {r["term"]: r["idf"] for r in
-              self.cat.read(self.spark, "term_dict")
-              .filter(F.col("term").isin(terms)).collect()}
-        blocks = (
-            self.cat.read(self.spark, "postings_blocks")
-            .filter(F.col("term").isin(terms))
-            .collect()
-        )
+        td_pdf = self._read_filtered("term_dict", terms, ["term", "idf"])
+        td = dict(zip(td_pdf["term"].values, td_pdf["idf"].values))
+        blocks_pdf = self._read_filtered("postings_blocks", terms)
         by_term: dict[str, list[dict]] = {}
-        for r in blocks:
-            by_term.setdefault(r["term"], []).append(r.asDict())
+        for r in blocks_pdf.to_dict("records"):
+            by_term.setdefault(r["term"], []).append(r)
         cursors = [_TermCursor(td[t], by_term[t], self.avgdl)
                    for t in terms if t in by_term]
         hits = wand_topk_arrays(cursors, self.doc_lens, self.avgdl, k,
