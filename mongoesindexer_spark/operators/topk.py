@@ -26,6 +26,21 @@ from ..functions.encode import B, K1, decode_block
 from ..sources.catalog import ParquetCatalog
 
 
+def _read_table(cat: ParquetCatalog, table: str,
+                columns: list[str] | None = None) -> pd.DataFrame:
+    """Full driver-side read of a (small) index table via pyarrow — no
+    Spark job.  Used for doc_stats/global_stats/tombstones at query-serving
+    time; these are O(n_docs) sidecars, not the corpus."""
+    import pyarrow.dataset as _ds
+
+    frames = [
+        _ds.dataset(d, format="parquet").to_table(columns=columns).to_pandas()
+        for d in cat._live_dirs(table)
+    ]
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=columns or [])
+
+
 def _query_terms(query_text: str, cfg: AnalyzerConfig) -> list[str]:
     """Search-analyzer terms, deduplicated (a bool query of unique
     TermQueries — duplicate query terms do not double-score in ES)."""
@@ -54,17 +69,23 @@ class SearchEngine:
         # engine was built from, not the live catalog state, or the
         # get_engine cache can never detect staleness after incremental sync
         self._version = _current_version(index_dir)
-        g = self.cat.read(spark, "global_stats").collect()[0]
+        # init reads go through pyarrow, not Spark jobs: engine warm-up is
+        # on the query-serving path (first query after build/sync)
+        gdf = _read_table(self.cat, "global_stats")
+        if gdf.empty:
+            raise FileNotFoundError(
+                f"no index at {index_dir!r} (global_stats table missing — "
+                "run the build first)")
+        g = gdf.iloc[0]
         self.n_docs = int(g["n_docs"])
         self.avgdl = float(g["avgdl"] or 1.0) or 1.0
         if self.cat.table_exists("tombstones"):
-            self.tombstones = {
-                r["doc_id"] for r in self.cat.read(spark, "tombstones").collect()
-            }
+            self.tombstones = set(
+                _read_table(self.cat, "tombstones")["doc_id"].tolist())
         else:
             self.tombstones = set()
-        stats = self.cat.read(spark, "doc_stats").select(
-            "doc_id", "doc_len", "url").toPandas()
+        stats = _read_table(self.cat, "doc_stats",
+                            ["doc_id", "doc_len", "url"])
         size = int(stats["doc_id"].max()) + 1 if len(stats) else 1
         self.doc_lens = np.zeros(size, dtype=np.int64)
         self.doc_lens[stats["doc_id"].values] = stats["doc_len"].values
