@@ -207,7 +207,8 @@ def sorted_doc_files(art_dir: str) -> list[tuple[str, int]]:
 
 def rank_and_tokenize_files(spark: SparkSession,
                             files_offsets: list[tuple[str, int]],
-                            cfg: AnalyzerConfig = LTD_DOC) -> DataFrame:
+                            cfg: AnalyzerConfig = LTD_DOC,
+                            doc_stats_dir: str | None = None) -> DataFrame:
     """Fused extraction + doc-id assignment + tokenization over sorted
     part-files.
 
@@ -235,6 +236,9 @@ def rank_and_tokenize_files(spark: SparkSession,
                 cols = [c for c in ("url", "text", "html")
                         if c in pf.schema_arrow.names]
                 pos = int(off)
+                ds_ids: list[np.ndarray] = []
+                ds_urls: list[np.ndarray] = []
+                ds_lens: list[pd.Series] = []
                 for batch in pf.iter_batches(columns=cols, batch_size=10_000):
                     b = batch.to_pandas()
                     texts = b["text"].values
@@ -244,7 +248,30 @@ def rank_and_tokenize_files(spark: SparkSession,
                                  for t, h in zip(texts, htmls)]
                     ids = np.arange(pos, pos + len(b), dtype=np.int64)
                     pos += len(b)
-                    yield _tokenize_batch(ids, b["url"].values, texts, cfg)
+                    out = _tokenize_batch(ids, b["url"].values, texts, cfg)
+                    if doc_stats_dir is not None:
+                        m = out["term"].isna()
+                        ds_ids.append(out.loc[m, "doc_id"].values)
+                        ds_urls.append(out.loc[m, "url"].values)
+                        ds_lens.append(out.loc[m, "doc_len"].values)
+                    yield out
+                if doc_stats_dir is not None:
+                    # one doc_stats part per input file, written atomically —
+                    # avoids a later full re-scan of postings_flat just to
+                    # recover the n_docs marker rows
+                    t = pa.table({
+                        "doc_id": np.concatenate(ds_ids) if ds_ids else
+                        np.array([], dtype=np.int64),
+                        "url": np.concatenate(ds_urls) if ds_urls else
+                        np.array([], dtype=object),
+                        "doc_len": np.concatenate(ds_lens) if ds_lens else
+                        np.array([], dtype=np.int64),
+                    })
+                    final = os.path.join(
+                        doc_stats_dir, f"ds-{os.path.basename(path)}")
+                    tmp = final + f".tmp-{uuid.uuid4().hex}"
+                    pq.write_table(t, tmp)
+                    os.replace(tmp, final)
 
     return fdf.mapInPandas(_rt, schema=FLAT_DDL)
 
@@ -413,9 +440,22 @@ class IndexBuilder:
             # Substage tokenize: per-file kernel fusing extraction +
             # numbering + tokenization; exact rank offsets come from the
             # artifact's parquet footers (no count job, and the two
-            # consumers cannot disagree on partition boundaries).
-            flat = rank_and_tokenize_files(
-                spark, sorted_doc_files(art_dir), self.cfg)
+            # consumers cannot disagree on partition boundaries).  The
+            # kernel also writes one doc_stats part per input file.
+            ds_dir = os.path.join(self.index_dir, "doc_stats_files")
+            os.makedirs(ds_dir, exist_ok=True)
+            files = sorted_doc_files(art_dir)
+            flat = rank_and_tokenize_files(spark, files, self.cfg,
+                                           doc_stats_dir=ds_dir)
+            self.catalog.overwrite(flat, "postings_flat")
+            if files:
+                self.catalog.register_external(ds_dir, "doc_stats")
+            else:
+                self.catalog.overwrite(
+                    spark.createDataFrame([], "doc_id long, url string, doc_len long"),
+                    "doc_stats")
+            self.lineage.mark_stage("flat")
+            return
         self.catalog.overwrite(flat, "postings_flat")
         # doc_stats = the marker rows (tiny filtered re-read, no corpus
         # aggregate or join — the tokenize pass already counted doc_len)
@@ -426,13 +466,20 @@ class IndexBuilder:
         if self.lineage.stage_complete("stats"):
             return
         stats = self.catalog.read(spark, "doc_stats")
+        # one job: agg + collect, then write the single row back — the
+        # old write-then-re-read-to-collect shape cost two extra jobs of
+        # pure scheduling latency per build
         g = stats.agg(
             F.count("*").alias("n_docs"),
             F.avg("doc_len").alias("avgdl"),
             F.sum("doc_len").alias("sum_dl"),
-        )
-        self.catalog.overwrite(g, "global_stats")
-        n_docs = self.catalog.read(spark, "global_stats").collect()[0]["n_docs"]
+        ).collect()[0]
+        n_docs = int(g["n_docs"])
+        self.catalog.overwrite(
+            spark.createDataFrame(
+                [(n_docs, float(g["avgdl"] or 0.0), int(g["sum_dl"] or 0))],
+                "n_docs long, avgdl double, sum_dl long"),
+            "global_stats")
         flat = read_flat(self.catalog, spark)
         td = flat.groupBy("term").agg(
             F.count("*").alias("df"),
@@ -448,7 +495,8 @@ class IndexBuilder:
                       fail_partitions: frozenset[str] = frozenset()) -> None:
         if self.lineage.stage_complete("encode"):
             return
-        g = self.catalog.read(spark, "global_stats").collect()[0]
+        from ..sources.catalog import read_table_arrow
+        g = read_table_arrow(self.catalog, "global_stats").iloc[0]
         avgdl = float(g["avgdl"] or 0.0) or 1.0
         n_docs = int(g["n_docs"])
         n_salts = max(1, math.ceil(n_docs / self.docs_per_salt))

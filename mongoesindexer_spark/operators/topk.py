@@ -23,22 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.analysis import LTD_DOC, AnalyzerConfig, analyze_search
 from ..functions.encode import B, K1, decode_block
-from ..sources.catalog import ParquetCatalog
-
-
-def _read_table(cat: ParquetCatalog, table: str,
-                columns: list[str] | None = None) -> pd.DataFrame:
-    """Full driver-side read of a (small) index table via pyarrow — no
-    Spark job.  Used for doc_stats/global_stats/tombstones at query-serving
-    time; these are O(n_docs) sidecars, not the corpus."""
-    import pyarrow.dataset as _ds
-
-    frames = [
-        _ds.dataset(d, format="parquet").to_table(columns=columns).to_pandas()
-        for d in cat._live_dirs(table)
-    ]
-    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-        columns=columns or [])
+from ..sources.catalog import ParquetCatalog, read_table_arrow
 
 
 def _query_terms(query_text: str, cfg: AnalyzerConfig) -> list[str]:
@@ -71,7 +56,7 @@ class SearchEngine:
         self._version = _current_version(index_dir)
         # init reads go through pyarrow, not Spark jobs: engine warm-up is
         # on the query-serving path (first query after build/sync)
-        gdf = _read_table(self.cat, "global_stats")
+        gdf = read_table_arrow(self.cat, "global_stats")
         if gdf.empty:
             raise FileNotFoundError(
                 f"no index at {index_dir!r} (global_stats table missing — "
@@ -81,10 +66,10 @@ class SearchEngine:
         self.avgdl = float(g["avgdl"] or 1.0) or 1.0
         if self.cat.table_exists("tombstones"):
             self.tombstones = set(
-                _read_table(self.cat, "tombstones")["doc_id"].tolist())
+                read_table_arrow(self.cat, "tombstones")["doc_id"].tolist())
         else:
             self.tombstones = set()
-        stats = _read_table(self.cat, "doc_stats",
+        stats = read_table_arrow(self.cat, "doc_stats",
                             ["doc_id", "doc_len", "url"])
         size = int(stats["doc_id"].max()) + 1 if len(stats) else 1
         self.doc_lens = np.zeros(size, dtype=np.int64)
@@ -142,18 +127,8 @@ class SearchEngine:
         """
         import pyarrow.dataset as _ds
 
-        dirs = self.cat._live_dirs(table)
-        frames = []
-        for d in dirs:
-            dataset = _ds.dataset(d, format="parquet")
-            t = dataset.to_table(filter=_ds.field("term").isin(terms),
-                                 columns=columns)
-            if t.num_rows:
-                frames.append(t.to_pandas())
-        if not frames:
-            cols = columns or []
-            return pd.DataFrame(columns=cols)
-        return pd.concat(frames, ignore_index=True)
+        return read_table_arrow(self.cat, table, columns,
+                                filter=_ds.field("term").isin(terms))
 
     def topk_wand(self, query_text: str, k: int) -> pd.DataFrame:
         terms = _query_terms(query_text, self.cfg)

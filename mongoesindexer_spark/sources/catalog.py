@@ -141,3 +141,31 @@ class ParquetCatalog:
     def current_snapshot(self, table: str) -> int:
         log = self._read_log(table)
         return log[-1]["id"] if log else 0
+
+
+def read_table_arrow(cat: ParquetCatalog, table: str,
+                     columns: list[str] | None = None,
+                     filter=None):
+    """Driver-side pyarrow read of a catalog table — no Spark job.
+
+    For small sidecar tables (global_stats, tombstones, per-query posting
+    fetches) where per-job scheduling latency would dominate; corpus-sized
+    tables stay on the Spark read path.  Returns a pandas DataFrame.
+    """
+    import pandas as pd
+    import pyarrow.dataset as _ds
+
+    frames = []
+    schema_cols: list[str] | None = None
+    for d in cat._live_dirs(table):
+        dataset = _ds.dataset(d, format="parquet")
+        if schema_cols is None:
+            schema_cols = columns or dataset.schema.names
+        t = dataset.to_table(columns=columns, filter=filter)
+        if t.num_rows:
+            frames.append(t.to_pandas())
+    if not frames:
+        # preserve the table's column schema even when every snapshot is
+        # empty (e.g. tombstones cleared by compaction)
+        return pd.DataFrame(columns=schema_cols or columns or [])
+    return pd.concat(frames, ignore_index=True)
