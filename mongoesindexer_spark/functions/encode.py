@@ -37,6 +37,38 @@ B = 0.75
 # ---------------------------------------------------------------------------
 
 
+def varbyte_encode_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Varbyte encode returning (byte stream, bytes-per-value) — the length
+    array lets callers slice the stream at arbitrary value boundaries
+    without re-encoding (used by the grouped block encoder)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    maxb = int(nbytes.max())
+    vv = v.copy()
+    for k in range(maxb):
+        mask = nbytes > k
+        pos = starts[mask] + k
+        group = (vv[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[pos] = group | cont
+        vv[mask] >>= np.uint64(7)
+    return out, nbytes
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized varbyte encode of a non-negative int64 array."""
     v = np.asarray(values, dtype=np.uint64)
@@ -164,6 +196,7 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
             "block_max_tfn": float(tfn[start:start + block_size].max()),
             "max_tf": int(t.max()),
             "min_dl": int(dl.min()),
+            "sum_tf": int(t.sum()),
         })
     return rows
 
@@ -174,3 +207,74 @@ def decode_block(docs_vb: bytes, tfs_vb: bytes) -> tuple[np.ndarray, np.ndarray]
     doc_ids = np.cumsum(gaps) - 1
     tfs = varbyte_decode(tfs_vb) + 1
     return doc_ids, tfs
+
+
+def encode_groups(terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
+                  doc_lens: np.ndarray, avgdl: float,
+                  block_size: int = BLOCK_SIZE,
+                  block_id_base: int = 0):
+    """Vectorized block encode of MANY terms' postings in one pass.
+
+    Input arrays must be sorted by (term, doc_id).  Per-term output is
+    bit-identical to :func:`encode_blocks` (property-tested), but the whole
+    group is processed with ~10 numpy passes + one cheap slice per BLOCK,
+    instead of a Python-level loop invoking several numpy kernels per term
+    — the per-call overhead dominated encode-stage CPU at web scale
+    (vocab × salts tiny calls per group).
+
+    Returns a dict of equal-length lists/arrays: term, block_id, first_doc,
+    last_doc, n, docs_vb, tfs_vb, block_max_tfn, max_tf, min_dl.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    n = doc_ids.size
+    empty = {
+        "term": [], "block_id": [], "first_doc": [], "last_doc": [],
+        "n": [], "docs_vb": [], "tfs_vb": [], "block_max_tfn": [],
+        "max_tf": [], "min_dl": [], "sum_tf": [],
+    }
+    if n == 0:
+        return empty
+    terms = np.asarray(terms, dtype=object)
+    term_change = np.empty(n, dtype=bool)
+    term_change[0] = True
+    term_change[1:] = terms[1:] != terms[:-1]
+    term_ord = np.cumsum(term_change) - 1
+    term_start_row = np.flatnonzero(term_change)
+    pos_in_term = np.arange(n, dtype=np.int64) - term_start_row[term_ord]
+    blk_in_term = pos_in_term // block_size
+    blk_start = (pos_in_term % block_size) == 0
+    starts = np.flatnonzero(blk_start)
+    ends = np.concatenate([starts[1:], [n]])
+
+    tfn = bm25_tf_norm(tfs, doc_lens, avgdl)
+    gaps = np.diff(doc_ids, prepend=np.int64(-1))
+    gaps[starts] = doc_ids[starts] + 1  # each block's stream is self-contained
+    payload_d, len_d = varbyte_encode_lengths(gaps)
+    payload_t, len_t = varbyte_encode_lengths(tfs - 1)
+    bend_d = np.cumsum(len_d)
+    bend_t = np.cumsum(len_t)
+    blk_bend_d = bend_d[ends - 1]
+    blk_bstart_d = blk_bend_d - np.add.reduceat(len_d, starts)
+    blk_bend_t = bend_t[ends - 1]
+    blk_bstart_t = blk_bend_t - np.add.reduceat(len_t, starts)
+
+    db = payload_d.tobytes()
+    tb = payload_t.tobytes()
+    return {
+        "term": terms[starts],
+        "block_id": (block_id_base + blk_in_term[starts]).astype(np.int64),
+        "first_doc": doc_ids[starts],
+        "last_doc": doc_ids[ends - 1],
+        "n": (ends - starts).astype(np.int32),
+        "docs_vb": [db[a:b] for a, b in zip(blk_bstart_d, blk_bend_d)],
+        "tfs_vb": [tb[a:b] for a, b in zip(blk_bstart_t, blk_bend_t)],
+        "block_max_tfn": np.maximum.reduceat(tfn, starts),
+        "max_tf": np.maximum.reduceat(tfs, starts),
+        "min_dl": np.minimum.reduceat(doc_lens, starts),
+        # per-block tf sum lets term_dict(df, cf) be derived from block
+        # METADATA (one row per block) instead of a second full-corpus
+        # shuffle over postings_flat
+        "sum_tf": np.add.reduceat(tfs, starts),
+    }

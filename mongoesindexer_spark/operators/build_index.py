@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analysis import LTD_DOC, AnalyzerConfig, analyze_index, extract_text
-from ..functions.encode import BLOCK_SIZE, encode_blocks
+from ..functions.encode import BLOCK_SIZE, encode_blocks, encode_groups
 from ..plans.lineage import Lineage
 from ..sources.catalog import ParquetCatalog
 
@@ -293,6 +293,17 @@ def read_doc_markers(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
 # stage "encode"
 # ---------------------------------------------------------------------------
 
+def encode_groups_sorted(pdf: pd.DataFrame, avgdl: float, block_size: int,
+                         block_id_base: int = 0) -> dict:
+    """Sort one encode group by (term, doc_id) and vector-encode every
+    term's blocks in one pass (see encode.encode_groups)."""
+    pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
+    return encode_groups(pdf["term"].values, pdf["doc_id"].values,
+                         pdf["tf"].values, pdf["doc_len"].values,
+                         avgdl, block_size=block_size,
+                         block_id_base=block_id_base)
+
+
 _BLOCKS_SCHEMA = pa.schema([
     ("term", pa.string()),
     ("block_id", pa.int64()),
@@ -304,10 +315,11 @@ _BLOCKS_SCHEMA = pa.schema([
     ("block_max_tfn", pa.float64()),
     ("max_tf", pa.int64()),
     ("min_dl", pa.int64()),
+    ("sum_tf", pa.int64()),
 ])
 BLOCKS_DDL = ("term string, block_id long, first_doc long, last_doc long, "
               "n int, docs_vb binary, tfs_vb binary, block_max_tfn double, "
-              "max_tf long, min_dl long")
+              "max_tf long, min_dl long, sum_tf long")
 
 
 def _encode_group_writer(seg_dir: str, lineage_root: str, avgdl: float,
@@ -326,25 +338,22 @@ def _encode_group_writer(seg_dir: str, lineage_root: str, avgdl: float,
         if part in fail_partitions:
             raise RuntimeError(f"injected failure at encode:{part}")
         base = salt * blocks_per_salt
-        rows: list[dict] = []
-        pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
-        for term, g in pdf.groupby("term", sort=True):
-            for r in encode_blocks(g["doc_id"].values, g["tf"].values,
-                                   g["doc_len"].values, avgdl,
-                                   block_size=block_size, block_id_base=base):
-                r["term"] = term
-                rows.append(r)
-        table = pa.Table.from_pylist(rows, schema=_BLOCKS_SCHEMA) if rows else _BLOCKS_SCHEMA.empty_table()
+        g = encode_groups_sorted(pdf, avgdl, block_size, base)
+        n_blocks = len(g["term"])
+        table = pa.table(
+            {k: list(g[k]) if isinstance(g[k], list) else g[k] for k in
+             _BLOCKS_SCHEMA.names}, schema=_BLOCKS_SCHEMA
+        ) if n_blocks else _BLOCKS_SCHEMA.empty_table()
         final = os.path.join(seg_dir, f"seg-{part}.parquet")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         pq.write_table(table, tmp)
         os.replace(tmp, final)
         Lineage(lineage_root).mark_partition(
-            "encode", part, rows=len(pdf), blocks=len(rows),
+            "encode", part, rows=len(pdf), blocks=n_blocks,
             bytes=int(table.nbytes),
         )
         return pd.DataFrame({
-            "partition": [part], "rows": [len(pdf)], "blocks": [len(rows)],
+            "partition": [part], "rows": [len(pdf)], "blocks": [n_blocks],
         })
 
     return _encode
@@ -480,16 +489,28 @@ class IndexBuilder:
                 [(n_docs, float(g["avgdl"] or 0.0), int(g["sum_dl"] or 0))],
                 "n_docs long, avgdl double, sum_dl long"),
             "global_stats")
-        flat = read_flat(self.catalog, spark)
-        td = flat.groupBy("term").agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("cf"),
+        self.lineage.mark_stage("stats", n_docs=int(n_docs))
+
+    def _stage_term_dict(self, spark: SparkSession) -> None:
+        """term_dict(df, cf, idf) from postings_blocks METADATA — one row
+        per block, not per posting: blocks partition each term's postings,
+        so df = Σ n and cf = Σ sum_tf.  This removes the build's second
+        full-corpus shuffle (the encode repartition stays the only one)."""
+        if self.lineage.stage_complete("term_dict"):
+            return
+        from ..sources.catalog import read_table_arrow
+        n_docs = int(read_table_arrow(
+            self.catalog, "global_stats").iloc[0]["n_docs"])
+        blocks = self.catalog.read(spark, "postings_blocks")
+        td = blocks.groupBy("term").agg(
+            F.sum("n").cast("long").alias("df"),
+            F.sum("sum_tf").alias("cf"),
         ).withColumn(
             "idf",
             F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
         )
         self.catalog.overwrite(td, "term_dict")
-        self.lineage.mark_stage("stats", n_docs=int(n_docs))
+        self.lineage.mark_stage("term_dict")
 
     def _stage_encode(self, spark: SparkSession,
                       fail_partitions: frozenset[str] = frozenset()) -> None:
@@ -542,6 +563,7 @@ class IndexBuilder:
         self._stage_stats(spark)
         self._stage_encode(spark, fail_partitions)
         self._register_blocks(spark)
+        self._stage_term_dict(spark)
         rows = self.lineage.rows()
         return {
             "stages": sorted({r["stage"] for r in rows}),

@@ -17,8 +17,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.encode import encode_blocks
-from ..operators.build_index import BLOCKS_DDL, IndexBuilder
+from ..operators.build_index import BLOCKS_DDL, IndexBuilder, encode_groups_sorted
 from ..sources.catalog import ParquetCatalog
 
 
@@ -46,16 +45,11 @@ def compact(spark: SparkSession, index_dir: str,
     bs = builder.block_size
 
     def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
-        for term, grp in pdf.groupby("term", sort=True):
-            for r in encode_blocks(grp["doc_id"].values, grp["tf"].values,
-                                   grp["doc_len"].values, avgdl, block_size=bs):
-                r["term"] = term
-                rows.append(r)
+        g = encode_groups_sorted(pdf, avgdl, bs)
         cols = ["term", "block_id", "first_doc", "last_doc", "n",
-                "docs_vb", "tfs_vb", "block_max_tfn", "max_tf", "min_dl"]
-        return pd.DataFrame(rows, columns=cols)
+                "docs_vb", "tfs_vb", "block_max_tfn", "max_tf", "min_dl",
+                "sum_tf"]
+        return pd.DataFrame({c: g[c] for c in cols}, columns=cols)
 
     blocks = (
         live_flat.withColumn(

@@ -153,8 +153,7 @@ class IncrementalIndexer:
         construction (all delta doc_ids > base max)."""
         import pandas as pd
 
-        from ..functions.encode import encode_blocks
-        from ..operators.build_index import BLOCKS_DDL
+        from ..operators.build_index import BLOCKS_DDL, encode_groups_sorted
 
         bs = self.builder.block_size
         max_block = self.cat.read(spark, "postings_blocks") \
@@ -162,17 +161,11 @@ class IncrementalIndexer:
         block_base = int(max_block) + 1
 
         def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
-            for term, grp in pdf.groupby("term", sort=True):
-                for r in encode_blocks(grp["doc_id"].values, grp["tf"].values,
-                                       grp["doc_len"].values, avgdl,
-                                       block_size=bs, block_id_base=block_base):
-                    r["term"] = term
-                    rows.append(r)
+            g = encode_groups_sorted(pdf, avgdl, bs, block_base)
             cols = ["term", "block_id", "first_doc", "last_doc", "n",
-                    "docs_vb", "tfs_vb", "block_max_tfn", "max_tf", "min_dl"]
-            return pd.DataFrame(rows, columns=cols)
+                    "docs_vb", "tfs_vb", "block_max_tfn", "max_tf", "min_dl",
+                    "sum_tf"]
+            return pd.DataFrame({c: g[c] for c in cols}, columns=cols)
 
         delta_blocks = (
             delta_flat.withColumn(

@@ -91,3 +91,38 @@ def test_encode_blocks_block_id_base():
     dls = np.full(300, 100, dtype=np.int64)
     rows = encode_blocks(ids, tfs, dls, 100.0, block_size=128, block_id_base=10)
     assert [r["block_id"] for r in rows] == [10, 11, 12]
+
+
+def test_encode_groups_equals_per_term():
+    """The vectorized multi-term encoder must be bit-identical to the
+    per-term encode_blocks path (which resume/merge determinism pins)."""
+    import numpy as np
+    from mongoesindexer_spark.functions.encode import encode_blocks, encode_groups
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for t in [f"t{i:03d}" for i in range(40)]:
+        ids = np.unique(rng.randint(0, 50000, size=rng.randint(1, 400)))
+        for d in ids:
+            rows.append((t, int(d), int(rng.randint(1, 9)), int(rng.randint(5, 300))))
+    rows.sort()
+    terms = np.array([r[0] for r in rows], dtype=object)
+    ids = np.array([r[1] for r in rows])
+    tfs = np.array([r[2] for r in rows])
+    dls = np.array([r[3] for r in rows])
+    g = encode_groups(terms, ids, tfs, dls, avgdl=88.1, block_size=64,
+                      block_id_base=13)
+    ref = []
+    for t in sorted(set(terms)):
+        m = terms == t
+        for r in encode_blocks(ids[m], tfs[m], dls[m], 88.1, block_size=64,
+                               block_id_base=13):
+            r["term"] = t
+            ref.append(r)
+    assert len(ref) == len(g["term"])
+    for i, r in enumerate(ref):
+        assert r["term"] == g["term"][i]
+        for k in ("block_id", "first_doc", "last_doc", "n", "docs_vb",
+                  "tfs_vb", "max_tf", "min_dl", "sum_tf"):
+            assert r[k] == g[k][i], (i, k)
+        assert abs(r["block_max_tfn"] - g["block_max_tfn"][i]) < 1e-12
