@@ -51,10 +51,15 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir)
     if key in _IDX:
         return _IDX[key]
-    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.build_index import (
+        INDEX_FORMAT_VERSION, IndexBuilder)
 
+    # cache dir is keyed on (sf_dir, index format version): a format bump
+    # must never adopt a stale dir built by older code (round-1 bug), and
+    # IndexBuilder.build additionally wipes any version-mismatched dir
     tag = hashlib.md5(key.encode()).hexdigest()[:10]
-    index_dir = os.path.join(tempfile.gettempdir(), f"mei_idx_{tag}")
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"mei_idx_v{INDEX_FORMAT_VERSION}_{tag}")
     builder = IndexBuilder(index_dir, n_buckets=8, key_col="doc_id",
                            id_col="doc_id")
     builder.build(spark, _read(spark, sf_dir, "documents"))
@@ -247,12 +252,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates verified with exact 3-gram Jaccard (near-dup pass)."""
-    from mongoesindexer_spark.operators.dedup import (minhash_lsh_candidates,
-                                                      ngram_jaccard)
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — all-pairs at
+    oracle scale; the LSH-candidate variant (the 100 TB path) is covered
+    by minhash_lsh_pairs + tests/test_operators."""
+    from mongoesindexer_spark.operators.dedup import ngram_jaccard_pairs_exact
     docs = _read(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
-    return ngram_jaccard(docs, cand.select("id_a", "id_b")).select(
+    return ngram_jaccard_pairs_exact(docs, 0.5).select(
         "id_a", "id_b", F.round(F.col("jaccard") * 1e4).cast("long").alias("jaccard_e4"))
 
 
@@ -330,14 +335,16 @@ def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode stub (deterministic fake codec): per-media
-    feature vector reduced to integer components for stable comparison."""
+    feature vector reduced to one stable hash (raw arrays are not
+    canonicalizable by the driver's comparator)."""
     from mongoesindexer_spark.multimodal.binary import (decode_features,
                                                         fake_decoder)
     feats = decode_features(_media_blobs(spark, sf_dir), decoder=fake_decoder)
     return feats.select(
         "media_id", F.size("features").alias("n_features"),
-        F.expr("transform(features, x -> cast(round(x * 1e6) as long))")
-        .alias("features_e6"))
+        F.md5(F.encode(F.concat_ws(",", F.expr(
+            "transform(features, x -> cast(cast(round(x * 1e6) as long) as string))"
+        )), "UTF-8")).alias("features_hash"))
 
 
 def q_changed_fields_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +474,15 @@ def oracle_sql() -> dict[str, str]:
     """
     terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY.split())))
     cterms = ", ".join(f"'{t}'" for t in sorted(set(CONJ_QUERY.split())))
+    from mongoesindexer_spark.functions.textstats import LANG_PROFILES
+    lang_scores = ",\n                   ".join(
+        f"len(list_intersect(toks, [{', '.join(repr(w) for w in words)}]))::INT AS s_{lang}"
+        for lang, words in LANG_PROFILES.items())
+    lang_best = "greatest(" + ", ".join(f"s_{l}" for l in LANG_PROFILES) + ")"
+    lang_pred = ("CASE WHEN " + lang_best + " = 0 THEN 'und' "
+                 + " ".join(f"WHEN s_{l} = {lang_best} THEN '{l}'"
+                            for l in LANG_PROFILES)
+                 + " END")
     stop_list = ", ".join(
         f"'{w}'" for w in sorted(__import__("mongoesindexer_spark.functions.analysis",
                                             fromlist=["ENGLISH_STOPWORDS"]).ENGLISH_STOPWORDS))
@@ -623,6 +639,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN 2 ELSE 1 END::INT AS n_changed
             FROM events
             WHERE json_extract_string(props, '$.k')::INT % 3 <> 0
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+                SELECT id,
+                       list_distinct(CASE WHEN len(toks) >= 3
+                         THEN list_transform(generate_series(1, len(toks) - 2),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                         ELSE [array_to_string(toks, ' ')] END) AS sh
+                FROM (SELECT doc_id AS id, {_TOK_DD} AS toks FROM documents)
+            ), j AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                FROM sh a JOIN sh b ON a.id < b.id
+            )
+            SELECT id_a, id_b,
+                   CAST(round(jaccard * 1e4) AS BIGINT) AS jaccard_e4
+            FROM j WHERE jaccard >= 0.5
+        """,
+        "lang_id": f"""
+            SELECT id AS doc_id, {', '.join('s_' + l for l in LANG_PROFILES)},
+                   {lang_pred} AS pred_lang
+            FROM (
+                SELECT id,
+                   {lang_scores}
+                FROM (SELECT doc_id AS id,
+                             list_distinct({_TOK_DD}) AS toks FROM documents)
+            )
+        """,
+        "media_decode_features": """
+            SELECT doc_id AS media_id, 16::INT AS n_features,
+                   md5(array_to_string(list_transform(generate_series(0, 15),
+                       i -> CAST(CAST(round(
+                              CAST(CAST(CAST(concat('0x',
+                                   substr(sha256(text), 2*i + 1, 2)) AS INT)
+                                   AS DOUBLE) / 255.0
+                              AS FLOAT)::DOUBLE * 1e6) AS BIGINT) AS VARCHAR)
+                   ), ',')) AS features_hash
+            FROM documents
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

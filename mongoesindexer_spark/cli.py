@@ -104,6 +104,19 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.build_index import IndexBuilder
         out = {}
         for cfg in load_config_dir(args.configs):
+            # reference parity: indexAll only builds configs with
+            # index_on_start true (load.service.ts:120-122)
+            if not cfg.index_on_start:
+                out[cfg.index_name] = {"skipped": "index_on_start=false"}
+                continue
+            # index_name is used as a path component under index_root —
+            # reject separators/'..'/absolute names before any rmtree
+            if (_os.path.isabs(cfg.index_name) or _os.sep in cfg.index_name
+                    or (_os.altsep and _os.altsep in cfg.index_name)
+                    or cfg.index_name in ("", ".", "..")):
+                raise ValueError(
+                    f"unsafe index_name {cfg.index_name!r}: must be a bare "
+                    "directory name (no path separators or '..')")
             idx = _os.path.join(args.index_root, cfg.index_name)
             if cfg.force_delete:
                 _shutil.rmtree(idx, ignore_errors=True)

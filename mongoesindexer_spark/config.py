@@ -38,9 +38,24 @@ class IndexConfig:
     n_buckets: int = 32
     docs_per_salt: int = 1 << 17
     block_size: int = 128
+    # Mongo-shaped source pipeline ($match/$project/$lookup), executed over
+    # the source table before indexing — the reference's
+    # configuration-as-query surface (configuration.ts:17,
+    # configs/cld_doc.config.json:9-140).  Compiled by plans.pipeline.
+    aggregation_pipeline: tuple = ()
+    doc_key: str = "_id"                    # document identity for $lookup
 
     def analyzer_config(self) -> AnalyzerConfig:
         return KEYWORD if self.analyzer == "keywords" else LTD_DOC
+
+    def apply_pipeline(self, source, resolver):
+        """Run this config's aggregation_pipeline over ``source`` using
+        ``resolver`` (collection name → DataFrame) for $lookup children."""
+        from .plans.pipeline import compile_pipeline
+        if not self.aggregation_pipeline:
+            return source
+        return compile_pipeline(source, list(self.aggregation_pipeline),
+                                resolver, doc_key=self.doc_key)
 
     @classmethod
     def from_json(cls, path: str) -> "IndexConfig":
@@ -52,6 +67,8 @@ class IndexConfig:
             raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
         if "exclude_fields" in raw:
             raw["exclude_fields"] = tuple(raw["exclude_fields"])
+        if "aggregation_pipeline" in raw:
+            raw["aggregation_pipeline"] = tuple(raw["aggregation_pipeline"])
         cfg = cls(**raw)
         if not cfg.source_table or not cfg.index_name:
             raise ValueError(f"{path}: source_table and index_name are required")

@@ -15,7 +15,10 @@ Format (engine spec, pinned by round-trip tests):
   whole block without decoding).
 * Per block we store ``docs_vb`` = varbyte(delta(doc_ids)) (first doc_id
   delta-encoded against -1 so the stream is self-contained),
-  ``tfs_vb`` = varbyte(tf - 1), and ``block_max_tfn`` = max over the block
+  ``tfs_vb`` = varbyte(tf - 1), ``dls_vb`` = varbyte(doc_len - 1) (the
+  Lucene-norm analog: doc lengths travel inside the block so scoring never
+  needs a corpus-sized doc→len sidecar in driver memory), and
+  ``block_max_tfn`` = max over the block
   of the BM25 tf-normalization component
   ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` — multiplied by the term's idf
   at query time this is the block's max attainable score (block-max WAND).
@@ -193,6 +196,7 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
             "n": int(d.size),
             "docs_vb": varbyte_encode(delta_encode(d)),
             "tfs_vb": varbyte_encode(t - 1),
+            "dls_vb": varbyte_encode(dl - 1),
             "block_max_tfn": float(tfn[start:start + block_size].max()),
             "max_tf": int(t.max()),
             "min_dl": int(dl.min()),
@@ -207,6 +211,11 @@ def decode_block(docs_vb: bytes, tfs_vb: bytes) -> tuple[np.ndarray, np.ndarray]
     doc_ids = np.cumsum(gaps) - 1
     tfs = varbyte_decode(tfs_vb) + 1
     return doc_ids, tfs
+
+
+def decode_dls(dls_vb: bytes) -> np.ndarray:
+    """Decode one block's per-posting doc lengths."""
+    return varbyte_decode(dls_vb) + 1
 
 
 def encode_groups(terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
@@ -231,8 +240,8 @@ def encode_groups(terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
     n = doc_ids.size
     empty = {
         "term": [], "block_id": [], "first_doc": [], "last_doc": [],
-        "n": [], "docs_vb": [], "tfs_vb": [], "block_max_tfn": [],
-        "max_tf": [], "min_dl": [], "sum_tf": [],
+        "n": [], "docs_vb": [], "tfs_vb": [], "dls_vb": [],
+        "block_max_tfn": [], "max_tf": [], "min_dl": [], "sum_tf": [],
     }
     if n == 0:
         return empty
@@ -253,15 +262,20 @@ def encode_groups(terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
     gaps[starts] = doc_ids[starts] + 1  # each block's stream is self-contained
     payload_d, len_d = varbyte_encode_lengths(gaps)
     payload_t, len_t = varbyte_encode_lengths(tfs - 1)
+    payload_l, len_l = varbyte_encode_lengths(doc_lens - 1)
     bend_d = np.cumsum(len_d)
     bend_t = np.cumsum(len_t)
+    bend_l = np.cumsum(len_l)
     blk_bend_d = bend_d[ends - 1]
     blk_bstart_d = blk_bend_d - np.add.reduceat(len_d, starts)
     blk_bend_t = bend_t[ends - 1]
     blk_bstart_t = blk_bend_t - np.add.reduceat(len_t, starts)
+    blk_bend_l = bend_l[ends - 1]
+    blk_bstart_l = blk_bend_l - np.add.reduceat(len_l, starts)
 
     db = payload_d.tobytes()
     tb = payload_t.tobytes()
+    lb = payload_l.tobytes()
     return {
         "term": terms[starts],
         "block_id": (block_id_base + blk_in_term[starts]).astype(np.int64),
@@ -270,6 +284,7 @@ def encode_groups(terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
         "n": (ends - starts).astype(np.int32),
         "docs_vb": [db[a:b] for a, b in zip(blk_bstart_d, blk_bend_d)],
         "tfs_vb": [tb[a:b] for a, b in zip(blk_bstart_t, blk_bend_t)],
+        "dls_vb": [lb[a:b] for a, b in zip(blk_bstart_l, blk_bend_l)],
         "block_max_tfn": np.maximum.reduceat(tfn, starts),
         "max_tf": np.maximum.reduceat(tfs, starts),
         "min_dl": np.minimum.reduceat(doc_lens, starts),

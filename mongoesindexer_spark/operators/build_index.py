@@ -48,6 +48,47 @@ from ..sources.catalog import ParquetCatalog
 
 DEFAULT_N_BUCKETS = 32
 
+# On-disk index format version.  Bumped whenever the postings_blocks schema,
+# the stage set, or any table layout changes incompatibly:
+#   1 — round-1 initial format (no sum_tf in blocks)
+#   2 — blocks carry sum_tf (term_dict derived from block metadata)
+#   3 — blocks carry dls_vb (per-posting doc lengths; WAND needs no
+#       driver-resident doc_stats)
+# IndexBuilder refuses to RESUME across versions (it wipes and rebuilds);
+# SearchEngine/IncrementalIndexer fail loudly on mismatch — a silently
+# adopted stale index was round 1's single gate-killing bug.
+INDEX_FORMAT_VERSION = 3
+_FORMAT_FILE = "_FORMAT.json"
+
+
+def read_format_version(index_dir: str) -> int | None:
+    import json
+    p = os.path.join(index_dir, _FORMAT_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f).get("format_version", 0))
+
+
+def write_format_version(index_dir: str) -> None:
+    import json
+    os.makedirs(index_dir, exist_ok=True)
+    p = os.path.join(index_dir, _FORMAT_FILE)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"format_version": INDEX_FORMAT_VERSION}, f)
+    os.replace(tmp, p)
+
+
+def check_format_version(index_dir: str, what: str = "index") -> None:
+    """Raise unless ``index_dir`` holds a current-format index."""
+    v = read_format_version(index_dir)
+    if v != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"{what} at {index_dir!r} has format version {v!r}; this build "
+            f"requires {INDEX_FORMAT_VERSION}. Rebuild the index "
+            f"(IndexBuilder.build wipes+rebuilds stale formats automatically).")
+
 
 # ---------------------------------------------------------------------------
 # stage "flat" helpers
@@ -62,7 +103,10 @@ def resolve_text(pages: DataFrame) -> DataFrame:
 
     @pandas_udf("string")
     def _extract(html: pd.Series) -> pd.Series:
-        return html.map(lambda h: extract_text(h) if h is not None else None)
+        # NaN-safe: an all-null binary column arrives as float NaN, not None
+        return html.map(
+            lambda h: extract_text(h) if isinstance(h, (str, bytes, bytearray))
+            else None)
 
     return pages.withColumn(
         "text", F.coalesce(F.col("text"), _extract(F.col("html")))
@@ -193,9 +237,14 @@ def sorted_doc_files(art_dir: str) -> list[tuple[str, int]]:
     """
     import pyarrow.parquet as _pq
 
+    # sort by the PARSED part index, not the raw name: Spark widens part
+    # numbering past %05d at >=100k tasks, and 'part-100000-…' would sort
+    # lexicographically between 'part-10000-…' and 'part-10001-…',
+    # silently breaking rank offsets exactly at web scale
     files = sorted(
-        os.path.join(art_dir, f) for f in os.listdir(art_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
+        (os.path.join(art_dir, f) for f in os.listdir(art_dir)
+         if f.startswith("part-") and f.endswith(".parquet")),
+        key=lambda p: int(os.path.basename(p).split("-")[1]),
     )
     out = []
     acc = 0
@@ -244,7 +293,9 @@ def rank_and_tokenize_files(spark: SparkSession,
                     texts = b["text"].values
                     if "html" in b.columns:
                         htmls = b["html"].values
-                        texts = [t if t is not None else extract_text(h)
+                        texts = [t if isinstance(t, str) else (
+                                     extract_text(h) if isinstance(
+                                         h, (str, bytes, bytearray)) else None)
                                  for t, h in zip(texts, htmls)]
                     ids = np.arange(pos, pos + len(b), dtype=np.int64)
                     pos += len(b)
@@ -267,9 +318,15 @@ def rank_and_tokenize_files(spark: SparkSession,
                         "doc_len": np.concatenate(ds_lens) if ds_lens else
                         np.array([], dtype=np.int64),
                     })
+                    # dot-prefixed tmp name: Spark and pyarrow dataset
+                    # discovery skip hidden files, so a task killed between
+                    # write and rename can never leave a readable orphan
+                    # that inflates doc_stats after the retry succeeds
                     final = os.path.join(
                         doc_stats_dir, f"ds-{os.path.basename(path)}")
-                    tmp = final + f".tmp-{uuid.uuid4().hex}"
+                    tmp = os.path.join(
+                        doc_stats_dir,
+                        f".tmp-{uuid.uuid4().hex}-ds-{os.path.basename(path)}")
                     pq.write_table(t, tmp)
                     os.replace(tmp, final)
 
@@ -312,14 +369,15 @@ _BLOCKS_SCHEMA = pa.schema([
     ("n", pa.int32()),
     ("docs_vb", pa.binary()),
     ("tfs_vb", pa.binary()),
+    ("dls_vb", pa.binary()),
     ("block_max_tfn", pa.float64()),
     ("max_tf", pa.int64()),
     ("min_dl", pa.int64()),
     ("sum_tf", pa.int64()),
 ])
 BLOCKS_DDL = ("term string, block_id long, first_doc long, last_doc long, "
-              "n int, docs_vb binary, tfs_vb binary, block_max_tfn double, "
-              "max_tf long, min_dl long, sum_tf long")
+              "n int, docs_vb binary, tfs_vb binary, dls_vb binary, "
+              "block_max_tfn double, max_tf long, min_dl long, sum_tf long")
 
 
 def _encode_group_writer(seg_dir: str, lineage_root: str, avgdl: float,
@@ -345,7 +403,9 @@ def _encode_group_writer(seg_dir: str, lineage_root: str, avgdl: float,
              _BLOCKS_SCHEMA.names}, schema=_BLOCKS_SCHEMA
         ) if n_blocks else _BLOCKS_SCHEMA.empty_table()
         final = os.path.join(seg_dir, f"seg-{part}.parquet")
-        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        # hidden tmp name — see doc_stats writer: orphaned tmp files from
+        # killed tasks must be invisible to parquet dataset discovery
+        tmp = os.path.join(seg_dir, f".tmp-{uuid.uuid4().hex}-seg-{part}.parquet")
         pq.write_table(table, tmp)
         os.replace(tmp, final)
         Lineage(lineage_root).mark_partition(
@@ -502,10 +562,17 @@ class IndexBuilder:
         n_docs = int(read_table_arrow(
             self.catalog, "global_stats").iloc[0]["n_docs"])
         blocks = self.catalog.read(spark, "postings_blocks")
-        td = blocks.groupBy("term").agg(
-            F.sum("n").cast("long").alias("df"),
-            F.sum("sum_tf").alias("cf"),
-        ).withColumn(
+        if "sum_tf" in blocks.columns:
+            src = blocks.groupBy("term").agg(
+                F.sum("n").cast("long").alias("df"),
+                F.sum("sum_tf").cast("long").alias("cf"))
+        else:
+            # pre-v2 segments lack sum_tf; fall back to the postings_flat
+            # aggregate rather than failing mid-resume (format versioning
+            # normally prevents ever reaching this)
+            src = read_flat(self.catalog, spark).groupBy("term").agg(
+                F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf"))
+        td = src.withColumn(
             "idf",
             F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
         )
@@ -556,9 +623,34 @@ class IndexBuilder:
 
     # -- entry point -----------------------------------------------------------
 
+    def _ensure_format(self) -> None:
+        """Never resume across an index-format change: a lineage dir whose
+        artifacts were written by a different format version silently
+        poisons every later stage (round 1's gate-killing bug).  On
+        mismatch the whole index dir is wiped and rebuilt from scratch."""
+        v = read_format_version(self.index_dir)
+        if v == INDEX_FORMAT_VERSION:
+            return
+        has_state = (
+            os.path.isdir(os.path.join(self.index_dir, "_lineage"))
+            and bool(os.listdir(os.path.join(self.index_dir, "_lineage")))
+        ) or bool(self.catalog.list_tables())
+        if has_state:
+            import shutil
+            import sys
+            print(f"[mongoesindexer] index at {self.index_dir} has format "
+                  f"{v!r}, need {INDEX_FORMAT_VERSION}; wiping for full "
+                  "rebuild", file=sys.stderr)
+            shutil.rmtree(self.index_dir, ignore_errors=True)
+            os.makedirs(self.index_dir, exist_ok=True)
+            self.catalog = ParquetCatalog(self.index_dir)
+            self.lineage = Lineage(self.index_dir)
+        write_format_version(self.index_dir)
+
     def build(self, spark: SparkSession, pages: DataFrame,
               fail_partitions: frozenset[str] = frozenset()) -> dict:
         """Run (or resume) the full build; returns lineage metric summary."""
+        self._ensure_format()
         self._stage_flat(spark, pages)
         self._stage_stats(spark)
         self._stage_encode(spark, fail_partitions)

@@ -145,43 +145,99 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     return j
 
 
+def ngram_jaccard_pairs_exact(df: DataFrame, threshold: float = 0.5,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              shingle_k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over ALL doc pairs — the
+    O(n²) verification-sized twin of ``minhash_lsh_candidates`` +
+    ``ngram_jaccard`` (which is the 100 TB path: LSH bounds the candidate
+    set, this does not).  Deterministic and SQL-expressible, so it carries
+    the exact correctness oracle for the Jaccard kernel."""
+    cat = ", ".join(f"toks[i+{j}]" for j in range(shingle_k))
+    sh = (
+        df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+        .withColumn(
+            "sh",
+            F.array_distinct(F.when(
+                F.size("toks") >= shingle_k,
+                F.expr(f"transform(sequence(0, size(toks) - {shingle_k}), "
+                       f"i -> concat_ws(' ', {cat}))"),
+            ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))),
+        )
+        .select("id", "sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc (near-dup by small hamming distance).
 
     numpy kernel in mapInPandas: token hash bits weighted by tf, sign of
-    the per-bit sum.  Token hashing uses a stable FNV-1a (pure numpy) so
-    results are reproducible across runs/partitions.
+    the per-bit sum.  Token hashing is a stable FNV-1a 64, fully
+    vectorized: each Arrow batch hashes its DISTINCT token vocabulary once
+    (byte-position-parallel across all tokens — ~max_token_len numpy
+    passes), then per-doc signatures are one scatter-add over
+    (doc, token) pairs.  No per-token or per-byte Python in the hot path.
     """
 
-    def _fnv1a(tokens: list[str]) -> np.ndarray:
-        out = np.empty(len(tokens), dtype=np.uint64)
-        for i, t in enumerate(tokens):
-            h = np.uint64(0xCBF29CE484222325)
-            for byte in t.encode("utf-8"):
-                h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            out[i] = h
-        return out
+    def _fnv1a_many(tokens: np.ndarray) -> np.ndarray:
+        """FNV-1a 64 of each (utf-8 encoded) token; bit-identical to the
+        sequential reference implementation."""
+        bs = [t.encode("utf-8") for t in tokens]
+        lens = np.array([len(b) for b in bs], dtype=np.int64)
+        total = int(lens.sum())
+        flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        n = len(bs)
+        maxlen = int(lens.max()) if n else 0
+        # scatter the ragged byte streams into a (n, maxlen) matrix
+        mat = np.zeros((n, maxlen), dtype=np.uint8)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        col = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        mat[row, col] = flat
+        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for kpos in range(maxlen):
+            active = lens > kpos
+            h[active] = (h[active] ^ mat[active, kpos].astype(np.uint64)) * prime
+        return h
 
     def _kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitpos = np.arange(64, dtype=np.uint64)
         for pdf in it:
-            ids, hashes = [], []
-            for did, text in zip(pdf["id"].values, pdf["text"].values):
-                toks = (text or "").lower().split()
-                if not toks:
-                    ids.append(did)
-                    hashes.append(0)
-                    continue
-                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-                hs = _fnv1a(list(uniq))
-                bits = ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
-                weights = np.where(bits == 1, 1, -1) * counts[:, None]
-                sig_bits = (weights.sum(axis=0) > 0).astype(np.uint64)
-                sig = int((sig_bits << bitpos).sum())
-                ids.append(did)
-                hashes.append(np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig))
+            ids = pdf["id"].values
+            tok_lists = [(t or "").lower().split() for t in pdf["text"].values]
+            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64),
+                                [len(t) for t in tok_lists])
+            all_toks = np.array([t for toks in tok_lists for t in toks],
+                                dtype=object)
+            if all_toks.size == 0:
+                yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                    "simhash": pd.Series(np.zeros(len(ids)),
+                                                         dtype="int64")})
+                continue
+            # hash each distinct token ONCE per batch (zipf: vocab ≪ tokens)
+            vocab, inv = np.unique(all_toks, return_inverse=True)
+            hs = _fnv1a_many(vocab)
+            sign = np.where(
+                ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)) == 1, 1, -1
+            ).astype(np.int64)                       # (vocab, 64)
+            acc = np.zeros((len(ids), 64), dtype=np.int64)
+            np.add.at(acc, doc_idx, sign[inv])       # tf-weighted via repeats
+            sig_bits = (acc > 0).astype(np.uint64)
+            sigs = (sig_bits << bitpos[None, :]).sum(axis=1)
+            out = sigs.astype(np.int64)              # two's-complement view
             yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
-                                "simhash": pd.Series(hashes, dtype="int64")})
+                                "simhash": pd.Series(out, dtype="int64")})
 
     return (
         df.select(F.col(id_col).cast("long").alias("id"),

@@ -27,6 +27,8 @@ def compact(spark: SparkSession, index_dir: str,
     docs; clear tombstones.  term_dict/global_stats are already exact
     (incremental sync maintains them by delta arithmetic) and are kept.
     """
+    from ..operators.build_index import check_format_version
+    check_format_version(index_dir, "compaction target")
     cat = ParquetCatalog(index_dir)
     builder = IndexBuilder(index_dir)
     n_buckets = n_buckets or builder.n_buckets
@@ -47,8 +49,8 @@ def compact(spark: SparkSession, index_dir: str,
     def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         g = encode_groups_sorted(pdf, avgdl, bs)
         cols = ["term", "block_id", "first_doc", "last_doc", "n",
-                "docs_vb", "tfs_vb", "block_max_tfn", "max_tf", "min_dl",
-                "sum_tf"]
+                "docs_vb", "tfs_vb", "dls_vb", "block_max_tfn",
+                "max_tf", "min_dl", "sum_tf"]
         return pd.DataFrame({c: g[c] for c in cols}, columns=cols)
 
     blocks = (

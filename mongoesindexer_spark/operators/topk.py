@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analysis import LTD_DOC, AnalyzerConfig, analyze_search
-from ..functions.encode import B, K1, decode_block
+from ..functions.encode import B, K1, decode_block, decode_dls
 from ..sources.catalog import ParquetCatalog, read_table_arrow
 
 
@@ -46,6 +46,8 @@ class SearchEngine:
 
     def __init__(self, spark: SparkSession, index_dir: str,
                  cfg: AnalyzerConfig = LTD_DOC):
+        from .build_index import check_format_version
+        check_format_version(index_dir, "query-time index")
         self.spark = spark
         self.index_dir = index_dir
         self.cfg = cfg
@@ -55,7 +57,11 @@ class SearchEngine:
         # get_engine cache can never detect staleness after incremental sync
         self._version = _current_version(index_dir)
         # init reads go through pyarrow, not Spark jobs: engine warm-up is
-        # on the query-serving path (first query after build/sync)
+        # on the query-serving path (first query after build/sync).  Only
+        # O(1)/O(churn) state lives in the driver: global stats and
+        # tombstones.  Doc lengths travel inside posting blocks (dls_vb)
+        # and urls are point-fetched for the k winners — a corpus-sized
+        # doc_stats materialization here would be terabytes at 10^12 docs.
         gdf = read_table_arrow(self.cat, "global_stats")
         if gdf.empty:
             raise FileNotFoundError(
@@ -69,12 +75,18 @@ class SearchEngine:
                 read_table_arrow(self.cat, "tombstones")["doc_id"].tolist())
         else:
             self.tombstones = set()
-        stats = read_table_arrow(self.cat, "doc_stats",
-                            ["doc_id", "doc_len", "url"])
-        size = int(stats["doc_id"].max()) + 1 if len(stats) else 1
-        self.doc_lens = np.zeros(size, dtype=np.int64)
-        self.doc_lens[stats["doc_id"].values] = stats["doc_len"].values
-        self.urls: dict[int, str] = dict(zip(stats["doc_id"].values, stats["url"].values))
+
+    def fetch_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        """Point-fetch urls for ≤k winners via pyarrow predicate pushdown.
+        doc_stats part files are doc_id-ordered (doc_id = url rank, files
+        written in rank order), so row-group pruning is tight."""
+        if not doc_ids:
+            return {}
+        import pyarrow.dataset as _ds
+        pdf = read_table_arrow(
+            self.cat, "doc_stats", ["doc_id", "url"],
+            filter=_ds.field("doc_id").isin([int(d) for d in doc_ids]))
+        return dict(zip(pdf["doc_id"].values, pdf["url"].values))
 
     def version(self) -> tuple:
         return self._version
@@ -142,10 +154,11 @@ class SearchEngine:
             by_term.setdefault(r["term"], []).append(r)
         cursors = [_TermCursor(td[t], by_term[t], self.avgdl)
                    for t in terms if t in by_term]
-        hits = wand_topk_arrays(cursors, self.doc_lens, self.avgdl, k,
+        hits = wand_topk_arrays(cursors, self.avgdl, k,
                                 self.tombstones) if cursors else []
+        urls = self.fetch_urls([d for _, d in hits])
         return pd.DataFrame(
-            [{"doc_id": d, "url": self.urls.get(d), "score": s} for s, d in hits],
+            [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
             columns=["doc_id", "url", "score"],
         )
 
@@ -201,7 +214,8 @@ class _TermCursor:
     dl, so tf_norm(max_tf, min_dl, avgdl) dominates every member).
     """
 
-    __slots__ = ("idf", "blocks", "bi", "docs", "tfs", "pos", "max_tfn", "bounds")
+    __slots__ = ("idf", "blocks", "bi", "docs", "tfs", "dls", "pos",
+                 "max_tfn", "bounds")
 
     def __init__(self, idf: float, blocks: list[dict], avgdl: float):
         self.idf = idf
@@ -215,6 +229,7 @@ class _TermCursor:
         self.bi = -1
         self.docs: np.ndarray | None = None
         self.tfs: np.ndarray | None = None
+        self.dls: np.ndarray | None = None
         self.pos = 0
         self._advance_block()
 
@@ -223,6 +238,7 @@ class _TermCursor:
         if self.bi < len(self.blocks):
             b = self.blocks[self.bi]
             self.docs, self.tfs = decode_block(b["docs_vb"], b["tfs_vb"])
+            self.dls = decode_dls(b["dls_vb"])
             self.pos = 0
         else:
             self.docs = None
@@ -238,6 +254,10 @@ class _TermCursor:
     @property
     def tf(self) -> int:
         return int(self.tfs[self.pos])
+
+    @property
+    def dl(self) -> int:
+        return int(self.dls[self.pos])
 
     @property
     def block_max_score(self) -> float:
@@ -263,12 +283,12 @@ class _TermCursor:
             self._advance_block()
 
 
-def wand_topk_arrays(cursors: list[_TermCursor], doc_lens: np.ndarray,
-                     avgdl: float, k: int,
+def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                      tombstones: set[int] | None = None) -> list[tuple[float, int]]:
     """Block-max WAND over term cursors → [(score, doc_id)] best-first.
 
-    ``doc_lens`` maps doc_id → doc_len (dense int doc ids).  Docs in
+    Doc lengths come from the cursors themselves (``dls_vb`` travels in
+    every block), so no corpus-sized doc→len lookup is needed.  Docs in
     ``tombstones`` (deleted/superseded by incremental updates) are skipped.
     """
     tombstones = tombstones or set()
@@ -299,11 +319,14 @@ def wand_topk_arrays(cursors: list[_TermCursor], doc_lens: np.ndarray,
                     break
                 bm += c.block_max_score
             if bm > threshold and pivot_doc not in tombstones:
-                dl = float(doc_lens[pivot_doc])
-                norm = K1 * (1.0 - B + B * dl / avgdl)
                 score = 0.0
+                norm = None
                 for c in cursors:
                     if not c.exhausted and c.doc == pivot_doc:
+                        if norm is None:
+                            # every cursor at the pivot carries the same
+                            # doc_len; decode it from the first one
+                            norm = K1 * (1.0 - B + B * float(c.dl) / avgdl)
                         tf = float(c.tf)
                         score += c.idf * tf * (K1 + 1.0) / (tf + norm)
                 if len(heap) < k:

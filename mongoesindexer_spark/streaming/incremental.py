@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analysis import LTD_DOC, AnalyzerConfig
-from ..operators.build_index import IndexBuilder, resolve_text, tokenize_flat
+from ..operators.build_index import (IndexBuilder, assign_doc_ids,
+                                     check_format_version, resolve_text,
+                                     tokenize_flat)
 
 
 class IncrementalIndexer:
@@ -48,6 +50,9 @@ class IncrementalIndexer:
                       batch_id: str | None = None) -> dict:
         """Apply one change batch. ``updates`` columns: op (insert/update/
         delete), url, warc_ts, html, text, lang."""
+        # syncing a stale-format index would append mixed-schema blocks;
+        # fail loudly instead (rebuild via IndexBuilder.build)
+        check_format_version(self.index_dir, "incremental-sync target")
         if batch_id and self.cat.table_exists("sync_log"):
             seen = {r["batch_id"] for r in
                     self.cat.read(spark, "sync_log").collect()}
@@ -66,44 +71,51 @@ class IncrementalIndexer:
                 self.cat.read(spark, "tombstones"), "doc_id", "left_anti")
         else:
             live = stats
+        # dead doc ids/lens stay DISTRIBUTED: a backfill-sized batch can
+        # retire millions of docs, so only scalar aggregates reach the
+        # driver (ids go straight into the tombstones table)
         dead = live.join(F.broadcast(dead_urls), "url", "inner") \
-            .select("doc_id", "doc_len")
-        dead_rows = dead.collect()
-        dead_ids = [r["doc_id"] for r in dead_rows]
-        n_dead = len(dead_ids)
-        dl_dead = sum(r["doc_len"] for r in dead_rows)
+            .select("doc_id", "doc_len").persist()
+        dg = dead.agg(F.count("*").alias("n"),
+                      F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl")).collect()[0]
+        n_dead, dl_dead = int(dg["n"]), int(dg["dl"])
 
         # --- new docs: insert + update payloads, fresh ids above max ------
         new_pages = updates.filter(F.col("op").isin("insert", "update")) \
             .select("url", "warc_ts", "html", "text", "lang")
         max_id = stats.agg(F.max("doc_id")).collect()[0][0]
         base_id = int(max_id if max_id is not None else -1) + 1
-        from pyspark.sql import Window
-        w = Window.orderBy("url")  # change batches are small; single-partition OK
-        new_docs = (resolve_text(new_pages)
-                    .withColumn("doc_id",
-                                (F.row_number().over(w) - 1 + base_id).cast("long")))
+        # deterministic dense numbering above base_id via the same
+        # rank-offset pattern as the full build — no single-partition
+        # window, so a backfill-sized change batch parallelizes
+        persist_handle: list = []
+        numbered = assign_doc_ids(resolve_text(new_pages), key="url",
+                                  _persist_handle=persist_handle)
+        new_docs = numbered.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(base_id)).cast("long"))
         delta_all = tokenize_flat(new_docs, self.cfg)
         # cache: used for postings append, doc_stats, stats deltas, encode
         delta_all = delta_all.persist()
         delta_all.count()
+        for h in persist_handle:
+            h.unpersist()
         delta_flat = delta_all.filter(F.col("term").isNotNull()).drop("url")
 
         new_doc_stats = delta_all.filter(F.col("term").isNull()) \
             .select("doc_id", "url", "doc_len")
-        new_stats_rows = new_doc_stats.select("doc_id", "doc_len").collect()
-        n_new = len(new_stats_rows)
-        dl_new = sum(r["doc_len"] for r in new_stats_rows)
+        ng = new_doc_stats.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl")).collect()[0]
+        n_new, dl_new = int(ng["n"]), int(ng["dl"])
 
         # --- term_dict exact delta update ---------------------------------
         n_docs2 = n_docs - n_dead + n_new
         dead_delta = None
-        if dead_ids:
+        if n_dead:
             from ..operators.build_index import read_flat
-            dead_df = spark.createDataFrame([(int(d),) for d in dead_ids], "doc_id long")
             dead_delta = (
                 read_flat(self.cat, spark)
-                .join(F.broadcast(dead_df), "doc_id", "inner")
+                .join(F.broadcast(dead.select("doc_id")), "doc_id", "inner")
                 .groupBy("term")
                 .agg((-F.count("*")).alias("d_df"), (-F.sum("tf")).alias("d_cf"))
             )
@@ -128,10 +140,8 @@ class IncrementalIndexer:
         # --- commit table updates -----------------------------------------
         self.cat.append(delta_all, "postings_flat")
         self.cat.append(new_doc_stats, "doc_stats")
-        if dead_ids:
-            self.cat.append(
-                spark.createDataFrame([(int(d),) for d in dead_ids], "doc_id long"),
-                "tombstones")
+        if n_dead:
+            self.cat.append(dead.select("doc_id"), "tombstones")
         self.cat.overwrite(td2, "term_dict")
         self.cat.overwrite(
             spark.createDataFrame(
@@ -142,6 +152,7 @@ class IncrementalIndexer:
             self.cat.append(
                 spark.createDataFrame([(batch_id,)], "batch_id string"), "sync_log")
         delta_all.unpersist()
+        dead.unpersist()
         return {"applied": True, "inserted": n_new, "tombstoned": n_dead,
                 "n_docs": n_docs2}
 
@@ -163,8 +174,8 @@ class IncrementalIndexer:
         def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             g = encode_groups_sorted(pdf, avgdl, bs, block_base)
             cols = ["term", "block_id", "first_doc", "last_doc", "n",
-                    "docs_vb", "tfs_vb", "block_max_tfn", "max_tf", "min_dl",
-                    "sum_tf"]
+                    "docs_vb", "tfs_vb", "dls_vb", "block_max_tfn",
+                    "max_tf", "min_dl", "sum_tf"]
             return pd.DataFrame({c: g[c] for c in cols}, columns=cols)
 
         delta_blocks = (

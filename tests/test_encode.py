@@ -123,6 +123,6 @@ def test_encode_groups_equals_per_term():
     for i, r in enumerate(ref):
         assert r["term"] == g["term"][i]
         for k in ("block_id", "first_doc", "last_doc", "n", "docs_vb",
-                  "tfs_vb", "max_tf", "min_dl", "sum_tf"):
+                  "tfs_vb", "dls_vb", "max_tf", "min_dl", "sum_tf"):
             assert r[k] == g[k][i], (i, k)
         assert abs(r["block_max_tfn"] - g["block_max_tfn"][i]) < 1e-12

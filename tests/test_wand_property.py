@@ -58,7 +58,7 @@ def test_wand_equals_exhaustive(data):
         idf = float(bm25_idf(docs.size, n_docs))
         blocks = encode_blocks(docs, tfs, doc_lens[docs], avgdl, block_size=8)
         cursors.append(_TermCursor(idf, blocks, avgdl))
-    got = wand_topk_arrays(cursors, doc_lens, avgdl, k, tombstones=tomb)
+    got = wand_topk_arrays(cursors, avgdl, k, tombstones=tomb)
 
     assert len(got) == len(want)
     for (gs, gd), (ws, wd) in zip(got, want):
