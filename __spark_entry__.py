@@ -121,13 +121,14 @@ def q_ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ft_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Completion/prefix semantics (T7): terms starting with a prefix +
-    doc frequency as suggestion weight."""
+    """Completion/prefix semantics (T7): served from the materialized
+    ``completion(prefix, term, weight)`` table (the FST analog) — the
+    prefix equality predicate is pushed into the prefix-sorted parquet."""
     from mongoesindexer_spark.sources.catalog import ParquetCatalog
     idx = _docs_index(spark, sf_dir)
-    td = ParquetCatalog(idx).read(spark, "term_dict")
-    return (td.filter(F.col("term").startswith(PREFIX))
-            .select("term", F.col("df").alias("doc_freq")))
+    comp = ParquetCatalog(idx).read(spark, "completion")
+    return (comp.filter(F.col("prefix") == PREFIX)
+            .select("term", F.col("weight").alias("doc_freq")))
 
 
 def q_ft_stop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
         builder = IndexBuilder(
             args.index, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
             docs_per_salt=cfg.docs_per_salt, block_size=cfg.block_size,
-            key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col)
+            key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
+            keyword_fields=cfg.keyword_fields)
         fail = frozenset({args.fail_after}) if args.fail_after else frozenset()
         res = builder.build(spark, spark.read.parquet(args.pages), fail_partitions=fail)
         print(json.dumps(res))
@@ -123,7 +124,8 @@ def main(argv: list[str] | None = None) -> int:
             builder = IndexBuilder(
                 idx, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
                 docs_per_salt=cfg.docs_per_salt, block_size=cfg.block_size,
-                key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col)
+                key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
+                keyword_fields=cfg.keyword_fields)
             out[cfg.index_name] = builder.build(
                 spark, spark.read.parquet(cfg.source_table))
         print(json.dumps(out))

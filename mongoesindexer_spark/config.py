@@ -44,6 +44,10 @@ class IndexConfig:
     # configs/cld_doc.config.json:9-140).  Compiled by plans.pipeline.
     aggregation_pipeline: tuple = ()
     doc_key: str = "_id"                    # document identity for $lookup
+    # columns getting keyword/normalized sub-fields (T8: the reference's
+    # text+keyword+normalize multi-field mappings,
+    # ltd_doc.settings.json:292-310)
+    keyword_fields: tuple[str, ...] = ()
 
     def analyzer_config(self) -> AnalyzerConfig:
         return KEYWORD if self.analyzer == "keywords" else LTD_DOC
@@ -69,6 +73,8 @@ class IndexConfig:
             raw["exclude_fields"] = tuple(raw["exclude_fields"])
         if "aggregation_pipeline" in raw:
             raw["aggregation_pipeline"] = tuple(raw["aggregation_pipeline"])
+        if "keyword_fields" in raw:
+            raw["keyword_fields"] = tuple(raw["keyword_fields"])
         cfg = cls(**raw)
         if not cfg.source_table or not cfg.index_name:
             raise ValueError(f"{path}: source_table and index_name are required")

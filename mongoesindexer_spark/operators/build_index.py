@@ -60,6 +60,11 @@ DEFAULT_N_BUCKETS = 32
 INDEX_FORMAT_VERSION = 3
 _FORMAT_FILE = "_FORMAT.json"
 
+# Completion-suggester table: prefixes up to this length are materialized
+# as (prefix, term, weight) rows; longer query prefixes fall back to a
+# term_dict range scan (terms are overwhelmingly shorter than this).
+MAX_PREFIX_LEN = 16
+
 
 def read_format_version(index_dir: str) -> int | None:
     import json
@@ -333,6 +338,19 @@ def rank_and_tokenize_files(spark: SparkSession,
     return fdf.mapInPandas(_rt, schema=FLAT_DDL)
 
 
+def completion_from_term_dict(td: DataFrame, n_parts: int) -> DataFrame:
+    """(prefix ≤ MAX_PREFIX_LEN, term, weight=df) rows, prefix-sorted for
+    row-group-pruned point reads — shared by the build stage and the
+    incremental-sync refresh."""
+    comp = td.select("term", F.col("df").alias("weight")).select(
+        F.explode(F.expr(
+            f"transform(sequence(1, least(length(term), {MAX_PREFIX_LEN})),"
+            " i -> substring(term, 1, i))")).alias("prefix"),
+        "term", "weight")
+    return comp.repartitionByRange(max(1, n_parts), "prefix") \
+        .sortWithinPartitions("prefix", F.desc("weight"), "term")
+
+
 def read_flat(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
     """Postings rows of the flat table (markers filtered; pushed to scan)."""
     return (cat.read(spark, "postings_flat")
@@ -444,11 +462,13 @@ class IndexBuilder:
                  docs_per_salt: int = 1 << 17,
                  block_size: int = BLOCK_SIZE,
                  key_col: str = "url", text_col: str = "text",
-                 id_col: str | None = None):
+                 id_col: str | None = None,
+                 keyword_fields: tuple[str, ...] = ()):
         """``key_col``: unique string document key (stored as ``url`` in
         doc_stats).  ``id_col``: optional pre-assigned integer doc id — when
         given, the deterministic rank assignment is skipped and the source
-        ids are used verbatim (they must be unique)."""
+        ids are used verbatim (they must be unique).  ``keyword_fields``:
+        columns to materialize keyword/normalized sub-fields for (T8)."""
         self.index_dir = index_dir
         self.cfg = cfg
         self.n_buckets = n_buckets
@@ -457,6 +477,7 @@ class IndexBuilder:
         self.key_col = key_col
         self.text_col = text_col
         self.id_col = id_col
+        self.keyword_fields = tuple(keyword_fields)
         self.catalog = ParquetCatalog(index_dir)
         self.lineage = Lineage(index_dir)
 
@@ -579,6 +600,53 @@ class IndexBuilder:
         self.catalog.overwrite(td, "term_dict")
         self.lineage.mark_stage("term_dict")
 
+    def _stage_completion(self, spark: SparkSession) -> None:
+        """Completion-suggester table (T7): ``completion(prefix, term,
+        weight)`` — the engine's FST analog.  One row per (prefix≤MAX_PREFIX
+        _LEN, term), weight = doc frequency (ES completion weight default);
+        range-partitioned and sorted by prefix so a suggest() point-read
+        prunes to one row group.  Vocab-sized (≪ corpus), derived from
+        term_dict metadata only."""
+        if self.lineage.stage_complete("completion"):
+            return
+        td = self.catalog.read(spark, "term_dict")
+        n_parts = max(1, min(self.n_buckets,
+                             spark.sparkContext.defaultParallelism))
+        self.catalog.overwrite(completion_from_term_dict(td, n_parts),
+                               "completion")
+        self.lineage.mark_stage("completion")
+
+    def _stage_fields(self, spark: SparkSession, pages: DataFrame) -> None:
+        """Multi-field materialization (T8/T5): for each configured column,
+        emit the ES-mapping sub-fields — ``<col>_keyword`` (raw value,
+        exact match) and ``<col>_normalized`` (keyword tokenizer →
+        lowercase → asciifolding; sort/exact keys,
+        ltd_doc.settings.json:278-310)."""
+        if not self.keyword_fields or self.lineage.stage_complete("fields"):
+            return
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.analysis import normalize
+
+        @pandas_udf("string")
+        def _norm(col: pd.Series) -> pd.Series:
+            return col.map(lambda v: normalize(v) if isinstance(v, str) else None)
+
+        cols = [c for c in self.keyword_fields if c in pages.columns]
+        if self.id_col:
+            keyed = pages.withColumn("doc_id", F.col(self.id_col).cast("long"))
+        else:
+            # rank-assigned ids: recover them via the doc_stats url mapping
+            ds = self.catalog.read(spark, "doc_stats").select("doc_id", "url")
+            keyed = pages.withColumn(
+                "url", F.col(self.key_col).cast("string")).join(ds, "url")
+        out = keyed.select("doc_id", *[F.col(c) for c in cols])
+        for c in cols:
+            out = out.withColumn(f"{c}_keyword", F.col(c).cast("string"))
+            out = out.withColumn(f"{c}_normalized", _norm(F.col(c).cast("string")))
+        self.catalog.overwrite(out.drop(*cols), "fields")
+        self.lineage.mark_stage("fields")
+
     def _stage_encode(self, spark: SparkSession,
                       fail_partitions: frozenset[str] = frozenset()) -> None:
         if self.lineage.stage_complete("encode"):
@@ -656,6 +724,8 @@ class IndexBuilder:
         self._stage_encode(spark, fail_partitions)
         self._register_blocks(spark)
         self._stage_term_dict(spark)
+        self._stage_completion(spark)
+        self._stage_fields(spark, pages)
         rows = self.lineage.rows()
         return {
             "stages": sorted({r["stage"] for r in rows}),

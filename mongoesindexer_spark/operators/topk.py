@@ -142,6 +142,27 @@ class SearchEngine:
         return read_table_arrow(self.cat, table, columns,
                                 filter=_ds.field("term").isin(terms))
 
+    def suggest(self, prefix: str, k: int = 10) -> pd.DataFrame:
+        """Completion suggester (T7): top-k terms for a prefix, weighted by
+        doc frequency — served from the materialized ``completion`` table
+        (one prefix point-read, row-group pruned) with a term_dict range
+        scan fallback for prefixes longer than MAX_PREFIX_LEN."""
+        import pyarrow.dataset as _ds
+
+        from .build_index import MAX_PREFIX_LEN
+        prefix = prefix.lower()
+        if self.cat.table_exists("completion") and len(prefix) <= MAX_PREFIX_LEN:
+            pdf = read_table_arrow(self.cat, "completion", ["term", "weight"],
+                                   filter=_ds.field("prefix") == prefix)
+        else:
+            f = _ds.field("term")
+            pdf = read_table_arrow(
+                self.cat, "term_dict", ["term", "df"],
+                filter=(f >= prefix) & (f < prefix + chr(0x10FFFF)))
+            pdf = pdf.rename(columns={"df": "weight"})
+        pdf = pdf.sort_values(["weight", "term"], ascending=[False, True])
+        return pdf.head(k).reset_index(drop=True)
+
     def topk_wand(self, query_text: str, k: int) -> pd.DataFrame:
         terms = _query_terms(query_text, self.cfg)
         if not terms:

@@ -143,6 +143,15 @@ class IncrementalIndexer:
         if n_dead:
             self.cat.append(dead.select("doc_id"), "tombstones")
         self.cat.overwrite(td2, "term_dict")
+        if self.cat.table_exists("completion"):
+            # completion derives from term_dict; refresh it from the new
+            # dictionary (vocab-sized — cheap next to the sync itself)
+            from ..operators.build_index import completion_from_term_dict
+            self.cat.overwrite(
+                completion_from_term_dict(
+                    self.cat.read(spark, "term_dict"),
+                    spark.sparkContext.defaultParallelism),
+                "completion")
         self.cat.overwrite(
             spark.createDataFrame(
                 [(n_docs2, float(avgdl2), int(sum_dl - dl_dead + dl_new))],

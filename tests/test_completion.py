@@ -1,0 +1,85 @@
+"""Completion suggester (T7) + multi-field materialization (T8/T5)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_completion_table_matches_term_dict(spark, tiny_index):
+    """completion(prefix, term, weight) must cover exactly the terms with
+    that prefix, weighted by df."""
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+    cat = ParquetCatalog(tiny_index)
+    td = {r["term"]: r["df"] for r in cat.read(spark, "term_dict").collect()}
+    comp = cat.read(spark, "completion").filter(F.col("prefix") == "th")
+    got = {r["term"]: r["weight"] for r in comp.collect()}
+    want = {t: df for t, df in td.items() if t.startswith("th")}
+    assert got == want and len(want) > 0
+
+
+def test_suggest_ordering_and_fallback(spark, tiny_index):
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, tiny_index)
+    out = eng.suggest("t", k=5)
+    assert len(out) == 5
+    ws = out["weight"].tolist()
+    assert ws == sorted(ws, reverse=True)
+    assert all(t.startswith("t") for t in out["term"])
+    # a prefix longer than MAX_PREFIX_LEN exercises the term_dict range
+    # fallback; the two paths must agree where they overlap
+    from mongoesindexer_spark.operators.build_index import MAX_PREFIX_LEN
+    long_pref = "t" * (MAX_PREFIX_LEN + 2)
+    fb = eng.suggest(long_pref, k=5)
+    assert list(fb.columns) == ["term", "weight"]
+
+
+def test_suggest_after_incremental_sync(spark, tiny_index, tmp_path):
+    """Sync introduces a new vocab term; suggest must surface it."""
+    import shutil
+
+    import pandas as pd
+    from mongoesindexer_spark.operators.topk import get_engine
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(tiny_index, idx)
+    pd.DataFrame({
+        "op": ["insert"], "url": ["zq-upd-1"],
+        "warc_ts": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+        "html": [None], "text": ["zqwertyish zqwertyish zqwertyish"],
+        "lang": ["en"],
+    }).to_parquet(str(tmp_path / "upd.parquet"))
+    IncrementalIndexer(idx).apply_updates(
+        spark, spark.read.parquet(str(tmp_path / "upd.parquet")))
+    out = get_engine(spark, idx).suggest("zqwert", k=3)
+    assert "zqwertyish" in set(out["term"])
+
+
+def test_keyword_fields_materialization(spark, tmp_path):
+    """keyword_fields columns get _keyword (raw) and _normalized
+    (lowercase + asciifold) sub-fields keyed by assigned doc_id."""
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+
+    pages = spark.createDataFrame([
+        Row(url="a", text="alpha beta", title="Éclair STUDY"),
+        Row(url="b", text="beta gamma", title="café naïve"),
+        Row(url="c", text="gamma delta", title=None),
+    ])
+    idx = str(tmp_path / "idx")
+    builder = IndexBuilder(idx, n_buckets=2, keyword_fields=("title",))
+    builder.build(spark, pages)
+    rows = {r["doc_id"]: r for r in
+            ParquetCatalog(idx).read(spark, "fields").collect()}
+    assert len(rows) == 3
+    assert rows[0]["title_keyword"] == "Éclair STUDY"
+    assert rows[0]["title_normalized"] == "eclair study"
+    assert rows[1]["title_normalized"] == "cafe naive"
+    assert rows[2]["title_normalized"] is None
+    # normalized keys sort accent-insensitively (the ES 'normalize' use)
+    fields = ParquetCatalog(idx).read(spark, "fields")
+    ordered = [r["doc_id"] for r in
+               fields.orderBy("title_normalized").collect() if r["title_normalized"]]
+    assert ordered == [1, 0]  # cafe < eclair
