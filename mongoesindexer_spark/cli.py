@@ -46,6 +46,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--updates", required=True)
     s.add_argument("--batch-id", default=None)
+    s.add_argument("--config")
+
+    po = sub.add_parser("poll",
+                        help="one cron-poll tick: index new + stale docs "
+                             "(EP3, load.service.ts:501-573)")
+    po.add_argument("--index", required=True)
+    po.add_argument("--pages", required=True)
+    po.add_argument("--indexed", required=True,
+                    help="parquet writeback table (key, last_indexed_at)")
+    po.add_argument("--config")
+    po.add_argument("--batch-id", default=None)
 
     c = sub.add_parser("compact")
     c.add_argument("--index", required=True)
@@ -86,9 +97,26 @@ def main(argv: list[str] | None = None) -> int:
             bm25_topk_df(spark, args.index, args.q, args.k, mode=args.mode).show(
                 args.k, truncate=False)
     elif args.cmd == "sync":
+        from .functions.analysis import LTD_DOC
         from .streaming.incremental import IncrementalIndexer
-        res = IncrementalIndexer(args.index).apply_updates(
+        cfg = IndexConfig.from_json(args.config) if args.config else None
+        indexer = IncrementalIndexer(
+            args.index, cfg=cfg.analyzer_config() if cfg else LTD_DOC,
+            exclude_fields=cfg.exclude_fields if cfg else ())
+        res = indexer.apply_updates(
             spark, spark.read.parquet(args.updates), batch_id=args.batch_id)
+        print(json.dumps(res))
+    elif args.cmd == "poll":
+        from .streaming.incremental import IncrementalIndexer, poll_updates
+        cfg = IndexConfig.from_json(args.config) if args.config else IndexConfig(
+            source_table=args.pages, index_name=args.index)
+        batch = poll_updates(
+            spark.read.parquet(args.pages), spark.read.parquet(args.indexed),
+            key=cfg.key_col, update_field=cfg.update_field,
+            skip_after_seconds=cfg.skip_after_seconds)
+        indexer = IncrementalIndexer(args.index, cfg=cfg.analyzer_config(),
+                                     exclude_fields=cfg.exclude_fields)
+        res = indexer.apply_updates(spark, batch, batch_id=args.batch_id)
         print(json.dumps(res))
     elif args.cmd == "compact":
         from .operators.merge import compact

@@ -29,7 +29,7 @@ resume_tokens index (load.service.ts:55-69).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analysis import LTD_DOC, AnalyzerConfig
@@ -37,22 +37,88 @@ from ..operators.build_index import (IndexBuilder, assign_doc_ids,
                                      check_format_version, resolve_text,
                                      tokenize_flat)
 
+# Fields the reference always treats as its own bookkeeping writebacks
+# (array-utils.ts:7: lastESIndexedAt / lastESIndexResponse).  Engine analog:
+# the lineage columns a writeback table would carry.
+INDEXING_FIELDS = ("last_indexed_at", "last_index_response")
+
+
+def filter_self_updates(updates: DataFrame, exclude_fields=(),
+                        changed_col: str = "changed_fields") -> DataFrame:
+    """Drop update events caused by the indexer's own writebacks (ST5/P7,
+    load.service.ts:468-473): an *update* whose changed fields are all in
+    {indexing bookkeeping fields} ∪ cfg.exclude_fields is skipped; inserts
+    and deletes always pass.  No-op when the batch has no changed_col."""
+    if changed_col not in updates.columns:
+        return updates
+    from ..operators.lookup import changed_fields_subset
+    excluded = list(INDEXING_FIELDS) + list(exclude_fields)
+    own = changed_fields_subset(updates, changed_col, excluded) & \
+        (F.col("op") == "update")
+    return updates.filter(~F.coalesce(own, F.lit(False)))
+
+
+def poll_updates(source: DataFrame, indexed: DataFrame, *,
+                 key: str = "url", update_field: str = "warc_ts",
+                 skip_after_seconds: int = 86_400,
+                 now: Column | None = None,
+                 new_limit: int = 20, updated_limit: int = 50) -> DataFrame:
+    """One tick of the reference's cron poll (EP3, load.service.ts:501-573),
+    config-driven: cfg.update_field is the staleness column and
+    cfg.skip_after_seconds the freshness window (extract.service.ts:233-243).
+
+    * new docs — source rows with no row in ``indexed`` (the analog of
+      "lastESIndexedAt missing", :509-511), ordered by key, first
+      ``new_limit`` (reference: 20/tick);
+    * stale docs — ``update_field >= last_indexed_at`` (:545-549), but
+      skipped while ``last_indexed_at >= NOW - skip_after_seconds``
+      (recently indexed; extract.service.ts:233-243), ordered by key,
+      first ``updated_limit`` (reference: 50/tick).
+
+    ``indexed`` carries (key, last_indexed_at) — the engine-side writeback
+    table (the reference writes lastESIndexedAt into the source collection;
+    keeping it separate is what makes ST5 loops structurally impossible).
+    Returns an updates batch (op ∪ source columns) for
+    :meth:`IncrementalIndexer.apply_updates`.  The sort+limit compiles to
+    TakeOrderedAndProject — no global sort at any corpus size.
+    """
+    now = F.current_timestamp() if now is None else now
+    idx = indexed.select(F.col(key), F.col("last_indexed_at"))
+    new = (source.join(idx, key, "left_anti")
+           .orderBy(key).limit(new_limit)
+           .withColumn("op", F.lit("insert")))
+    cutoff = now - F.make_interval(secs=F.lit(float(skip_after_seconds)))
+    stale = (source.join(idx, key, "inner")
+             .filter((F.col(update_field) >= F.col("last_indexed_at"))
+                     & (F.col("last_indexed_at") < cutoff))
+             .drop("last_indexed_at")
+             .orderBy(key).limit(updated_limit)
+             .withColumn("op", F.lit("update")))
+    cols = ["op"] + source.columns
+    return new.select(*cols).unionByName(stale.select(*cols))
+
 
 class IncrementalIndexer:
     def __init__(self, index_dir: str, cfg: AnalyzerConfig = LTD_DOC,
-                 block_size: int | None = None):
+                 block_size: int | None = None,
+                 exclude_fields: tuple[str, ...] = ()):
         self.index_dir = index_dir
         self.cfg = cfg
+        self.exclude_fields = tuple(exclude_fields)
         self.builder = IndexBuilder(index_dir, cfg=cfg)
         self.cat = self.builder.catalog
 
     def apply_updates(self, spark: SparkSession, updates: DataFrame,
                       batch_id: str | None = None) -> dict:
         """Apply one change batch. ``updates`` columns: op (insert/update/
-        delete), url, warc_ts, html, text, lang."""
+        delete), url, warc_ts, html, text, lang [, changed_fields]."""
         # syncing a stale-format index would append mixed-schema blocks;
         # fail loudly instead (rebuild via IndexBuilder.build)
         check_format_version(self.index_dir, "incremental-sync target")
+        # ST5: drop our own writeback events before they can re-index
+        updates = filter_self_updates(updates, self.exclude_fields)
+        if "changed_fields" in updates.columns:
+            updates = updates.drop("changed_fields")
         if batch_id and self.cat.table_exists("sync_log"):
             seen = {r["batch_id"] for r in
                     self.cat.read(spark, "sync_log").collect()}
@@ -63,8 +129,12 @@ class IncrementalIndexer:
         g = self.cat.read(spark, "global_stats").collect()[0]
         n_docs, sum_dl = int(g["n_docs"]), int(g["sum_dl"] or 0)
 
-        dead_urls = (updates.filter(F.col("op").isin("update", "delete"))
-                     .select("url").distinct())
+        # upsert semantics (reference indexOne indexes by _id — an ES upsert,
+        # load.service.ts:274-309): ANY incoming url retires an existing doc
+        # of the same url, including op=insert — otherwise an insert event
+        # for an already-indexed url (e.g. a poll tick racing a writeback)
+        # would duplicate the document.  Genuinely-new urls miss the join.
+        dead_urls = updates.select("url").distinct()
         # old doc ids being retired (join is broadcast: a change batch is small)
         if self.cat.table_exists("tombstones"):
             live = stats.join(
