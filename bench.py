@@ -92,7 +92,7 @@ def scaling_leg(master: str, pages_path: str, warm_path: str | None = None) -> f
         spark.stop()
 
 
-def scale_input(spark, replication: int = 64) -> str:
+def scale_input(spark, replication: int = 32) -> str:
     """Materialize (once) the scaling-protocol input: the 50k-page bench
     fixture replicated with url-disambiguating prefixes.  Small inputs
     finish inside the build's fixed job-orchestration latency (~10 Spark
@@ -182,7 +182,10 @@ def main() -> None:
         from mongoesindexer_spark.sources.fixtures import fixture_dir
         pages_path = scale_input(spark)
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-        legs_spec = {8: "local-cluster[1,4,6144]", 32: "local-cluster[4,4,6144]"}
+        # 10 GiB per executor on BOTH legs (identical per-executor config,
+        # only the count scales): the html-heavy parquet scan OOMs a 6 GiB
+        # heap when 4 concurrent tasks each decode a large row group
+        legs_spec = {8: "local-cluster[1,4,10240]", 32: "local-cluster[4,4,10240]"}
         legs: dict[int, list[float]] = {8: [], 32: []}
         # shuffle + bench output dirs on tmpfs: a real cluster's local
         # disks and DFS bandwidth scale with executors; one shared virtio
@@ -194,29 +197,40 @@ def main() -> None:
         # alternate legs and keep the best of each: this sandbox VM shows
         # large host-level timing variance; best-of-N measures capacity,
         # alternation prevents a slow host phase from biasing one leg.
+        leg_errors: list[str] = []
         for rep in range(repeats):
             for n in (8, 32):
                 out = tempfile.mktemp(suffix=".json")
                 t0 = time.perf_counter()
-                subprocess.run(
+                # a failed leg (host OOM/weather) records an error and the
+                # bench still emits its JSON line — partial scaling data
+                # beats an rc=1 run with no numbers at all
+                proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--build-worker",
                      legs_spec[n], pages_path, out,
                      os.path.join(fixture_dir("bench"), "pages.parquet")],
-                    check=True, cwd=REPO,
-                    env={**leg_env, "SPARK_GRAFT_CPUS": str(n)},
+                    cwd=REPO, env={**leg_env, "SPARK_GRAFT_CPUS": str(n)},
                 )
-                with open(out) as f:
-                    legs[n].append(json.load(f)["docs_per_sec"])
+                if proc.returncode == 0 and os.path.exists(out):
+                    with open(out) as f:
+                        legs[n].append(json.load(f)["docs_per_sec"])
+                else:
+                    leg_errors.append(f"leg{n}_r{rep}: rc={proc.returncode}")
                 results[f"scaling_build_local{n}_r{rep}"] = round(time.perf_counter() - t0, 3)
-        best8, best32 = max(legs[8]), max(legs[32])
         scaling = {
             "n_executors": 1, "n4_executors": 4, "cores_per_executor": 4,
-            "local8_docs_per_sec": round(best8, 1),
-            "local32_docs_per_sec": round(best32, 1),
-            "efficiency": round((best32 / best8) / 4.0, 3),
             "runs_local8": [round(x, 1) for x in legs[8]],
             "runs_local32": [round(x, 1) for x in legs[32]],
         }
+        if leg_errors:
+            scaling["leg_errors"] = leg_errors
+        if legs[8] and legs[32]:
+            best8, best32 = max(legs[8]), max(legs[32])
+            scaling.update({
+                "local8_docs_per_sec": round(best8, 1),
+                "local32_docs_per_sec": round(best32, 1),
+                "efficiency": round((best32 / best8) / 4.0, 3),
+            })
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     out = {

@@ -83,25 +83,37 @@ def embedding_near_dups(df: DataFrame, threshold: float,
 
 def embedding_near_dups_lsh(df: DataFrame, threshold: float, dim: int,
                             n_planes: int = 6, vec_col: str = "embedding",
-                            id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+                            id_col: str = "vec_id", seed: int = 42,
+                            n_tables: int = 1) -> DataFrame:
     """Near-dup pairs via random-hyperplane LSH candidate generation.
 
     Vectors only compare within their bucket → the join is an equi-join on
-    bucket (shuffle-partitionable, no cross product); candidates are then
-    verified with the exact cosine.  Recall < 1 by construction (pairs
-    split across buckets are missed) — the scale path trade-off; raise
-    recall by unioning several plane seeds (OR-amplification).
+    bucket (shuffle-partitionable, no cross product); candidate pairs are
+    deduped across tables and then verified with the exact cosine, so
+    precision is 1 (every emitted pair truly clears the threshold) while
+    recall < 1 by construction (pairs split across buckets are missed).
+    ``n_tables`` is OR-amplification: each extra table re-buckets with a
+    different plane seed and a pair is a candidate if it collides in ANY
+    table — recall → 1 exponentially in n_tables at linear candidate cost
+    (tests/test_ann_recall.py pins the floor).
     """
-    bk = hyperplane_buckets(df, dim, n_planes, vec_col, id_col, seed)
+    cands = None
+    for t in range(n_tables):
+        bk = hyperplane_buckets(df, dim, n_planes, vec_col, id_col,
+                                seed + t).select("id", "bucket")
+        a = bk.select("bucket", F.col("id").alias("id_a"))
+        b = bk.select("bucket", F.col("id").alias("id_b"))
+        c = (a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
     nv = _normalized(df, vec_col, id_col)
-    bk = bk.select("id", "bucket").join(nv, "id")
-    a = bk.select(F.col("bucket"), F.col("id").alias("id_a"),
-                  F.col("nv").alias("va"))
-    b = bk.select(F.col("bucket"), F.col("id").alias("id_b"),
-                  F.col("nv").alias("vb"))
     return (
-        a.join(b, ["bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands
+        .join(nv.select(F.col("id").alias("id_a"), F.col("nv").alias("va")),
+              "id_a")
+        .join(nv.select(F.col("id").alias("id_b"), F.col("nv").alias("vb")),
+              "id_b")
         .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
