@@ -84,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
             args.index, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
             docs_per_salt=cfg.docs_per_salt, block_size=cfg.block_size,
             key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
-            keyword_fields=cfg.keyword_fields)
+            keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted)
         fail = frozenset({args.fail_after}) if args.fail_after else frozenset()
         res = builder.build(spark, spark.read.parquet(args.pages), fail_partitions=fail)
         print(json.dumps(res))
@@ -153,7 +153,7 @@ def main(argv: list[str] | None = None) -> int:
                 idx, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
                 docs_per_salt=cfg.docs_per_salt, block_size=cfg.block_size,
                 key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
-                keyword_fields=cfg.keyword_fields)
+                keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted)
             out[cfg.index_name] = builder.build(
                 spark, spark.read.parquet(cfg.source_table))
         print(json.dumps(out))

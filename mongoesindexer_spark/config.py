@@ -35,6 +35,9 @@ class IndexConfig:
     skip_after_seconds: int = 86_400        # freshness window
     exclude_fields: tuple[str, ...] = ()    # self-update loop-breaker (P7)
     analyzer: str = "ltd_docs"              # ltd_docs | keywords family
+    # source parquet layout is already globally url-ordered (SORTED BY url):
+    # skip the docs_sorted corpus rewrite (footer-validated)
+    pre_sorted: bool = False
     n_buckets: int = 32
     docs_per_salt: int = 1 << 17
     block_size: int = 128

@@ -259,6 +259,67 @@ def sorted_doc_files(art_dir: str) -> list[tuple[str, int]]:
     return out
 
 
+def source_files_presorted(paths: list[str],
+                           key: str = "url") -> list[tuple[str, int]]:
+    """(path, rank_offset) per SOURCE parquet file, for corpora already
+    laid out in global key order (e.g. an Iceberg/parquet table written
+    ``SORTED BY url``) — the opt-out for the ``docs_sorted`` rewrite: at
+    100 TB the range-sort stage re-writes the whole corpus once purely for
+    determinism + resume, which is wasted I/O when the source already has
+    the layout.
+
+    Validates the claim from parquet footer column statistics only (no
+    data read): every file's [min(key), max(key)] interval must be
+    disjoint from and ordered against the others, and row groups inside
+    each file must be key-ordered too.  Statistics may be truncated for
+    long string keys — truncation widens the bounds, so a valid layout
+    can be (rarely) rejected, never the reverse.  Intra-row-group order
+    cannot be proven from footers; the caller asserts it by choosing
+    ``pre_sorted`` (the writer's SORTED BY contract).
+    """
+    import pyarrow.parquet as _pq
+
+    infos = []
+    for p in paths:
+        md = _pq.ParquetFile(p).metadata
+        col_idx = next((i for i in range(md.num_columns)
+                        if md.schema.column(i).name == key), None)
+        if col_idx is None:
+            raise ValueError(f"pre_sorted: column {key!r} not in {p}")
+        lo = hi = None
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(
+                    f"pre_sorted: {p} lacks {key!r} min/max statistics — "
+                    "cannot validate sort layout from footers")
+            if prev_max is not None and st.min < prev_max:
+                raise ValueError(
+                    f"pre_sorted: row groups of {p} are not {key!r}-ordered")
+            prev_max = st.max
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        infos.append((p, lo, hi, md.num_rows))
+    infos.sort(key=lambda t: (t[1], t[2], t[0]))
+    out = []
+    acc = 0
+    prev_hi = None
+    prev_p = None
+    for p, lo, hi, n in infos:
+        if n == 0:
+            continue
+        if prev_hi is not None and lo <= prev_hi:
+            raise ValueError(
+                f"pre_sorted: {key!r} ranges of {prev_p} and {p} overlap "
+                f"({lo!r} <= {prev_hi!r}) — source is not globally "
+                f"range-partitioned by {key!r}")
+        out.append((p, acc))
+        acc += n
+        prev_hi, prev_p = hi, p
+    return out
+
+
 def rank_and_tokenize_files(spark: SparkSession,
                             files_offsets: list[tuple[str, int]],
                             cfg: AnalyzerConfig = LTD_DOC,
@@ -463,14 +524,24 @@ class IndexBuilder:
                  block_size: int = BLOCK_SIZE,
                  key_col: str = "url", text_col: str = "text",
                  id_col: str | None = None,
-                 keyword_fields: tuple[str, ...] = ()):
+                 keyword_fields: tuple[str, ...] = (),
+                 pre_sorted: bool = False):
         """``key_col``: unique string document key (stored as ``url`` in
         doc_stats).  ``id_col``: optional pre-assigned integer doc id — when
         given, the deterministic rank assignment is skipped and the source
         ids are used verbatim (they must be unique).  ``keyword_fields``:
-        columns to materialize keyword/normalized sub-fields for (T8)."""
+        columns to materialize keyword/normalized sub-fields for (T8).
+        ``pre_sorted``: the source parquet files are already globally
+        key-ordered (SORTED BY url layout) — skip the docs_sorted rewrite
+        and tokenize the source files directly (footer-validated; see
+        :func:`source_files_presorted`)."""
         self.index_dir = index_dir
         self.cfg = cfg
+        self.pre_sorted = pre_sorted
+        if pre_sorted and (key_col, text_col) != ("url", "text"):
+            raise ValueError("pre_sorted requires the standard (url, text) "
+                             "column names — the file kernel reads them "
+                             "straight from the source footers")
         self.n_buckets = n_buckets
         self.docs_per_salt = docs_per_salt
         self.block_size = block_size
@@ -514,7 +585,13 @@ class IndexBuilder:
             # cache over a wide text column costs multiples of the work it
             # saves, and the artifact doubles as the resumable checkpoint.
             art_dir = os.path.join(self.index_dir, "docs_sorted")
-            if not self.lineage.stage_complete("extract"):
+            if self.pre_sorted:
+                # opt-out of the corpus rewrite: the source files ARE the
+                # sorted artifact (footer-validated disjoint key ranges)
+                src = [f[len("file:"):] if f.startswith("file:") else f
+                       for f in pages.inputFiles()]
+                files = source_files_presorted(src, key="url")
+            elif not self.lineage.stage_complete("extract"):
                 cols = ["url", "text"] + (["html"] if "html" in pages.columns
                                           else [])
                 # partition count scales with DATA (scan splits track input
@@ -534,7 +611,8 @@ class IndexBuilder:
             # kernel also writes one doc_stats part per input file.
             ds_dir = os.path.join(self.index_dir, "doc_stats_files")
             os.makedirs(ds_dir, exist_ok=True)
-            files = sorted_doc_files(art_dir)
+            if not self.pre_sorted:
+                files = sorted_doc_files(art_dir)
             flat = rank_and_tokenize_files(spark, files, self.cfg,
                                            doc_stats_dir=ds_dir)
             self.catalog.overwrite(flat, "postings_flat")
