@@ -393,7 +393,11 @@ def rank_and_tokenize_files(spark: SparkSession,
                     tmp = os.path.join(
                         doc_stats_dir,
                         f".tmp-{uuid.uuid4().hex}-ds-{os.path.basename(path)}")
-                    pq.write_table(t, tmp)
+                    # doc_id-ordered rows in small row groups: the query
+                    # engine point-fetches winner urls with a doc_id isin
+                    # filter — one whole-file row group would make every
+                    # fetch a full-file decode
+                    pq.write_table(t, tmp, row_group_size=8192)
                     os.replace(tmp, final)
 
     return fdf.mapInPandas(_rt, schema=FLAT_DDL)
@@ -485,7 +489,9 @@ def _encode_group_writer(seg_dir: str, lineage_root: str, avgdl: float,
         # hidden tmp name — see doc_stats writer: orphaned tmp files from
         # killed tasks must be invisible to parquet dataset discovery
         tmp = os.path.join(seg_dir, f".tmp-{uuid.uuid4().hex}-seg-{part}.parquet")
-        pq.write_table(table, tmp)
+        # term-sorted rows in small row groups so query-time term-isin
+        # filters prune on row-group stats instead of decoding the segment
+        pq.write_table(table, tmp, row_group_size=2048)
         os.replace(tmp, final)
         Lineage(lineage_root).mark_partition(
             "encode", part, rows=len(pdf), blocks=n_blocks,

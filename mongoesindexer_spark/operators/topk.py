@@ -62,6 +62,12 @@ class SearchEngine:
         # tombstones.  Doc lengths travel inside posting blocks (dls_vb)
         # and urls are point-fetched for the k winners — a corpus-sized
         # doc_stats materialization here would be terabytes at 10^12 docs.
+        # pyarrow Dataset objects cached per table for the engine's
+        # lifetime: dataset construction lists the snapshot dirs and reads
+        # every segment file's footer — ~tens of ms over n_buckets×salts
+        # files, which would otherwise be paid on EVERY query.  Safe
+        # because the engine itself is invalidated on snapshot change.
+        self._ds_cache: dict = {}
         gdf = read_table_arrow(self.cat, "global_stats")
         if gdf.empty:
             raise FileNotFoundError(
@@ -76,6 +82,19 @@ class SearchEngine:
         else:
             self.tombstones = set()
 
+    def _arrow_read(self, table: str, columns: list[str] | None = None,
+                    filter=None) -> pd.DataFrame:
+        """Point-read through the cached pyarrow dataset (no dir listing,
+        no footer re-reads, no Spark job)."""
+        ds_obj = self._ds_cache.get(table)
+        if ds_obj is None:
+            import pyarrow.dataset as _ds
+            parts = [_ds.dataset(d, format="parquet")
+                     for d in self.cat._live_dirs(table)]
+            ds_obj = parts[0] if len(parts) == 1 else _ds.dataset(parts)
+            self._ds_cache[table] = ds_obj
+        return ds_obj.to_table(columns=columns, filter=filter).to_pandas()
+
     def fetch_urls(self, doc_ids: list[int]) -> dict[int, str]:
         """Point-fetch urls for ≤k winners via pyarrow predicate pushdown.
         doc_stats part files are doc_id-ordered (doc_id = url rank, files
@@ -83,8 +102,8 @@ class SearchEngine:
         if not doc_ids:
             return {}
         import pyarrow.dataset as _ds
-        pdf = read_table_arrow(
-            self.cat, "doc_stats", ["doc_id", "url"],
+        pdf = self._arrow_read(
+            "doc_stats", ["doc_id", "url"],
             filter=_ds.field("doc_id").isin([int(d) for d in doc_ids]))
         return dict(zip(pdf["doc_id"].values, pdf["url"].values))
 
@@ -139,7 +158,7 @@ class SearchEngine:
         """
         import pyarrow.dataset as _ds
 
-        return read_table_arrow(self.cat, table, columns,
+        return self._arrow_read(table, columns,
                                 filter=_ds.field("term").isin(terms))
 
     def suggest(self, prefix: str, k: int = 10) -> pd.DataFrame:
@@ -152,31 +171,46 @@ class SearchEngine:
         from .build_index import MAX_PREFIX_LEN
         prefix = prefix.lower()
         if self.cat.table_exists("completion") and len(prefix) <= MAX_PREFIX_LEN:
-            pdf = read_table_arrow(self.cat, "completion", ["term", "weight"],
+            pdf = self._arrow_read("completion", ["term", "weight"],
                                    filter=_ds.field("prefix") == prefix)
         else:
             f = _ds.field("term")
-            pdf = read_table_arrow(
-                self.cat, "term_dict", ["term", "df"],
+            pdf = self._arrow_read(
+                "term_dict", ["term", "df"],
                 filter=(f >= prefix) & (f < prefix + chr(0x10FFFF)))
             pdf = pdf.rename(columns={"df": "weight"})
         pdf = pdf.sort_values(["weight", "term"], ascending=[False, True])
         return pdf.head(k).reset_index(drop=True)
 
-    def topk_wand(self, query_text: str, k: int) -> pd.DataFrame:
+    def topk_wand(self, query_text: str, k: int,
+                  use_wand: bool | None = None) -> pd.DataFrame:
+        """Top-k over the encoded blocks, cost-based (Lucene-style): when
+        the candidate postings are few (< EXHAUSTIVE_CUTOFF), decode them
+        all and score vectorized — the doc-at-a-time WAND loop's per-doc
+        Python overhead dwarfs its skipped work at that size.  WAND takes
+        over where pruning actually pays: large corpora with selective
+        queries.  Both paths return identical rankings (property-tested).
+        ``use_wand`` forces a path (None = cost-based)."""
         terms = _query_terms(query_text, self.cfg)
         if not terms:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
         td_pdf = self._read_filtered("term_dict", terms, ["term", "idf"])
         td = dict(zip(td_pdf["term"].values, td_pdf["idf"].values))
         blocks_pdf = self._read_filtered("postings_blocks", terms)
+        if use_wand is None:
+            use_wand = int(blocks_pdf["n"].sum()) >= EXHAUSTIVE_CUTOFF
         by_term: dict[str, list[dict]] = {}
         for r in blocks_pdf.to_dict("records"):
             by_term.setdefault(r["term"], []).append(r)
-        cursors = [_TermCursor(td[t], by_term[t], self.avgdl)
-                   for t in terms if t in by_term]
-        hits = wand_topk_arrays(cursors, self.avgdl, k,
-                                self.tombstones) if cursors else []
+        if use_wand:
+            cursors = [_TermCursor(td[t], by_term[t], self.avgdl)
+                       for t in terms if t in by_term]
+            hits = wand_topk_arrays(cursors, self.avgdl, k,
+                                    self.tombstones) if cursors else []
+        else:
+            hits = exhaustive_topk_arrays(
+                {t: (td[t], by_term[t]) for t in terms if t in by_term},
+                self.avgdl, k, self.tombstones)
         urls = self.fetch_urls([d for _, d in hits])
         return pd.DataFrame(
             [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
@@ -302,6 +336,46 @@ class _TermCursor:
         self.pos += 1
         if self.pos >= self.docs.size:
             self._advance_block()
+
+
+# below this many candidate postings, vectorized exhaustive scoring beats
+# the doc-at-a-time WAND loop (~60ms python loop vs ~2ms numpy at 20k
+# postings on this hardware; the crossover is far above typical block
+# counts only for selective queries on big corpora)
+EXHAUSTIVE_CUTOFF = 1 << 20
+
+
+def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
+                           avgdl: float, k: int,
+                           tombstones: set[int] | None = None
+                           ) -> list[tuple[float, int]]:
+    """Decode every candidate block and score all postings vectorized —
+    rank-identical to :func:`wand_topk_arrays` (ties doc_id asc), used
+    below EXHAUSTIVE_CUTOFF where pruning cannot pay for its loop."""
+    all_docs: list[np.ndarray] = []
+    all_scores: list[np.ndarray] = []
+    for idf, blocks in term_blocks.values():
+        for b in blocks:
+            docs, tfs = decode_block(b["docs_vb"], b["tfs_vb"])
+            dls = decode_dls(b["dls_vb"])
+            tf = tfs.astype(np.float64)
+            all_docs.append(docs)
+            all_scores.append(
+                idf * tf * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl)))
+    if not all_docs:
+        return []
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    agg = np.bincount(inv, weights=scores)
+    if tombstones:
+        keep = ~np.isin(uniq, np.fromiter(tombstones, dtype=np.int64))
+        uniq, agg = uniq[keep], agg[keep]
+    if uniq.size == 0:
+        return []
+    order = np.lexsort((uniq, -agg))[:k]
+    return [(float(agg[i]), int(uniq[i])) for i in order]
 
 
 def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,

@@ -11,7 +11,8 @@ from mongoesindexer_spark.functions.encode import (
     bm25_tf_norm,
     encode_blocks,
 )
-from mongoesindexer_spark.operators.topk import _TermCursor, wand_topk_arrays
+from mongoesindexer_spark.operators.topk import (_TermCursor,
+    exhaustive_topk_arrays, wand_topk_arrays)
 
 
 @st.composite
@@ -62,5 +63,19 @@ def test_wand_equals_exhaustive(data):
 
     assert len(got) == len(want)
     for (gs, gd), (ws, wd) in zip(got, want):
+        assert gd == wd
+        assert abs(gs - ws) < 1e-9
+
+    # the vectorized exhaustive scorer (the sub-cutoff serving path) must
+    # rank identically to WAND on the same encoded blocks
+    term_blocks = {}
+    for t in terms:
+        docs, tfs = postings[t]
+        idf = float(bm25_idf(docs.size, n_docs))
+        term_blocks[t] = (idf, encode_blocks(docs, tfs, doc_lens[docs],
+                                             avgdl, block_size=8))
+    got_ex = exhaustive_topk_arrays(term_blocks, avgdl, k, tombstones=tomb)
+    assert len(got_ex) == len(want)
+    for (gs, gd), (ws, wd) in zip(got_ex, want):
         assert gd == wd
         assert abs(gs - ws) < 1e-9
