@@ -390,7 +390,11 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_read(spark, sf_dir, "documents")).select(
         F.col("id").alias("doc_id"),
         F.size("fingerprints").alias("n_fingerprints"),
-        F.xxhash64(F.concat_ws(",", F.transform("fingerprints", lambda x: x.cast("string")))).alias("fp_hash"))
+        # md5 (not xxhash64): DuckDB computes the identical digest, which
+        # makes the winnowing kernel exactly oracle-checkable
+        F.md5(F.concat_ws(",", F.transform(
+            "fingerprints", lambda x: x.cast("string"))).cast("binary")
+        ).alias("fp_hash"))
 
 
 # ---------------------------------------------------------------------------
@@ -694,5 +698,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CAST(round(cosine * 1e4) AS BIGINT) AS cos_e4
             FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # FNV-1a 64 per token folded in HUGEINT arithmetic mod 2^64 —
+        # byte == codepoint holds because the driver corpus is ASCII
+        "simhash": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hashed AS (
+                SELECT doc_id, list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(range(1, length(term)+1),
+                            i -> ascii(substring(term, i, 1))::HUGEINT)),
+                    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT) AS h
+                FROM tok
+            ), bits AS (
+                SELECT doc_id, b.bitpos,
+                       SUM(CASE WHEN (h // (1::HUGEINT << b.bitpos)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS acc
+                FROM hashed, (SELECT unnest(range(0, 64)) AS bitpos) b
+                GROUP BY 1, 2
+            ), sigs AS (
+                SELECT doc_id, SUM(CASE WHEN acc > 0
+                                        THEN (1::HUGEINT << bitpos)
+                                        ELSE 0::HUGEINT END) AS sig
+                FROM bits GROUP BY 1
+            )
+            SELECT d.doc_id AS id,
+                   CAST(CASE WHEN COALESCE(s.sig, 0) >= 9223372036854775808::HUGEINT
+                             THEN COALESCE(s.sig, 0) - 18446744073709551616::HUGEINT
+                             ELSE COALESCE(s.sig, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sigs s USING (doc_id)
+        """,
+        # rolling k-gram (k=5) polynomial hash base 1000003 mod 2^64,
+        # window-4 minima, distinct+sorted, md5 over the joined int64 forms
+        "winnow_fingerprints": """
+            WITH bytes AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(lower(text))+1),
+                           i -> ascii(substring(lower(text), i, 1))::HUGEINT) AS b,
+                       length(lower(text))::BIGINT AS nb
+                FROM documents
+            ), hashes AS (
+                SELECT doc_id,
+                    CASE WHEN nb >= 5 THEN
+                        list_transform(range(1, nb - 5 + 2), i ->
+                            (((((b[i]*1000003 + b[i+1])
+                                 % 18446744073709551616::HUGEINT) * 1000003 + b[i+2])
+                                 % 18446744073709551616::HUGEINT * 1000003 + b[i+3])
+                                 % 18446744073709551616::HUGEINT * 1000003 + b[i+4])
+                                 % 18446744073709551616::HUGEINT)
+                    ELSE NULL END AS h
+                FROM bytes
+            ), mins AS (
+                SELECT doc_id,
+                    CASE WHEN h IS NULL THEN []::HUGEINT[]
+                         WHEN len(h) <= 4 THEN [list_min(h)]
+                         ELSE list_transform(range(1, len(h) - 4 + 2),
+                                             i -> list_min(h[i:i+3]))
+                    END AS m
+                FROM hashes
+            ), fps AS (
+                SELECT doc_id, list_sort(list_distinct(m)) AS fp FROM mins
+            )
+            SELECT doc_id, len(fp)::INT AS n_fingerprints,
+                   md5(list_aggregate(list_transform(fp, x ->
+                       CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+                            THEN x - 18446744073709551616::HUGEINT
+                            ELSE x END AS BIGINT)::VARCHAR),
+                       'string_agg', ',')) AS fp_hash
+            FROM fps
         """,
     }
