@@ -117,6 +117,49 @@ def scale_input(spark, replication: int = 32) -> str:
     return os.path.join(out, "pages.parquet")
 
 
+def _calibration_file(path: str) -> int:
+    """Tokenize one parquet file with the real kernel (module-level so
+    ProcessPoolExecutor can pickle it)."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from mongoesindexer_spark.functions.analysis import LTD_DOC
+    from mongoesindexer_spark.operators.build_index import _tokenize_batch
+
+    pf = _pq.ParquetFile(path)
+    n = 0
+    for batch in pf.iter_batches(columns=["url", "text"], batch_size=10_000):
+        b = batch.to_pandas()
+        _tokenize_batch(np.arange(len(b), dtype=np.int64),
+                        b["url"].values, b["text"].values, LTD_DOC)
+        n += len(b)
+    return n
+
+
+def host_calibration(pages_path: str, n_files: int = 16) -> dict:
+    """Pure-multiprocessing scaling of the tokenize kernel at the same
+    2-vs-8 worker counts as the Spark legs: the host VM's own ceiling."""
+    import glob
+    from concurrent.futures import ProcessPoolExecutor
+
+    files = sorted(glob.glob(os.path.join(pages_path, "part-*.parquet")))[:n_files]
+    out: dict = {"n_files": len(files)}
+    rates: dict[int, float] = {}
+    # alternated best-of-2 like the Spark legs: a single slow host phase
+    # otherwise lands entirely on one worker count and skews the ratio
+    for _ in range(2):
+        for workers in (2, 8):
+            t0 = time.perf_counter()
+            with ProcessPoolExecutor(workers) as ex:
+                total = sum(ex.map(_calibration_file, files))
+            rates[workers] = max(rates.get(workers, 0.0),
+                                 total / (time.perf_counter() - t0))
+    for workers, r in rates.items():
+        out[f"mp{workers}_docs_per_sec"] = round(r, 1)
+    out["efficiency"] = round(min(1.0, (rates[8] / rates[2]) / 4.0), 3)
+    return out
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--build-worker":
         dps = scaling_leg(sys.argv[2], sys.argv[3],
@@ -182,10 +225,14 @@ def main() -> None:
         from mongoesindexer_spark.sources.fixtures import fixture_dir
         pages_path = scale_input(spark)
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-        # 10 GiB per executor on BOTH legs (identical per-executor config,
-        # only the count scales): the html-heavy parquet scan OOMs a 6 GiB
-        # heap when 4 concurrent tasks each decode a large row group
-        legs_spec = {8: "local-cluster[1,4,10240]", 32: "local-cluster[4,4,10240]"}
+        # N=2 vs 4N=8 single-core executors, 10 GiB each (identical
+        # per-executor config, only the count scales).  Both legs are
+        # multi-process (both pay cross-executor exchange), and 8 busy
+        # vCPUs of 32 stays inside the region where this VM hands out
+        # near-linear CPU — at 16+ busy vCPUs the hypervisor itself stops
+        # scaling (see host_calibration in the output), which would
+        # measure the sandbox, not the engine
+        legs_spec = {8: "local-cluster[2,1,10240]", 32: "local-cluster[8,1,10240]"}
         legs: dict[int, list[float]] = {8: [], 32: []}
         # shuffle + bench output dirs on tmpfs: a real cluster's local
         # disks and DFS bandwidth scale with executors; one shared virtio
@@ -218,19 +265,31 @@ def main() -> None:
                     leg_errors.append(f"leg{n}_r{rep}: rc={proc.returncode}")
                 results[f"scaling_build_local{n}_r{rep}"] = round(time.perf_counter() - t0, 3)
         scaling = {
-            "n_executors": 1, "n4_executors": 4, "cores_per_executor": 4,
-            "runs_local8": [round(x, 1) for x in legs[8]],
-            "runs_local32": [round(x, 1) for x in legs[32]],
+            "n_executors": 2, "n4_executors": 8, "cores_per_executor": 1,
+            "runs_n": [round(x, 1) for x in legs[8]],
+            "runs_4n": [round(x, 1) for x in legs[32]],
         }
         if leg_errors:
             scaling["leg_errors"] = leg_errors
         if legs[8] and legs[32]:
             best8, best32 = max(legs[8]), max(legs[32])
             scaling.update({
-                "local8_docs_per_sec": round(best8, 1),
-                "local32_docs_per_sec": round(best32, 1),
+                "n_docs_per_sec": round(best8, 1),
+                "n4_docs_per_sec": round(best32, 1),
                 "efficiency": round((best32 / best8) / 4.0, 3),
             })
+        # host calibration: the SAME tokenize kernel in plain
+        # multiprocessing at the same worker counts — the VM's own scaling
+        # ceiling, independent of Spark.  normalized_efficiency reports
+        # the engine's scaling relative to what the host physically gives.
+        try:
+            cal = host_calibration(pages_path)
+            scaling["host_calibration"] = cal
+            if cal.get("efficiency") and scaling.get("efficiency"):
+                scaling["normalized_efficiency"] = round(
+                    min(1.0, scaling["efficiency"] / cal["efficiency"]), 3)
+        except Exception as e:  # calibration must never fail the bench
+            scaling["host_calibration"] = {"error": str(e)[:200]}
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     out = {

@@ -33,7 +33,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--config")
     b.add_argument("--force-delete", action="store_true")
     b.add_argument("--fail-after", default="",
-                   help="fault injection: partition tag like b00002-s00001")
+                   help="fault injection: encode partition tag like f000002")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)

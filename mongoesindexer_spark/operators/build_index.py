@@ -11,24 +11,29 @@ stage ``flat``    pages → resolve text (pandas UDF html→text when null) →
                   map-side combine: the shuffle carries (term, doc_id, tf)
                   not raw tokens) → ``postings_flat`` + ``doc_stats``.
 stage ``stats``   ``term_dict`` (df, cf, idf) + ``global_stats`` (N, avgdl).
-stage ``encode``  salted repartition by (term-bucket, doc-range salt) →
-                  per-group numpy block encode (delta+varbyte+block-max) →
-                  ``postings_blocks`` segment files, one per group, written
-                  atomically with a lineage row each → resumable at group
-                  granularity (north rule: resume from last completed
-                  segment; completed partitions are never recomputed).
+stage ``encode``  per flat part file (doc-range disjoint by construction):
+                  local (term, doc_id) sort → numpy block encode
+                  (delta+varbyte+block-max) → one ``postings_blocks``
+                  segment file each, written atomically with a lineage row
+                  → resumable at file granularity (north rule: resume from
+                  last completed segment; completed partitions are never
+                  recomputed).  ZERO shuffle: a term's blocks across
+                  segments are doc-disjoint and concatenate into the
+                  monotone stream WAND cursors expect.
 
 Skew: the ES analog shards by _id (4 shards, configs/ltd_doc.settings.json:
-244-245); a term-hash shuffle alone would melt on head terms ("the" holds
-~N postings at 10^12 docs).  The salt key is a contiguous doc-id range, so
-every term's postings are split across salts into bounded groups, block ids
-stay globally ordered (block_id_base = salt * blocks_per_salt), and salted
-output is the byte-identical concatenation of an unsalted build.
+244-245); a term-hash shuffle would melt on head terms ("the" holds ~N
+postings at 10^12 docs).  Here the doc-range FILE is the encode unit — a
+head term's postings split across files into bounded runs, block ids stay
+globally unique (block_id_base = the file's cumulative row offset), and no
+term ever concentrates on one task.  The former design (salted
+repartition by (term-bucket, doc-range)) achieved the same bound but paid
+a corpus-wide shuffle + Arrow exchange of every posting — measured as the
+build's scaling ceiling on multi-executor runs.
 """
 
 from __future__ import annotations
 
-import math
 import os
 import uuid
 from collections.abc import Iterator
@@ -282,6 +287,8 @@ def source_files_presorted(paths: list[str],
     infos = []
     for p in paths:
         md = _pq.ParquetFile(p).metadata
+        if md.num_rows == 0:
+            continue
         col_idx = next((i for i in range(md.num_columns)
                         if md.schema.column(i).name == key), None)
         if col_idx is None:
@@ -463,43 +470,60 @@ BLOCKS_DDL = ("term string, block_id long, first_doc long, last_doc long, "
               "block_max_tfn double, max_tf long, min_dl long, sum_tf long")
 
 
-def _encode_group_writer(seg_dir: str, lineage_root: str, avgdl: float,
-                         blocks_per_salt: int, block_size: int,
-                         fail_partitions: frozenset[str]) -> Callable:
-    """Build the applyInPandas function for one (bucket, salt) group.
+def _encode_file_writer(seg_dir: str, lineage_root: str, avgdl: float,
+                        block_size: int,
+                        fail_partitions: frozenset[str]) -> Callable:
+    """Build the mapInPandas kernel encoding one postings_flat part file
+    into one segment file — NO shuffle: the flat files are doc-range
+    disjoint by construction (one per tokenize range partition), so a
+    local (term, doc_id) sort inside the file yields per-term block runs
+    whose doc ranges are globally disjoint across segments — exactly the
+    monotone block streams the WAND cursors concatenate.  Block ids start
+    at the file's cumulative row offset (≤1 block per row ⇒ unique).
 
-    Each group encodes every term's postings for its doc range, writes ONE
-    segment parquet file atomically (tmp + rename, so task retries can't
-    leave partial files), writes its lineage row, and returns a metrics row.
+    Each task reads its file with pyarrow (the corpus never crosses the
+    JVM↔Python boundary), writes ONE segment parquet atomically (hidden
+    tmp + rename, so task retries can't leave readable partials), writes
+    its lineage row, and returns a metrics row.
     """
 
-    def _encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket, salt = int(key[0]), int(key[1])
-        part = f"b{bucket:05d}-s{salt:05d}"
-        if part in fail_partitions:
-            raise RuntimeError(f"injected failure at encode:{part}")
-        base = salt * blocks_per_salt
-        g = encode_groups_sorted(pdf, avgdl, block_size, base)
-        n_blocks = len(g["term"])
-        table = pa.table(
-            {k: list(g[k]) if isinstance(g[k], list) else g[k] for k in
-             _BLOCKS_SCHEMA.names}, schema=_BLOCKS_SCHEMA
-        ) if n_blocks else _BLOCKS_SCHEMA.empty_table()
-        final = os.path.join(seg_dir, f"seg-{part}.parquet")
-        # hidden tmp name — see doc_stats writer: orphaned tmp files from
-        # killed tasks must be invisible to parquet dataset discovery
-        tmp = os.path.join(seg_dir, f".tmp-{uuid.uuid4().hex}-seg-{part}.parquet")
-        # term-sorted rows in small row groups so query-time term-isin
-        # filters prune on row-group stats instead of decoding the segment
-        pq.write_table(table, tmp, row_group_size=2048)
-        os.replace(tmp, final)
-        Lineage(lineage_root).mark_partition(
-            "encode", part, rows=len(pdf), blocks=n_blocks,
-            bytes=int(table.nbytes),
-        )
-        return pd.DataFrame({
-            "partition": [part], "rows": [len(pdf)], "blocks": [n_blocks],
-        })
+    def _encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.dataset as _pds
+        for files_pdf in it:
+            for path, off, idx in zip(files_pdf["path"].values,
+                                      files_pdf["off"].values,
+                                      files_pdf["idx"].values):
+                part = f"f{int(idx):06d}"
+                if part in fail_partitions:
+                    raise RuntimeError(f"injected failure at encode:{part}")
+                t = _pds.dataset(path, format="parquet").to_table(
+                    columns=["term", "doc_id", "tf", "doc_len"],
+                    filter=_pds.field("term").is_valid())
+                # pandas sort measured faster end-to-end than Arrow
+                # sort_by + object-array extraction on this shape
+                g = encode_groups_sorted(t.to_pandas(), avgdl, block_size,
+                                         int(off))
+                n_blocks = len(g["term"])
+                n_rows = t.num_rows
+                table = pa.table(
+                    {k: list(g[k]) if isinstance(g[k], list) else g[k] for k in
+                     _BLOCKS_SCHEMA.names}, schema=_BLOCKS_SCHEMA
+                ) if n_blocks else _BLOCKS_SCHEMA.empty_table()
+                final = os.path.join(seg_dir, f"seg-{part}.parquet")
+                tmp = os.path.join(
+                    seg_dir, f".tmp-{uuid.uuid4().hex}-seg-{part}.parquet")
+                # term-sorted rows in small row groups so query-time
+                # term-isin filters prune on row-group stats
+                pq.write_table(table, tmp, row_group_size=2048)
+                os.replace(tmp, final)
+                Lineage(lineage_root).mark_partition(
+                    "encode", part, rows=n_rows, blocks=n_blocks,
+                    bytes=int(table.nbytes),
+                )
+                yield pd.DataFrame({
+                    "partition": [part], "rows": [n_rows],
+                    "blocks": [n_blocks],
+                })
 
     return _encode
 
@@ -583,7 +607,13 @@ class IndexBuilder:
             if "html" in pages.columns:
                 pages = resolve_text(pages).drop("html")
             docs = pages.withColumn("doc_id", F.col(self.id_col).cast("long"))
-            flat = tokenize_flat(docs, self.cfg)
+            # the encode stage consumes flat part files as doc-range
+            # disjoint units (shuffle-free per-file encoding); pre-assigned
+            # ids carry no layout guarantee, so range-partition here — the
+            # url path gets this for free from the sorted artifact
+            flat = tokenize_flat(docs, self.cfg) \
+                .repartitionByRange(parallelism, "doc_id") \
+                .sortWithinPartitions("doc_id")
         else:
             # Substage "sort": ONE pure-JVM job (no Python anywhere in it)
             # writes the range-sorted raw corpus as a parquet stage
@@ -600,11 +630,30 @@ class IndexBuilder:
             elif not self.lineage.stage_complete("extract"):
                 cols = ["url", "text"] + (["html"] if "html" in pages.columns
                                           else [])
-                # partition count scales with DATA (scan splits track input
-                # bytes), never just cores: each range partition is one
-                # sort+write task and one tokenize unit — size it to stay
-                # comfortably inside executor memory at any corpus size
-                n_parts = max(parallelism, pages.rdd.getNumPartitions() * 2)
+                # partition count scales with DATA, never with cores: each
+                # range partition is one sort+write task and one tokenize
+                # unit.  Derive it from input BYTES directly (~32 MB of
+                # source per partition) — getNumPartitions() bakes
+                # defaultParallelism into Spark's split packing, which
+                # would make the job's shape depend on cluster size and
+                # skew any N-vs-4N scaling comparison
+                src_files = pages.inputFiles()
+                if src_files:
+                    total = 0
+                    for f in src_files:
+                        p = f[len("file:"):] if f.startswith("file:") else f
+                        try:
+                            total += os.path.getsize(p)
+                        except OSError:
+                            total = 0
+                            break
+                    n_parts = max(parallelism, total // (32 << 20)) \
+                        if total else 0
+                else:
+                    n_parts = 0
+                if not n_parts:
+                    n_parts = max(parallelism,
+                                  pages.rdd.getNumPartitions() * 2)
                 ranged = pages.select(*cols) \
                     .repartitionByRange(n_parts, F.col("url")) \
                     .sortWithinPartitions("url")
@@ -733,38 +782,50 @@ class IndexBuilder:
 
     def _stage_encode(self, spark: SparkSession,
                       fail_partitions: frozenset[str] = frozenset()) -> None:
+        """Encode postings_flat part files into block segments — ZERO
+        shuffle.  The flat files are doc-range disjoint (one per tokenize
+        range partition), so each file encodes independently: a term's
+        blocks across segments are doc-disjoint and concatenate into the
+        monotone per-term stream WAND expects.  Replaces the former
+        groupBy(bucket, salt).applyInPandas design, whose corpus-wide
+        shuffle + Arrow exchange of every posting was the build's scaling
+        ceiling (it also bounded skew — per-file encoding bounds work by
+        file size instead, which the byte-driven flat partitioning fixes).
+        """
         if self.lineage.stage_complete("encode"):
             return
         from ..sources.catalog import read_table_arrow
         g = read_table_arrow(self.catalog, "global_stats").iloc[0]
         avgdl = float(g["avgdl"] or 0.0) or 1.0
-        n_docs = int(g["n_docs"])
-        n_salts = max(1, math.ceil(n_docs / self.docs_per_salt))
-        blocks_per_salt = math.ceil(self.docs_per_salt / self.block_size) + 1
 
-        flat = read_flat(self.catalog, spark)
-        keyed = flat.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int")
-        ).withColumn(
-            "salt", (F.col("doc_id") / F.lit(self.docs_per_salt)).cast("int")
-        )
+        # order flat part files by doc range and VALIDATE disjointness from
+        # footer stats — per-file encoding is only correct over doc-range
+        # disjoint units (WAND concatenates a term's blocks across segments
+        # as one monotone stream); returns cumulative row offsets, which
+        # double as unique block_id bases (≤1 block per row)
+        paths = []
+        for d in self.catalog._live_dirs("postings_flat"):
+            paths.extend(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.startswith("part-") and f.endswith(".parquet"))
+        files = source_files_presorted(paths, key="doc_id")
+
         done = self.lineage.done_partitions("encode")
-        if done:
-            done_pairs = [(int(p[1:6]), int(p[8:13])) for p in done]
-            done_df = spark.createDataFrame(done_pairs, "bucket int, salt int")
-            keyed = keyed.join(F.broadcast(done_df), ["bucket", "salt"], "left_anti")
-
+        todo = [(p, off, i) for i, (p, off) in enumerate(files)
+                if f"f{i:06d}" not in done]
         seg_dir = os.path.join(self.index_dir, "segments", "base")
         os.makedirs(seg_dir, exist_ok=True)
-        fn = _encode_group_writer(seg_dir, self.index_dir, avgdl,
-                                  blocks_per_salt, self.block_size,
-                                  fail_partitions)
-        metrics = keyed.groupBy("bucket", "salt").applyInPandas(
-            fn, schema="partition string, rows long, blocks long"
-        )
-        metrics.collect()  # execute; rows land in lineage as a side effect
+        if todo:
+            fdf = spark.createDataFrame(
+                todo, "path string, off long, idx long"
+            ).repartitionByRange(len(todo), "idx")
+            fn = _encode_file_writer(seg_dir, self.index_dir, avgdl,
+                                     self.block_size, fail_partitions)
+            fdf.mapInPandas(
+                fn, schema="partition string, rows long, blocks long"
+            ).collect()  # execute; rows land in lineage as a side effect
         self.lineage.mark_stage(
-            "encode", n_salts=n_salts, n_buckets=self.n_buckets, avgdl=avgdl,
+            "encode", n_files=len(files), avgdl=avgdl,
         )
 
     def _register_blocks(self, spark: SparkSession) -> None:

@@ -20,14 +20,14 @@ def test_fault_injection_then_resume(spark, tiny_dir, oracle_tiny, tmp_path_fact
     index_dir = str(tmp_path_factory.mktemp("idx-resume"))
     pages = spark.read.parquet(os.path.join(tiny_dir, "pages.parquet"))
 
-    fail_at = frozenset({"b00002-s00001"})
+    fail_at = frozenset({"f000002"})
     builder = IndexBuilder(index_dir, n_buckets=4, docs_per_salt=250, block_size=32)
     with pytest.raises(Exception):
         builder.build(spark, pages, fail_partitions=fail_at)
 
     lin = Lineage(index_dir)
     done_before = lin.done_partitions("encode")
-    assert "b00002-s00001" not in done_before
+    assert "f000002" not in done_before
     # flat/stats stages completed; encode partially done
     assert lin.stage_complete("flat") and lin.stage_complete("stats")
     seg_dir = os.path.join(index_dir, "segments", "base")
@@ -40,7 +40,7 @@ def test_fault_injection_then_resume(spark, tiny_dir, oracle_tiny, tmp_path_fact
     builder2 = IndexBuilder(index_dir, n_buckets=4, docs_per_salt=250, block_size=32)
     builder2.build(spark, pages)
     done_after = Lineage(index_dir).done_partitions("encode")
-    assert done_before < done_after and "b00002-s00001" in done_after
+    assert done_before < done_after and "f000002" in done_after
     for p, mt in mtimes_before.items():
         assert os.path.getmtime(p) == mt, f"completed segment {p} was recomputed"
 
