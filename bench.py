@@ -57,17 +57,22 @@ def build_index_timed(spark, pages_df, index_dir: str, **kw) -> tuple[float, int
     return time.perf_counter() - t0, n_docs
 
 
-def scaling_leg(master: str, pages_path: str, warm_path: str | None = None) -> float:
-    """One subprocess leg: build the index from pages parquet, print docs/sec.
+def scaling_leg(master: str, pages_path: str,
+                warm_path: str | None = None) -> list[float]:
+    """One subprocess leg: build the index from pages parquet
+    SPARK_GRAFT_LEG_BUILDS times (default 2) on one warm JVM, return
+    docs/sec per build.
 
     An untimed warm-up runs first so the measurement captures steady-state
     throughput, not cold-start: worker-pool creation is serial (~300ms/core)
     and the C2 JIT needs real invocation counts, so the warm-up build uses
     a meaningful slice of the input (all stages, all workers, shuffle +
     encode paths hot).  The cluster-protocol analog measures a warm
-    cluster too."""
+    cluster too.  Multiple in-process builds amortize JVM startup and give
+    the host-weather estimators (best-of / mean) more samples per leg."""
     from mongoesindexer_spark.session import get_spark, warm_python_workers
 
+    n_builds = int(os.environ.get("SPARK_GRAFT_LEG_BUILDS", "2"))
     spec = master.split("[")[1].rstrip("]").split(",")
     cores = int(spec[0]) * int(spec[1]) if len(spec) >= 2 else int(spec[0])
     # shuffle partitioning tracks DATA, not cores (identical on both legs;
@@ -78,17 +83,22 @@ def scaling_leg(master: str, pages_path: str, warm_path: str | None = None) -> f
                       shuffle_partitions=max(cores, 64))
     pages = spark.read.parquet(pages_path)
     warm = tempfile.mkdtemp(prefix="mei_bench_warm_")
-    out = tempfile.mkdtemp(prefix="mei_bench_idx_")
+    rates: list[float] = []
     try:
         warm_python_workers(spark)
         warm_pages = (spark.read.parquet(warm_path) if warm_path
                       else pages.limit(30000))
         build_index_timed(spark, warm_pages, warm)
-        secs, n = build_index_timed(spark, pages, out)
-        return n / secs
+        for _ in range(n_builds):
+            out = tempfile.mkdtemp(prefix="mei_bench_idx_")
+            try:
+                secs, n = build_index_timed(spark, pages, out)
+                rates.append(n / secs)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+        return rates
     finally:
         shutil.rmtree(warm, ignore_errors=True)
-        shutil.rmtree(out, ignore_errors=True)
         spark.stop()
 
 
@@ -162,10 +172,10 @@ def host_calibration(pages_path: str, n_files: int = 16) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--build-worker":
-        dps = scaling_leg(sys.argv[2], sys.argv[3],
-                          sys.argv[5] if len(sys.argv) > 5 else None)
+        rates = scaling_leg(sys.argv[2], sys.argv[3],
+                            sys.argv[5] if len(sys.argv) > 5 else None)
         with open(sys.argv[4], "w") as f:
-            json.dump({"docs_per_sec": dps}, f)
+            json.dump({"docs_per_sec": max(rates), "rates": rates}, f)
         return
 
     from mongoesindexer_spark.session import get_spark
@@ -245,7 +255,9 @@ def main() -> None:
         # large host-level timing variance; best-of-N measures capacity,
         # alternation prevents a slow host phase from biasing one leg.
         leg_errors: list[str] = []
+        round_pairs: list[tuple[list[float], list[float]]] = []
         for rep in range(repeats):
+            pair: dict[int, list[float]] = {8: [], 32: []}
             for n in (8, 32):
                 out = tempfile.mktemp(suffix=".json")
                 t0 = time.perf_counter()
@@ -260,10 +272,14 @@ def main() -> None:
                 )
                 if proc.returncode == 0 and os.path.exists(out):
                     with open(out) as f:
-                        legs[n].append(json.load(f)["docs_per_sec"])
+                        rates = json.load(f).get("rates", [])
+                    legs[n].extend(rates)
+                    pair[n] = rates
                 else:
                     leg_errors.append(f"leg{n}_r{rep}: rc={proc.returncode}")
                 results[f"scaling_build_local{n}_r{rep}"] = round(time.perf_counter() - t0, 3)
+            if pair[8] and pair[32]:
+                round_pairs.append((pair[8], pair[32]))
         scaling = {
             "n_executors": 2, "n4_executors": 8, "cores_per_executor": 1,
             "runs_n": [round(x, 1) for x in legs[8]],
@@ -273,10 +289,27 @@ def main() -> None:
             scaling["leg_errors"] = leg_errors
         if legs[8] and legs[32]:
             best8, best32 = max(legs[8]), max(legs[32])
+            # three estimators for the N→4N ratio under host "weather"
+            # (hypervisor steal; identical runs minutes apart differ 2-3×):
+            #  - capacity (headline): best-of per leg across every sample —
+            #    converges to the true ratio as samples grow
+            #  - paired: per alternated round, best-of within that round's
+            #    back-to-back N/4N pair (numerator and denominator share
+            #    the same weather window); median over rounds
+            #  - mean: average throughput per leg — unbiased if the
+            #    slowdown process is stationary across the whole bench
+            pair_effs = [round((max(p32) / max(p8)) / 4.0, 3)
+                         for p8, p32 in round_pairs]
+            mean8 = sum(legs[8]) / len(legs[8])
+            mean32 = sum(legs[32]) / len(legs[32])
             scaling.update({
                 "n_docs_per_sec": round(best8, 1),
                 "n4_docs_per_sec": round(best32, 1),
                 "efficiency": round((best32 / best8) / 4.0, 3),
+                "efficiency_paired": pair_effs,
+                "efficiency_paired_median": round(
+                    statistics.median(pair_effs), 3) if pair_effs else None,
+                "efficiency_mean": round((mean32 / mean8) / 4.0, 3),
             })
         # host calibration: the SAME tokenize kernel in plain
         # multiprocessing at the same worker counts — the VM's own scaling

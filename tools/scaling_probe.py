@@ -21,12 +21,14 @@ def main() -> None:
     master = sys.argv[1]
     pages_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, ".fixtures", "scale8x", "pages.parquet")
-    cpus = master.split("[")[1].rstrip("]")
+    spec = master.split("[")[1].rstrip("]").split(",")
+    cores = int(spec[0]) * int(spec[1]) if len(spec) >= 2 else int(spec[0])
     from mongoesindexer_spark.session import get_spark, warm_python_workers
     from mongoesindexer_spark.operators.build_index import IndexBuilder
 
-    spark = get_spark(f"probe-{cpus}", master=master,
-                      shuffle_partitions=int(cpus))
+    # mirror bench.scaling_leg: shuffle partitioning tracks data, not cores
+    spark = get_spark(f"probe-{cores}", master=master,
+                      shuffle_partitions=max(cores, 64))
     pages = spark.read.parquet(pages_path)
     out = tempfile.mkdtemp(prefix="mei_probe_")
     warm = tempfile.mkdtemp(prefix="mei_probe_warm_")
@@ -39,16 +41,20 @@ def main() -> None:
 
         b = IndexBuilder(out)
         n = pages.count()
+        b._ensure_format()
         for stage, fn in (
             ("flat", lambda: b._stage_flat(spark, pages)),
             ("stats", lambda: b._stage_stats(spark)),
             ("encode", lambda: b._stage_encode(spark)),
             ("register", lambda: b._register_blocks(spark)),
+            ("term_dict", lambda: b._stage_term_dict(spark)),
+            ("completion", lambda: b._stage_completion(spark)),
+            ("fields", lambda: b._stage_fields(spark, pages)),
         ):
             t0 = time.perf_counter()
             fn()
             t[stage] = time.perf_counter() - t0
-        total = t["flat"] + t["stats"] + t["encode"] + t["register"]
+        total = sum(v for k, v in t.items() if k != "warmup")
         ru_s = resource.getrusage(resource.RUSAGE_SELF)
         ru_c = resource.getrusage(resource.RUSAGE_CHILDREN)
         print(json.dumps({
