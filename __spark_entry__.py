@@ -184,6 +184,37 @@ def q_nested_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Configuration-as-query (reference parity: configuration.ts:17,
+    configs/cld_doc.config.json:9-140): a JSON aggregation pipeline —
+    $match → $lookup with sub-pipeline → $project — compiled by
+    plans.pipeline.compile_pipeline, NOT hand-written DataFrame code.
+    The lookup array is flattened to scalars for the driver's hash gate
+    (size + first element of the deterministically sorted child array)."""
+    from mongoesindexer_spark.plans.pipeline import compile_pipeline
+
+    pipeline = [
+        {"$match": {"c_mktsegment": "BUILDING"}},
+        {"$lookup": {"from": "orders", "localField": "c_custkey",
+                     "foreignField": "o_custkey", "as": "open_orders",
+                     "pipeline": [
+                         {"$match": {"o_orderstatus": "O"}},
+                         {"$project": {"o_orderkey": 1}},
+                     ]}},
+        {"$project": {"c_custkey": 1, "c_name": 1, "segment": "BUILDING",
+                      "open_orders": 1}},
+    ]
+    out = compile_pipeline(
+        _read(spark, sf_dir, "customer"), pipeline,
+        resolver=lambda name: _read(spark, sf_dir, name),
+        doc_key="c_custkey")
+    return out.select(
+        "c_custkey", "c_name", "segment",
+        F.size("open_orders").cast("long").alias("n_open"),
+        F.try_element_at("open_orders", F.lit(1))["o_orderkey"]
+        .alias("first_open"))
+
+
 def q_anti_join_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never-indexed predicate (P5/J5): customers with no orders."""
     from mongoesindexer_spark.operators.lookup import anti_join_new
@@ -422,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / orchestration parity (SURVEY §2.1-2.5)
         "lookup_join": q_lookup_join,
         "nested_lookup": q_nested_lookup,
+        "config_pipeline": q_config_pipeline,
         "anti_join_new_docs": q_anti_join_new_docs,
         "stale_filter": q_stale_filter,
         "topk_latest_per_user": q_topk_latest_per_user,
@@ -551,6 +583,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(t.order_rev_e4), 0)::BIGINT AS total_rev_e4
             FROM customer c LEFT JOIN order_totals t ON c.c_custkey = t.o_custkey
             GROUP BY c.c_custkey
+        """,
+        "config_pipeline": """
+            SELECT c.c_custkey, c.c_name, 'BUILDING' AS segment,
+                   count(o.o_orderkey)::BIGINT AS n_open,
+                   min(o.o_orderkey)::BIGINT AS first_open
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY c.c_custkey, c.c_name
         """,
         "anti_join_new_docs": """
             SELECT c_custkey, c_name FROM customer
