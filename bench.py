@@ -84,7 +84,7 @@ def scaling_leg(master: str, pages_path: str,
         # higher host-weather variance than the narrow leg's (its builds
         # are ~3x shorter, so each sample sits inside one weather phase);
         # best-of needs more draws there, and they cost 1/3 as much
-        n_builds = 3 if cores >= 16 else 2
+        n_builds = 3 if cores >= 8 else 2
     spark = get_spark(f"bench-scaling-{cores}", master=master,
                       shuffle_partitions=max(cores, 64))
     pages = spark.read.parquet(pages_path)
