@@ -82,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             shutil.rmtree(args.index, ignore_errors=True)
         builder = IndexBuilder(
             args.index, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
-            docs_per_salt=cfg.docs_per_salt, block_size=cfg.block_size,
+            block_size=cfg.block_size,
             key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
             keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted)
         fail = frozenset({args.fail_after}) if args.fail_after else frozenset()
@@ -107,16 +107,30 @@ def main(argv: list[str] | None = None) -> int:
             spark, spark.read.parquet(args.updates), batch_id=args.batch_id)
         print(json.dumps(res))
     elif args.cmd == "poll":
-        from .streaming.incremental import IncrementalIndexer, poll_updates
+        import os as _os
+        from .streaming.incremental import (IncrementalIndexer, poll_updates,
+                                            writeback_indexed)
         cfg = IndexConfig.from_json(args.config) if args.config else IndexConfig(
             source_table=args.pages, index_name=args.index)
+        have_indexed = _os.path.exists(args.indexed)
+        indexed_df = (spark.read.parquet(args.indexed) if have_indexed
+                      else spark.createDataFrame(
+                          [], f"{cfg.key_col} string, last_indexed_at timestamp"))
         batch = poll_updates(
-            spark.read.parquet(args.pages), spark.read.parquet(args.indexed),
+            spark.read.parquet(args.pages), indexed_df,
             key=cfg.key_col, update_field=cfg.update_field,
             skip_after_seconds=cfg.skip_after_seconds)
+        # pin the tick's keys BEFORE applying: the writeback below rewrites
+        # the indexed table the batch plan reads from
+        keys = [r[0] for r in batch.select(cfg.key_col).distinct().collect()]
         indexer = IncrementalIndexer(args.index, cfg=cfg.analyzer_config(),
                                      exclude_fields=cfg.exclude_fields)
         res = indexer.apply_updates(spark, batch, batch_id=args.batch_id)
+        if res.get("applied"):
+            # reference parity: lastESIndexedAt writeback after indexing —
+            # the cron loop only advances through the backlog because of it
+            res["writeback_keys"] = writeback_indexed(
+                spark, args.indexed, keys, key=cfg.key_col)
         print(json.dumps(res))
     elif args.cmd == "compact":
         from .operators.merge import compact
@@ -151,7 +165,7 @@ def main(argv: list[str] | None = None) -> int:
                 _shutil.rmtree(idx, ignore_errors=True)
             builder = IndexBuilder(
                 idx, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
-                docs_per_salt=cfg.docs_per_salt, block_size=cfg.block_size,
+                block_size=cfg.block_size,
                 key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
                 keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted)
             out[cfg.index_name] = builder.build(

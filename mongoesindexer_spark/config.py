@@ -39,7 +39,6 @@ class IndexConfig:
     # skip the docs_sorted corpus rewrite (footer-validated)
     pre_sorted: bool = False
     n_buckets: int = 32
-    docs_per_salt: int = 1 << 17
     block_size: int = 128
     # Mongo-shaped source pipeline ($match/$project/$lookup), executed over
     # the source table before indexing — the reference's

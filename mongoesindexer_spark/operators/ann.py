@@ -97,6 +97,8 @@ def embedding_near_dups_lsh(df: DataFrame, threshold: float, dim: int,
     table — recall → 1 exponentially in n_tables at linear candidate cost
     (tests/test_ann_recall.py pins the floor).
     """
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     cands = None
     for t in range(n_tables):
         bk = hyperplane_buckets(df, dim, n_planes, vec_col, id_col,

@@ -59,10 +59,16 @@ DEFAULT_N_BUCKETS = 32
 #   2 — blocks carry sum_tf (term_dict derived from block metadata)
 #   3 — blocks carry dls_vb (per-posting doc lengths; WAND needs no
 #       driver-resident doc_stats)
+#   4 — encode layout: per-file segments (seg-fNNNNNN) with cumulative-row
+#       block-id bases + per-file lineage tags replaced the round-2
+#       seg-bXXXXX-sXXXXX bucket/salt scheme (same parquet schema, but a
+#       resume across layouts would re-encode under new names while
+#       _register_blocks still reads the old partials — double-counted
+#       postings); doc_stats parts carry the rank offset in their name
 # IndexBuilder refuses to RESUME across versions (it wipes and rebuilds);
 # SearchEngine/IncrementalIndexer fail loudly on mismatch — a silently
 # adopted stale index was round 1's single gate-killing bug.
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4
 _FORMAT_FILE = "_FORMAT.json"
 
 # Completion-suggester table: prefixes up to this length are materialized
@@ -330,7 +336,8 @@ def source_files_presorted(paths: list[str],
 def rank_and_tokenize_files(spark: SparkSession,
                             files_offsets: list[tuple[str, int]],
                             cfg: AnalyzerConfig = LTD_DOC,
-                            doc_stats_dir: str | None = None) -> DataFrame:
+                            doc_stats_dir: str | None = None,
+                            lineage_root: str | None = None) -> DataFrame:
     """Fused extraction + doc-id assignment + tokenization over sorted
     part-files.
 
@@ -347,8 +354,12 @@ def rank_and_tokenize_files(spark: SparkSession,
     filesystem for S3/HDFS paths).
     """
     n = max(1, len(files_offsets))
-    fdf = spark.createDataFrame(files_offsets, "path string, rank_offset long") \
-        .repartitionByRange(n, "rank_offset")
+    # exactly one file per task via parallelize slices — deterministic, and
+    # unlike repartitionByRange it needs no boundary-sampling job (a whole
+    # extra Spark job of pure scheduling latency per build)
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(files_offsets, n),
+        "path string, rank_offset long")
 
     def _rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as _pq
@@ -395,17 +406,32 @@ def rank_and_tokenize_files(spark: SparkSession,
                     # discovery skip hidden files, so a task killed between
                     # write and rename can never leave a readable orphan
                     # that inflates doc_stats after the retry succeeds
-                    final = os.path.join(
-                        doc_stats_dir, f"ds-{os.path.basename(path)}")
+                    # the rank offset in the name makes it collision-proof:
+                    # pre_sorted sources may hold identical basenames in
+                    # different dirs (Hive layout date=*/part-00000.parquet),
+                    # and a bare basename would silently overwrite one
+                    # file's doc_stats with another's
+                    ds_name = f"ds-{int(off):012d}-{os.path.basename(path)}"
+                    final = os.path.join(doc_stats_dir, ds_name)
                     tmp = os.path.join(
                         doc_stats_dir,
-                        f".tmp-{uuid.uuid4().hex}-ds-{os.path.basename(path)}")
+                        f".tmp-{uuid.uuid4().hex}-{ds_name}")
                     # doc_id-ordered rows in small row groups: the query
                     # engine point-fetches winner urls with a doc_id isin
                     # filter — one whole-file row group would make every
                     # fetch a full-file decode
                     pq.write_table(t, tmp, row_group_size=8192)
                     os.replace(tmp, final)
+                    if lineage_root is not None:
+                        # per-file (n_docs, sum_dl) metrics: the stats
+                        # stage sums these driver-side — no corpus
+                        # aggregate job just to recover numbers this
+                        # kernel already computed
+                        Lineage(lineage_root).mark_partition(
+                            "flat_files", f"{int(off):012d}",
+                            n_docs=int(t.num_rows),
+                            sum_dl=int(np.concatenate(ds_lens).sum())
+                            if ds_lens else 0)
 
     return fdf.mapInPandas(_rt, schema=FLAT_DDL)
 
@@ -419,7 +445,12 @@ def completion_from_term_dict(td: DataFrame, n_parts: int) -> DataFrame:
             f"transform(sequence(1, least(length(term), {MAX_PREFIX_LEN})),"
             " i -> substring(term, 1, i))")).alias("prefix"),
         "term", "weight")
-    return comp.repartitionByRange(max(1, n_parts), "prefix") \
+    # HASH exchange on the prefix's first character + in-partition
+    # (prefix, weight desc) sort: every prefix's rows land contiguous
+    # inside one file, which is all pyarrow row-group-stat pruning needs —
+    # repartitionByRange would add a boundary-sampling Spark job per
+    # build for no better point-read pruning
+    return comp.repartition(max(1, n_parts), F.substring("prefix", 1, 1)) \
         .sortWithinPartitions("prefix", F.desc("weight"), "term")
 
 
@@ -545,12 +576,6 @@ class IndexBuilder:
 
     def __init__(self, index_dir: str, cfg: AnalyzerConfig = LTD_DOC,
                  n_buckets: int = DEFAULT_N_BUCKETS,
-                 # bounds every encode group to ~docs_per_salt×avg_distinct/
-                 # n_buckets postings rows regardless of corpus size: a pure
-                 # function of doc ids (NOT of cluster size), so output
-                 # bytes stay parallelism-invariant while groups stay small
-                 # enough to balance load and never spill the pandas kernel
-                 docs_per_salt: int = 1 << 17,
                  block_size: int = BLOCK_SIZE,
                  key_col: str = "url", text_col: str = "text",
                  id_col: str | None = None,
@@ -573,7 +598,6 @@ class IndexBuilder:
                              "column names — the file kernel reads them "
                              "straight from the source footers")
         self.n_buckets = n_buckets
-        self.docs_per_salt = docs_per_salt
         self.block_size = block_size
         self.key_col = key_col
         self.text_col = text_col
@@ -653,8 +677,16 @@ class IndexBuilder:
                         except OSError:
                             total = 0
                             break
+                    import math
                     raw = int(total // (32 << 20))
-                    n_parts = max(parallelism, 32 * round(raw / 32) or 32) \
+                    # both terms are multiples of 32 BEFORE the max: the
+                    # byte count rounds to the nearest multiple (stable job
+                    # shape vs data size), the cores floor rounds up — the
+                    # old max(parallelism, rounded) could return a
+                    # cores-dependent non-multiple of 32, defeating the
+                    # wave alignment described above
+                    n_parts = max(32 * (round(raw / 32) or 1),
+                                  32 * math.ceil(parallelism / 32)) \
                         if total else 0
                 else:
                     n_parts = 0
@@ -672,11 +704,20 @@ class IndexBuilder:
             # consumers cannot disagree on partition boundaries).  The
             # kernel also writes one doc_stats part per input file.
             ds_dir = os.path.join(self.index_dir, "doc_stats_files")
+            # wipe partial output from an interrupted tokenize run: the
+            # flat stage resumes at stage granularity, and ds part names
+            # carry rank offsets — a partition-count change between runs
+            # would otherwise leave stale ds files (and stale flat_files
+            # lineage metrics) that silently inflate doc_stats
+            import shutil
+            shutil.rmtree(ds_dir, ignore_errors=True)
             os.makedirs(ds_dir, exist_ok=True)
+            self.lineage.reset("flat_files")
             if not self.pre_sorted:
                 files = sorted_doc_files(art_dir)
             flat = rank_and_tokenize_files(spark, files, self.cfg,
-                                           doc_stats_dir=ds_dir)
+                                           doc_stats_dir=ds_dir,
+                                           lineage_root=self.index_dir)
             self.catalog.overwrite(flat, "postings_flat")
             if files:
                 self.catalog.register_external(ds_dir, "doc_stats")
@@ -695,20 +736,32 @@ class IndexBuilder:
     def _stage_stats(self, spark: SparkSession) -> None:
         if self.lineage.stage_complete("stats"):
             return
-        stats = self.catalog.read(spark, "doc_stats")
-        # one job: agg + collect, then write the single row back — the
-        # old write-then-re-read-to-collect shape cost two extra jobs of
-        # pure scheduling latency per build
-        g = stats.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("sum_dl"),
-        ).collect()[0]
-        n_docs = int(g["n_docs"])
-        self.catalog.overwrite(
-            spark.createDataFrame(
-                [(n_docs, float(g["avgdl"] or 0.0), int(g["sum_dl"] or 0))],
-                "n_docs long, avgdl double, sum_dl long"),
+        flat_rows = [r for r in self.lineage.rows()
+                     if r["stage"] == "flat_files" and r.get("partition")]
+        if flat_rows:
+            # the tokenize kernel already counted every file's docs and
+            # lengths (flat_files lineage metrics) — summing them here is
+            # pure driver arithmetic; a Spark aggregate over doc_stats
+            # would be a whole job of scheduling latency to recompute
+            # numbers the build already has.  Scale-safe: one tiny JSON
+            # row per input file.
+            n_docs = sum(int(r["n_docs"]) for r in flat_rows)
+            sum_dl = sum(int(r["sum_dl"]) for r in flat_rows)
+        else:
+            # id_col path: doc_stats came from marker rows, no per-file
+            # metrics exist — one aggregate job
+            g = self.catalog.read(spark, "doc_stats").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_len").alias("sum_dl"),
+            ).collect()[0]
+            n_docs = int(g["n_docs"])
+            sum_dl = int(g["sum_dl"] or 0)
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
+        # 1-row table: driver-side pyarrow commit, no Spark job
+        self.catalog.write_small_arrow(
+            pd.DataFrame({"n_docs": pd.Series([n_docs], dtype="int64"),
+                          "avgdl": pd.Series([avgdl], dtype="float64"),
+                          "sum_dl": pd.Series([sum_dl], dtype="int64")}),
             "global_stats")
         self.lineage.mark_stage("stats", n_docs=int(n_docs))
 
@@ -737,7 +790,9 @@ class IndexBuilder:
             "idf",
             F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
         )
-        self.catalog.overwrite(td, "term_dict")
+        # in-partition term sort (no exchange): query-time term point
+        # reads prune on row-group stats, which need clustered terms
+        self.catalog.overwrite(td.sortWithinPartitions("term"), "term_dict")
         self.lineage.mark_stage("term_dict")
 
     def _stage_completion(self, spark: SparkSession) -> None:
@@ -823,9 +878,11 @@ class IndexBuilder:
         seg_dir = os.path.join(self.index_dir, "segments", "base")
         os.makedirs(seg_dir, exist_ok=True)
         if todo:
+            # one file per task via parallelize slices (no range-sampling
+            # job — see rank_and_tokenize_files)
             fdf = spark.createDataFrame(
-                todo, "path string, off long, idx long"
-            ).repartitionByRange(len(todo), "idx")
+                spark.sparkContext.parallelize(todo, len(todo)),
+                "path string, off long, idx long")
             fn = _encode_file_writer(seg_dir, self.index_dir, avgdl,
                                      self.block_size, fail_partitions)
             fdf.mapInPandas(

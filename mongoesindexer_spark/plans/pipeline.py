@@ -51,6 +51,9 @@ _MATCH_OPS = {
 
 
 def _match_condition(spec: dict) -> Column:
+    if not spec:
+        # Mongo: an empty $match matches every document
+        return F.lit(True)
     conds: list[Column] = []
     for field_name, cond in spec.items():
         col = F.col(field_name)
@@ -75,6 +78,15 @@ def _apply_project(df: DataFrame, spec: dict, doc_key: str) -> DataFrame:
     literals = {k: v for k, v in spec.items()
                 if isinstance(v, str) and not isinstance(v, bool)}
     excludes = [k for k, v in spec.items() if v in (0, False)]
+    unsupported = {k: v for k, v in spec.items()
+                   if k not in includes and k not in literals
+                   and k not in excludes}
+    if unsupported:
+        # a silently-dropped numeric/dict literal would ship a config whose
+        # injected field simply vanishes — fail loudly instead
+        raise ValueError(
+            f"unsupported $project values {unsupported!r}: supported are "
+            "1/true (include), 0/false (exclude), and string literals")
     if includes or literals:
         cols: list[Column] = []
         if "__fk" in df.columns:   # hidden $lookup join key must survive

@@ -95,6 +95,28 @@ class ParquetCatalog:
         self._commit(table, log)
         return snap_id
 
+    def write_small_arrow(self, pdf, table: str, op: str = "overwrite") -> int:
+        """Driver-side snapshot commit of a TINY table (global_stats,
+        sync_log — O(1) rows) via pyarrow, skipping Spark entirely: a
+        1-row DataFrame write costs a full job of scheduler latency, which
+        is pure serial overhead in every build/sync.  Corpus-sized tables
+        must use :meth:`overwrite`/:meth:`append`."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        log = self._read_log(table)
+        snap_id = (log[-1]["id"] + 1) if log else 1
+        rel = f"snap-{snap_id:06d}-{uuid.uuid4().hex[:8]}"
+        path = os.path.join(self.root, table, rel)
+        os.makedirs(path, exist_ok=True)
+        t = pdf if isinstance(pdf, pa.Table) else pa.Table.from_pandas(
+            pdf, preserve_index=False)
+        pq.write_table(t, os.path.join(path, "part-00000.parquet"))
+        log.append({"id": snap_id, "dir": rel, "op": op})
+        self._commit(table, log)
+        return snap_id
+
     def register_external(self, path: str, table: str, op: str = "overwrite") -> int:
         """Adopt an existing parquet directory as a snapshot without
         rewriting it (the segment-build stage writes its output once,

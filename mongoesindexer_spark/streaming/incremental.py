@@ -98,6 +98,48 @@ def poll_updates(source: DataFrame, indexed: DataFrame, *,
     return new.select(*cols).unionByName(stale.select(*cols))
 
 
+def writeback_indexed(spark: SparkSession, indexed_path: str,
+                      keys: list[str], key: str = "url",
+                      now=None) -> int:
+    """Upsert (key, last_indexed_at=now) rows into the poll writeback table
+    after a batch was applied — the reference's lastESIndexedAt writeback
+    (load.service.ts: indexOne sets lastESIndexedAt after each index).
+    Without it every poll tick re-selects the same first ``new_limit`` docs
+    and the cron loop never advances through the backlog.
+
+    The keys of one tick are bounded (new_limit + updated_limit), so they
+    arrive as a driver list; the rewrite is read-old → anti-join → union →
+    write-tmp → atomic-ish swap (the table is poll bookkeeping, not index
+    data — crash between remove and rename only re-indexes a tick's docs).
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    if not keys:
+        return 0
+    now = now if now is not None else F.current_timestamp()
+    schema = StructType([StructField(key, StringType()),
+                         StructField("last_indexed_at", TimestampType())])
+    fresh = (spark.createDataFrame([(k,) for k in keys], f"{key} string")
+             .withColumn("last_indexed_at", now))
+    if os.path.isdir(indexed_path) or os.path.isfile(indexed_path):
+        old = spark.read.parquet(indexed_path)
+        kdf = F.broadcast(fresh.select(key))
+        merged = old.join(kdf, key, "left_anti") \
+            .select(key, "last_indexed_at").unionByName(fresh)
+    else:
+        merged = fresh
+    tmp = indexed_path.rstrip("/") + f".tmp-{_uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(indexed_path):
+        shutil.rmtree(indexed_path)
+    os.rename(tmp, indexed_path)
+    return len(keys)
+
+
 class IncrementalIndexer:
     def __init__(self, index_dir: str, cfg: AnalyzerConfig = LTD_DOC,
                  block_size: int | None = None,
@@ -222,14 +264,19 @@ class IncrementalIndexer:
                     self.cat.read(spark, "term_dict"),
                     spark.sparkContext.defaultParallelism),
                 "completion")
-        self.cat.overwrite(
-            spark.createDataFrame(
-                [(n_docs2, float(avgdl2), int(sum_dl - dl_dead + dl_new))],
-                "n_docs long, avgdl double, sum_dl long"),
+        import pandas as pd
+        self.cat.write_small_arrow(
+            pd.DataFrame({
+                "n_docs": pd.Series([n_docs2], dtype="int64"),
+                "avgdl": pd.Series([float(avgdl2)], dtype="float64"),
+                "sum_dl": pd.Series([int(sum_dl - dl_dead + dl_new)],
+                                    dtype="int64")}),
             "global_stats")
         if batch_id:
-            self.cat.append(
-                spark.createDataFrame([(batch_id,)], "batch_id string"), "sync_log")
+            self.cat.write_small_arrow(
+                pd.DataFrame({"batch_id": pd.Series([batch_id],
+                                                    dtype="object")}),
+                "sync_log", op="append")
         delta_all.unpersist()
         dead.unpersist()
         return {"applied": True, "inserted": n_new, "tombstoned": n_dead,

@@ -49,6 +49,6 @@ def tiny_index(spark, tiny_dir, tmp_path_factory):
 
     index_dir = str(tmp_path_factory.mktemp("idx-tiny"))
     pages = spark.read.parquet(os.path.join(tiny_dir, "pages.parquet"))
-    builder = IndexBuilder(index_dir, n_buckets=8, docs_per_salt=200, block_size=32)
+    builder = IndexBuilder(index_dir, n_buckets=8, block_size=32)
     builder.build(spark, pages)
     return index_dir

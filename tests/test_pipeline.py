@@ -137,3 +137,16 @@ def test_pipeline_plan_broadcasts(spark, collections):
                            collections.__getitem__)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_empty_match_is_noop(spark, collections):
+    out = compile_pipeline(collections["CldDoc"], [{"$match": {}}],
+                           collections.__getitem__)
+    assert out.count() == 3
+
+
+def test_project_non_string_literal_raises(spark, collections):
+    with pytest.raises(ValueError, match="unsupported .project values"):
+        compile_pipeline(collections["CldDoc"],
+                         [{"$project": {"Title": 1, "weight": 2.5}}],
+                         collections.__getitem__).collect()

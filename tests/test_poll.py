@@ -112,3 +112,35 @@ def test_poll_plan_is_topk_not_global_sort(spark):
     # any Sort nodes must be partition-local (join requirement), never a
     # global sort of the source table ("true" = global flag)
     assert not re.search(r"Sort \[[^\]]*\], true,", plan)
+
+
+def test_writeback_indexed_upserts(spark, tmp_path):
+    """lastESIndexedAt writeback parity: applied keys are upserted into
+    the poll bookkeeping table so the next tick advances past them."""
+    from mongoesindexer_spark.streaming.incremental import (poll_updates,
+                                                            writeback_indexed)
+
+    path = str(tmp_path / "indexed.parquet")
+    # first write: table does not exist yet
+    assert writeback_indexed(spark, path, ["https://x/a", "https://x/b"],
+                             now=F.lit(NOW)) == 2
+    got = {r["url"]: r["last_indexed_at"]
+           for r in spark.read.parquet(path).collect()}
+    assert got == {"https://x/a": NOW, "https://x/b": NOW}
+
+    # upsert: existing key refreshed, new key added, untouched key kept
+    later = NOW + dt.timedelta(hours=1)
+    writeback_indexed(spark, path, ["https://x/b", "https://x/c"],
+                      now=F.lit(later))
+    got = {r["url"]: r["last_indexed_at"]
+           for r in spark.read.parquet(path).collect()}
+    assert got == {"https://x/a": NOW, "https://x/b": later,
+                   "https://x/c": later}
+
+    # the cron loop advances: a poll tick against the written table no
+    # longer re-selects the written keys as new
+    src = _pages(spark, [("https://x/a", NOW - dt.timedelta(days=2)),
+                         ("https://x/d", NOW)])
+    batch = poll_updates(src, spark.read.parquet(path),
+                         now=F.lit(later)).collect()
+    assert [(r["op"], r["url"]) for r in batch] == [("insert", "https://x/d")]

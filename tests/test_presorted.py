@@ -27,7 +27,7 @@ def presorted_index(spark, sorted_src, tmp_path_factory):
     from mongoesindexer_spark.operators.build_index import IndexBuilder
 
     idx = str(tmp_path_factory.mktemp("idx-presorted"))
-    IndexBuilder(idx, n_buckets=8, docs_per_salt=200, block_size=32,
+    IndexBuilder(idx, n_buckets=8, block_size=32,
                  pre_sorted=True).build(spark, spark.read.parquet(sorted_src))
     return idx
 
