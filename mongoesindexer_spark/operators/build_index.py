@@ -474,12 +474,19 @@ def read_doc_markers(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
 def encode_groups_sorted(pdf: pd.DataFrame, avgdl: float, block_size: int,
                          block_id_base: int = 0) -> dict:
     """Sort one encode group by (term, doc_id) and vector-encode every
-    term's blocks in one pass (see encode.encode_groups)."""
-    pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
-    return encode_groups(pdf["term"].values, pdf["doc_id"].values,
-                         pdf["tf"].values, pdf["doc_len"].values,
-                         avgdl, block_size=block_size,
-                         block_id_base=block_id_base)
+    term's blocks in one pass (see encode.encode_groups_coded).
+
+    The sort runs in integer space: terms are factorized once (C-level
+    hashing) and only vocab-many distinct strings are ever compared — a
+    pandas object sort of every posting row was the kernel's
+    memory-bandwidth ceiling under concurrent executors."""
+    from ..functions.encode import encode_groups_coded
+    codes, vocab = pd.factorize(pdf["term"].values, sort=False)
+    return encode_groups_coded(codes, np.asarray(vocab, dtype=object),
+                               pdf["doc_id"].values, pdf["tf"].values,
+                               pdf["doc_len"].values, avgdl,
+                               block_size=block_size,
+                               block_id_base=block_id_base)
 
 
 _BLOCKS_SCHEMA = pa.schema([
@@ -530,10 +537,20 @@ def _encode_file_writer(seg_dir: str, lineage_root: str, avgdl: float,
                 t = _pds.dataset(path, format="parquet").to_table(
                     columns=["term", "doc_id", "tf", "doc_len"],
                     filter=_pds.field("term").is_valid())
-                # pandas sort measured faster end-to-end than Arrow
-                # sort_by + object-array extraction on this shape
-                g = encode_groups_sorted(t.to_pandas(), avgdl, block_size,
-                                         int(off))
+                # dictionary-encode the term column IN ARROW (C++ hash, no
+                # Python string objects), then sort/encode in pure integer
+                # space — to_pandas + object sort of every posting row was
+                # this kernel's memory-bandwidth ceiling, visible as lost
+                # N→4N scaling when executors contend on DRAM
+                from ..functions.encode import encode_groups_coded
+                denc = t.column("term").combine_chunks().dictionary_encode()
+                g = encode_groups_coded(
+                    denc.indices.to_numpy(),
+                    np.asarray(denc.dictionary.to_pylist(), dtype=object),
+                    t.column("doc_id").to_numpy(),
+                    t.column("tf").to_numpy(),
+                    t.column("doc_len").to_numpy(),
+                    avgdl, block_size, int(off))
                 n_blocks = len(g["term"])
                 n_rows = t.num_rows
                 table = pa.table(

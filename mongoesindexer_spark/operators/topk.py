@@ -15,6 +15,7 @@ Determinism: ties broken by doc_id asc everywhere; float64 end-to-end.
 from __future__ import annotations
 
 import heapq
+import itertools
 
 import numpy as np
 import pandas as pd
@@ -183,19 +184,32 @@ class SearchEngine:
         return pdf.head(k).reset_index(drop=True)
 
     def topk_wand(self, query_text: str, k: int,
-                  use_wand: bool | None = None) -> pd.DataFrame:
+                  use_wand: bool | None = None,
+                  use_segments: bool | None = None) -> pd.DataFrame:
         """Top-k over the encoded blocks, cost-based (Lucene-style): when
         the candidate postings are few (< EXHAUSTIVE_CUTOFF), decode them
         all and score vectorized — the doc-at-a-time WAND loop's per-doc
         Python overhead dwarfs its skipped work at that size.  WAND takes
         over where pruning actually pays: large corpora with selective
         queries.  Both paths return identical rankings (property-tested).
-        ``use_wand`` forces a path (None = cost-based)."""
+        ``use_wand`` forces a path (None = cost-based).
+
+        Execution locus is cost-based too: when the candidate posting
+        count (Σ df from term_dict — a ≤|q|-row point read) exceeds
+        SEGMENT_FANOUT_CUTOFF, the query fans out per doc-disjoint segment
+        group as a Spark job and only ≤k rows per group reach the driver
+        (:meth:`topk_segments`) — a head term ("the" ≈ N postings) must
+        never materialize its full candidate block set driver-side.
+        ``use_segments`` forces the locus (None = cost-based)."""
         terms = _query_terms(query_text, self.cfg)
         if not terms:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
-        td_pdf = self._read_filtered("term_dict", terms, ["term", "idf"])
+        td_pdf = self._read_filtered("term_dict", terms, ["term", "idf", "df"])
         td = dict(zip(td_pdf["term"].values, td_pdf["idf"].values))
+        if use_segments is None:
+            use_segments = int(td_pdf["df"].sum()) >= SEGMENT_FANOUT_CUTOFF
+        if use_segments:
+            return self.topk_segments(terms, td, k)
         blocks_pdf = self._read_filtered("postings_blocks", terms)
         if use_wand is None:
             use_wand = int(blocks_pdf["n"].sum()) >= EXHAUSTIVE_CUTOFF
@@ -214,6 +228,91 @@ class SearchEngine:
         urls = self.fetch_urls([d for _, d in hits])
         return pd.DataFrame(
             [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
+            columns=["doc_id", "url", "score"],
+        )
+
+    # -- segment-parallel (distributed) path --------------------------------
+    def _segment_groups(self) -> list[list[str]]:
+        """Doc-disjoint work groups over the live postings_blocks dirs.
+
+        Base segments (``seg-f*.parquet``) each hold ALL terms for one doc
+        range → one group per file.  Delta snapshot dirs (incremental
+        sync) are term-bucketed INSIDE one doc-disjoint batch → the whole
+        dir is one group; splitting it per file would split a doc's terms
+        across tasks and mis-score it.
+        """
+        import os
+        groups: list[list[str]] = []
+        for d in self.cat._live_dirs("postings_blocks"):
+            files = sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith("."))
+            if not files:
+                continue
+            if all(os.path.basename(f).startswith("seg-") for f in files):
+                groups.extend([f] for f in files)
+            else:
+                groups.append(files)
+        return groups
+
+    def topk_segments(self, terms: list[str], idf_by_term: dict[str, float],
+                      k: int) -> pd.DataFrame:
+        """ES-shard-style fan-out: per doc-disjoint segment group, score
+        top-k locally (same cost-based exhaustive/WAND kernel) inside a
+        Spark task; merge the ≤ groups×k (score, doc_id) rows driver-side.
+
+        Rank-identical to the driver path: every doc's postings for all
+        query terms live in exactly one group (doc-range-disjoint
+        segments), so the global top-k is the top-k of the per-group
+        top-ks — the reference's ES executes WAND per shard and merges
+        the same way (4-shard analog, configs/ltd_doc.settings.json:244).
+        Driver traffic is ≤ k rows per group, never the candidate blocks.
+        """
+        groups = self._segment_groups()
+        if not groups:
+            return pd.DataFrame(columns=["doc_id", "url", "score"])
+        avgdl = self.avgdl
+        ts_bc = self.spark.sparkContext.broadcast(self.tombstones)
+        payload = [("\n".join(g),) for g in groups]
+        fdf = self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(payload, len(payload)),
+            "paths string")
+
+        def _seg_topk(it):
+            import pyarrow.dataset as _pds
+            for pdf in it:
+                for paths_str in pdf["paths"].values:
+                    ds = _pds.dataset(paths_str.split("\n"), format="parquet")
+                    bl = ds.to_table(
+                        filter=_pds.field("term").isin(terms)).to_pandas()
+                    if not len(bl):
+                        continue
+                    by_term: dict[str, list[dict]] = {}
+                    for r in bl.to_dict("records"):
+                        by_term.setdefault(r["term"], []).append(r)
+                    if int(bl["n"].sum()) >= EXHAUSTIVE_CUTOFF:
+                        cursors = [_TermCursor(idf_by_term[t], by_term[t], avgdl)
+                                   for t in terms if t in by_term]
+                        hits = wand_topk_arrays(cursors, avgdl, k,
+                                                ts_bc.value) if cursors else []
+                    else:
+                        hits = exhaustive_topk_arrays(
+                            {t: (idf_by_term[t], by_term[t])
+                             for t in terms if t in by_term},
+                            avgdl, k, ts_bc.value)
+                    if hits:
+                        yield pd.DataFrame(
+                            {"score": [s for s, _ in hits],
+                             "doc_id": [d for _, d in hits]})
+
+        rows = fdf.mapInPandas(_seg_topk,
+                               schema="score double, doc_id long").collect()
+        merged = sorted(((r["score"], r["doc_id"]) for r in rows),
+                        key=lambda t: (-t[0], t[1]))[:k]
+        urls = self.fetch_urls([d for _, d in merged])
+        return pd.DataFrame(
+            [{"doc_id": d, "url": urls.get(d), "score": s}
+             for s, d in merged],
             columns=["doc_id", "url", "score"],
         )
 
@@ -270,9 +369,19 @@ class _TermCursor:
     """
 
     __slots__ = ("idf", "blocks", "bi", "docs", "tfs", "dls", "pos",
-                 "max_tfn", "bounds")
+                 "max_tfn", "bounds", "ord")
 
-    def __init__(self, idf: float, blocks: list[dict], avgdl: float):
+    _next_ord = itertools.count()
+
+    def __init__(self, idf: float, blocks: list[dict], avgdl: float,
+                 ord: int | None = None):
+        # creation ordinal: scoring accumulates a doc's per-term
+        # contributions in THIS order, so float summation order (and the
+        # last-bit score) matches the vectorized exhaustive scorer, which
+        # sums per-term contributions in term order.  Default: a global
+        # monotone counter — callers build cursors in term order, so
+        # within one query creation order IS term order.
+        self.ord = next(self._next_ord) if ord is None else ord
         self.idf = idf
         self.blocks = sorted(blocks, key=lambda b: b["first_doc"])
         self.bounds = [
@@ -344,6 +453,14 @@ class _TermCursor:
 # counts only for selective queries on big corpora)
 EXHAUSTIVE_CUTOFF = 1 << 20
 
+# above this many candidate POSTINGS (Σ df over query terms), the query
+# must not materialize its blocks in the driver: fan out per segment group
+# (SearchEngine.topk_segments) and pay one Spark job instead — at 10^12
+# docs a head term's blocks are terabytes, while ≤k rows per group is the
+# bounded merge traffic.  ~64 MB of decoded postings is where the driver
+# fetch stops being obviously cheap.
+SEGMENT_FANOUT_CUTOFF = 1 << 22
+
 
 def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
                            avgdl: float, k: int,
@@ -395,16 +512,21 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
         if not cursors:
             break
         cursors.sort(key=lambda c: c.doc)
-        # pivot: smallest prefix whose cumulative max_score exceeds threshold
+        # pivot: smallest prefix whose cumulative max_score REACHES the
+        # threshold.  The comparisons here and at the block-max check are
+        # NON-strict: ties rank by doc_id asc, so a doc whose score equals
+        # the heap floor can still displace a larger-doc_id entry — strict
+        # pruning would skip it and break rank-identity with the
+        # exhaustive scorer (found by the hypothesis property test)
         acc = 0.0
         pivot_i = -1
         for i, c in enumerate(cursors):
             acc += c.max_score
-            if acc > threshold:
+            if acc >= threshold:
                 pivot_i = i
                 break
         if pivot_i < 0:
-            break  # no doc can beat the threshold
+            break  # no doc can beat (or tie into) the threshold
         pivot_doc = cursors[pivot_i].doc
         if cursors[0].doc == pivot_doc:
             # block-max check: sum of CURRENT block maxima for cursors at pivot
@@ -413,17 +535,25 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                 if c.exhausted or c.doc > pivot_doc:
                     break
                 bm += c.block_max_score
-            if bm > threshold and pivot_doc not in tombstones:
+            if bm >= threshold and pivot_doc not in tombstones:
                 score = 0.0
                 norm = None
-                for c in cursors:
-                    if not c.exhausted and c.doc == pivot_doc:
-                        if norm is None:
-                            # every cursor at the pivot carries the same
-                            # doc_len; decode it from the first one
-                            norm = K1 * (1.0 - B + B * float(c.dl) / avgdl)
-                        tf = float(c.tf)
-                        score += c.idf * tf * (K1 + 1.0) / (tf + norm)
+                # accumulate in cursor-creation (term) order — the sorted
+                # cursor list's order among equal docs is sort-history
+                # dependent, and float addition order changes the last
+                # bit, which can flip the ranking of near-tied docs vs
+                # the exhaustive scorer (rank-identity contract)
+                at_pivot = sorted(
+                    (c for c in cursors
+                     if not c.exhausted and c.doc == pivot_doc),
+                    key=lambda c: c.ord)
+                for c in at_pivot:
+                    if norm is None:
+                        # every cursor at the pivot carries the same
+                        # doc_len; decode it from the first one
+                        norm = K1 * (1.0 - B + B * float(c.dl) / avgdl)
+                    tf = float(c.tf)
+                    score += c.idf * tf * (K1 + 1.0) / (tf + norm)
                 if len(heap) < k:
                     heapq.heappush(heap, (score, -pivot_doc))
                     if len(heap) == k:

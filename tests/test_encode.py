@@ -126,3 +126,47 @@ def test_encode_groups_equals_per_term():
                   "tfs_vb", "dls_vb", "max_tf", "min_dl", "sum_tf"):
             assert r[k] == g[k][i], (i, k)
         assert abs(r["block_max_tfn"] - g["block_max_tfn"][i]) < 1e-12
+
+
+def test_encode_groups_coded_equals_object_path():
+    """The integer-space (dictionary-coded) sort+encode must be
+    bit-identical to sorting the decoded strings — it is the encode
+    kernel's hot path."""
+    import numpy as np
+    import pandas as pd
+    from mongoesindexer_spark.functions.encode import (encode_groups,
+                                                       encode_groups_coded)
+
+    rng = np.random.RandomState(11)
+    vocab = np.array(
+        [f"term{i:03d}" for i in range(40)] + ["a", "zz", "mid"], dtype=object)
+    n = 4000
+    df = pd.DataFrame({
+        "c": rng.randint(0, len(vocab), n),
+        "d": rng.randint(0, 1500, n),
+        "t": rng.randint(1, 7, n),
+        "l": rng.randint(4, 200, n),
+    }).drop_duplicates(["c", "d"])
+    codes, doc_ids = df.c.values, df.d.values
+    terms = vocab[codes]
+    order = np.lexsort((doc_ids, terms))
+    g1 = encode_groups(terms[order], doc_ids[order], df.t.values[order],
+                       df.l.values[order], 57.3, block_size=16,
+                       block_id_base=7)
+    g2 = encode_groups_coded(codes, vocab, doc_ids, df.t.values,
+                             df.l.values, 57.3, block_size=16,
+                             block_id_base=7)
+    for k in g1:
+        assert list(g1[k]) == list(g2[k]), k
+
+
+def test_encode_groups_coded_empty():
+    import numpy as np
+    from mongoesindexer_spark.functions.encode import encode_groups_coded
+
+    g = encode_groups_coded(np.array([], dtype=np.int64),
+                            np.array([], dtype=object),
+                            np.array([], dtype=np.int64),
+                            np.array([], dtype=np.int64),
+                            np.array([], dtype=np.int64), 1.0)
+    assert list(g["term"]) == []

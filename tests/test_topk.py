@@ -51,3 +51,71 @@ def test_conjunctive_mode(spark, tiny_index, oracle_tiny):
         for t in terms:
             plist = oracle_tiny.postings.get(t, {})
             assert h["doc_id"] in plist, f"doc {h['doc_id']} missing term {t}"
+
+
+# ---------------------------------------------------------------------------
+# segment-parallel (distributed) WAND — the head-term scale path
+# ---------------------------------------------------------------------------
+
+
+def test_segment_fanout_matches_driver_path(spark, tiny_index, tiny_queries):
+    """Per-segment top-k + driver merge must be rank-identical to the
+    driver-side WAND for every fixture query (doc-disjoint segments ⇒
+    the global top-k is the top-k of per-group top-ks)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+
+    eng = get_engine(spark, tiny_index)
+    for r in tiny_queries.itertuples():
+        drv = eng.topk_wand(r.query_text, r.k, use_segments=False)
+        seg = eng.topk_wand(r.query_text, r.k, use_segments=True)
+        assert [(x.doc_id, round(x.score, 9)) for x in drv.itertuples()] == \
+            [(x.doc_id, round(x.score, 9)) for x in seg.itertuples()], \
+            r.query_text
+
+
+def test_segment_fanout_never_reads_blocks_driver_side(spark, tiny_index):
+    """The scale path must not materialize candidate blocks in the driver:
+    only term_dict point reads and the ≤k-per-group merge rows cross."""
+    from mongoesindexer_spark.operators.topk import SearchEngine, get_engine
+
+    eng = get_engine(spark, tiny_index)
+    orig = SearchEngine._read_filtered
+
+    def guarded(self, table, terms, columns=None):
+        assert table != "postings_blocks", \
+            "segment fan-out fetched candidate blocks into the driver"
+        return orig(self, table, terms, columns)
+
+    SearchEngine._read_filtered = guarded
+    try:
+        out = eng.topk_wand("the quick data", 5, use_segments=True)
+        assert len(out) > 0
+    finally:
+        SearchEngine._read_filtered = orig
+
+
+def test_segment_fanout_with_delta_segments(spark, tiny_dir, tmp_path):
+    """After incremental sync (term-bucketed delta snapshot dirs), the
+    group split must keep each delta batch whole — per-file splitting
+    would split a doc's terms across tasks and mis-score it."""
+    import os
+    import datetime as dt
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.topk import get_engine
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    idx = str(tmp_path / "idx")
+    pages = spark.read.parquet(os.path.join(tiny_dir, "pages.parquet"))
+    IndexBuilder(idx, n_buckets=8, block_size=32).build(spark, pages)
+    ups = spark.createDataFrame(
+        [("insert", "https://new.example/a", dt.datetime(2026, 1, 1), None,
+          "quick brown data flows through the new spark engine quick data", "en")],
+        "op string, url string, warc_ts timestamp, html binary, "
+        "text string, lang string")
+    IncrementalIndexer(idx).apply_updates(spark, ups)
+    eng = get_engine(spark, idx)
+    for q, k in [("quick data", 10), ("the", 20), ("spark engine", 5)]:
+        drv = eng.topk_wand(q, k, use_segments=False)
+        seg = eng.topk_wand(q, k, use_segments=True)
+        assert [(x.doc_id, round(x.score, 9)) for x in drv.itertuples()] == \
+            [(x.doc_id, round(x.score, 9)) for x in seg.itertuples()], q
