@@ -508,6 +508,71 @@ BLOCKS_DDL = ("term string, block_id long, first_doc long, last_doc long, "
               "block_max_tfn double, max_tf long, min_dl long, sum_tf long")
 
 
+def encode_flat_file(path: str, seg_path: str, avgdl: float,
+                     block_size: int, block_id_base: int,
+                     drop_doc_ids: np.ndarray | None = None,
+                     flat_out_path: str | None = None) -> tuple[int, int]:
+    """Encode ONE doc-range-disjoint postings_flat part file into ONE
+    segment file (hidden-tmp + atomic rename) — the shared task kernel of
+    the build's encode stage, delta-segment encoding, and compaction.
+
+    ``drop_doc_ids``: doc ids to remove first (compaction tombstones).
+    ``flat_out_path``: also rewrite the surviving flat rows (all columns,
+    marker rows included) to this path — compaction's flat rewrite rides
+    the same single read.  Returns (postings_rows, blocks) written.
+
+    No shuffle anywhere: the file IS the doc range, so a local
+    (term, doc_id) sort yields per-term block runs globally disjoint
+    across segments — the monotone streams WAND cursors concatenate.
+    """
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pds
+
+    from ..functions.encode import encode_groups_coded
+
+    ds = _pds.dataset(path, format="parquet")
+    if drop_doc_ids is None and flat_out_path is None:
+        t = ds.to_table(columns=["term", "doc_id", "tf", "doc_len"],
+                        filter=_pds.field("term").is_valid())
+    else:
+        full = ds.to_table()
+        if drop_doc_ids is not None and drop_doc_ids.size:
+            keep = ~np.isin(full.column("doc_id").to_numpy(),
+                            drop_doc_ids)
+            full = full.filter(pa.array(keep))
+        if flat_out_path is not None and full.num_rows:
+            tmp = os.path.join(
+                os.path.dirname(flat_out_path),
+                f".tmp-{uuid.uuid4().hex}-{os.path.basename(flat_out_path)}")
+            pq.write_table(full, tmp)
+            os.replace(tmp, flat_out_path)
+        t = full.filter(
+            _pc.is_valid(full.column("term"))
+        ).select(["term", "doc_id", "tf", "doc_len"])
+    # dictionary-encode the term column IN ARROW, sort+encode in integer
+    # space (see _encode_file_writer rationale)
+    denc = t.column("term").combine_chunks().dictionary_encode()
+    g = encode_groups_coded(
+        denc.indices.to_numpy(),
+        np.asarray(denc.dictionary.to_pylist(), dtype=object),
+        t.column("doc_id").to_numpy(), t.column("tf").to_numpy(),
+        t.column("doc_len").to_numpy(), avgdl, block_size,
+        block_id_base)
+    n_blocks = len(g["term"])
+    table = pa.table(
+        {k: list(g[k]) if isinstance(g[k], list) else g[k]
+         for k in _BLOCKS_SCHEMA.names}, schema=_BLOCKS_SCHEMA
+    ) if n_blocks else _BLOCKS_SCHEMA.empty_table()
+    tmp = os.path.join(
+        os.path.dirname(seg_path),
+        f".tmp-{uuid.uuid4().hex}-{os.path.basename(seg_path)}")
+    # term-sorted rows in small row groups so query-time term-isin
+    # filters prune on row-group stats
+    pq.write_table(table, tmp, row_group_size=2048)
+    os.replace(tmp, seg_path)
+    return t.num_rows, n_blocks
+
+
 def _encode_file_writer(seg_dir: str, lineage_root: str, avgdl: float,
                         block_size: int,
                         fail_partitions: frozenset[str]) -> Callable:
@@ -526,7 +591,6 @@ def _encode_file_writer(seg_dir: str, lineage_root: str, avgdl: float,
     """
 
     def _encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.dataset as _pds
         for files_pdf in it:
             for path, off, idx in zip(files_pdf["path"].values,
                                       files_pdf["off"].values,
@@ -534,39 +598,11 @@ def _encode_file_writer(seg_dir: str, lineage_root: str, avgdl: float,
                 part = f"f{int(idx):06d}"
                 if part in fail_partitions:
                     raise RuntimeError(f"injected failure at encode:{part}")
-                t = _pds.dataset(path, format="parquet").to_table(
-                    columns=["term", "doc_id", "tf", "doc_len"],
-                    filter=_pds.field("term").is_valid())
-                # dictionary-encode the term column IN ARROW (C++ hash, no
-                # Python string objects), then sort/encode in pure integer
-                # space — to_pandas + object sort of every posting row was
-                # this kernel's memory-bandwidth ceiling, visible as lost
-                # N→4N scaling when executors contend on DRAM
-                from ..functions.encode import encode_groups_coded
-                denc = t.column("term").combine_chunks().dictionary_encode()
-                g = encode_groups_coded(
-                    denc.indices.to_numpy(),
-                    np.asarray(denc.dictionary.to_pylist(), dtype=object),
-                    t.column("doc_id").to_numpy(),
-                    t.column("tf").to_numpy(),
-                    t.column("doc_len").to_numpy(),
+                n_rows, n_blocks = encode_flat_file(
+                    path, os.path.join(seg_dir, f"seg-{part}.parquet"),
                     avgdl, block_size, int(off))
-                n_blocks = len(g["term"])
-                n_rows = t.num_rows
-                table = pa.table(
-                    {k: list(g[k]) if isinstance(g[k], list) else g[k] for k in
-                     _BLOCKS_SCHEMA.names}, schema=_BLOCKS_SCHEMA
-                ) if n_blocks else _BLOCKS_SCHEMA.empty_table()
-                final = os.path.join(seg_dir, f"seg-{part}.parquet")
-                tmp = os.path.join(
-                    seg_dir, f".tmp-{uuid.uuid4().hex}-seg-{part}.parquet")
-                # term-sorted rows in small row groups so query-time
-                # term-isin filters prune on row-group stats
-                pq.write_table(table, tmp, row_group_size=2048)
-                os.replace(tmp, final)
                 Lineage(lineage_root).mark_partition(
                     "encode", part, rows=n_rows, blocks=n_blocks,
-                    bytes=int(table.nbytes),
                 )
                 yield pd.DataFrame({
                     "partition": [part], "rows": [n_rows],

@@ -5,6 +5,16 @@ query paths union segments and anti-join tombstones).  Compaction rewrites
 the index to a single clean generation — the Spark analog of Lucene's
 background segment merging (opaque inside ES in the reference).
 
+Execution shape: ONE task per live postings_flat part file (every flat
+part is doc-range disjoint by construction — base parts are tokenize
+range partitions, delta parts are url-range partitions of a doc-id range
+above all earlier ids), each task tombstone-filters, rewrites the flat
+part and encodes its segment in a single pyarrow pass — ZERO shuffle.
+The former design bucketed postings by hash(term) across the whole
+corpus, which concentrates a head term's entire posting list in one task
+(the exact skew the build stage's per-file encode exists to avoid) and
+shuffles every posting byte; at 10^12 docs it would OOM or crawl.
+
 Invariant (tested): compacting base+deltas−tombstones produces an index
 whose query results equal the merged view's, and whose postings equal a
 from-scratch rebuild's on the same live docs (doc_ids are preserved, not
@@ -13,56 +23,102 @@ re-ranked — compaction must not invalidate external references).
 
 from __future__ import annotations
 
+import os
+import uuid
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.build_index import BLOCKS_DDL, IndexBuilder, encode_groups_sorted
-from ..sources.catalog import ParquetCatalog
+from ..operators.build_index import (IndexBuilder, encode_flat_file,
+                                     source_files_presorted)
+from ..sources.catalog import ParquetCatalog, read_table_arrow
 
 
-def compact(spark: SparkSession, index_dir: str,
-            n_buckets: int | None = None) -> dict:
+def compact(spark: SparkSession, index_dir: str) -> dict:
     """Rewrite postings_flat/doc_stats/postings_blocks without tombstoned
     docs; clear tombstones.  term_dict/global_stats are already exact
     (incremental sync maintains them by delta arithmetic) and are kept.
+
+    Commit order: new flat+segments are registered first, tombstones are
+    cleared LAST — a crash in between leaves a consistent merge-on-read
+    view (anti-joining already-removed ids is a no-op).
     """
     from ..operators.build_index import check_format_version
     check_format_version(index_dir, "compaction target")
     cat = ParquetCatalog(index_dir)
     builder = IndexBuilder(index_dir)
-    n_buckets = n_buckets or builder.n_buckets
     if not cat.table_exists("tombstones"):
         return {"compacted": False, "reason": "no tombstones"}
-    ts = cat.read(spark, "tombstones")
-    n_dead = ts.count()
-
-    live_all = cat.read(spark, "postings_flat").join(
-        F.broadcast(ts), "doc_id", "left_anti")
-    live_flat = live_all.filter(F.col("term").isNotNull()).drop("url")
-    live_stats = cat.read(spark, "doc_stats").join(
-        F.broadcast(ts), "doc_id", "left_anti")
-    g = cat.read(spark, "global_stats").collect()[0]
-    avgdl = float(g["avgdl"] or 1.0) or 1.0
+    # tombstones are bounded by churn-since-last-compaction (cleared on
+    # every compact), so a driver-side read + executor broadcast is the
+    # right size; corpus-scale data never leaves the executors
+    ts_pdf = read_table_arrow(cat, "tombstones")
+    dead = np.unique(ts_pdf["doc_id"].to_numpy().astype(np.int64)) \
+        if len(ts_pdf) else np.array([], dtype=np.int64)
+    if dead.size == 0:
+        return {"compacted": False, "reason": "no tombstones"}
+    avgdl = float(read_table_arrow(
+        cat, "global_stats").iloc[0]["avgdl"] or 1.0) or 1.0
     bs = builder.block_size
 
-    def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        g = encode_groups_sorted(pdf, avgdl, bs)
-        cols = ["term", "block_id", "first_doc", "last_doc", "n",
-                "docs_vb", "tfs_vb", "dls_vb", "block_max_tfn",
-                "max_tf", "min_dl", "sum_tf"]
-        return pd.DataFrame({c: g[c] for c in cols}, columns=cols)
+    paths = []
+    for d in cat._live_dirs("postings_flat"):
+        paths.extend(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.startswith("part-") and f.endswith(".parquet"))
+    # doc-range disjointness validated from footer stats; offsets double
+    # as block_id bases (unique within the new generation)
+    files = source_files_presorted(paths, key="doc_id")
 
-    blocks = (
-        live_flat.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        .groupBy("bucket")
-        .applyInPandas(_enc, schema=BLOCKS_DDL)
-    )
-    # order matters: rewrite data tables first, clear tombstones last —
-    # a crash in between leaves a consistent merge-on-read view.
-    cat.overwrite(live_all, "postings_flat")
+    gen = uuid.uuid4().hex[:8]
+    new_flat = os.path.join(index_dir, "compacted", gen, "flat")
+    new_seg = os.path.join(index_dir, "segments", f"cmp-{gen}")
+    os.makedirs(new_flat, exist_ok=True)
+    os.makedirs(new_seg, exist_ok=True)
+    dead_bc = spark.sparkContext.broadcast(dead)
+
+    def _cmp(it):
+        for pdf in it:
+            for path, off, idx in zip(pdf["path"].values, pdf["off"].values,
+                                      pdf["idx"].values):
+                n_rows, n_blocks = encode_flat_file(
+                    path,
+                    os.path.join(new_seg, f"seg-c{int(idx):06d}.parquet"),
+                    avgdl, bs, int(off),
+                    drop_doc_ids=dead_bc.value,
+                    flat_out_path=os.path.join(
+                        new_flat, f"part-{int(idx):05d}-cmp.parquet"))
+                yield pd.DataFrame({"partition": [int(idx)],
+                                    "rows": [n_rows], "blocks": [n_blocks]})
+
+    todo = [(p, off, i) for i, (p, off) in enumerate(files)]
+    stats = []
+    if todo:
+        fdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(todo, len(todo)),
+            "path string, off long, idx long")
+        stats = fdf.mapInPandas(
+            _cmp, schema="partition long, rows long, blocks long").collect()
+    if not os.listdir(new_flat):
+        # fully-tombstoned corpus: keep a readable empty table
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(
+            pa.schema([("term", pa.string()), ("doc_id", pa.int64()),
+                       ("tf", pa.int64()), ("doc_len", pa.int64()),
+                       ("url", pa.string())]).empty_table(),
+            os.path.join(new_flat, "part-00000-cmp.parquet"))
+
+    n_dead = int(dead.size)
+    live_stats = cat.read(spark, "doc_stats").join(
+        F.broadcast(spark.createDataFrame(
+            [(int(d),) for d in dead], "doc_id long")), "doc_id", "left_anti")
     cat.overwrite(live_stats, "doc_stats")
-    cat.overwrite(blocks, "postings_blocks")
-    cat.overwrite(spark.createDataFrame([], "doc_id long"), "tombstones")
-    return {"compacted": True, "removed_docs": int(n_dead)}
+    cat.register_external(new_flat, "postings_flat")
+    cat.register_external(new_seg, "postings_blocks")
+    cat.write_small_arrow(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64")}), "tombstones")
+    return {"compacted": True, "removed_docs": n_dead,
+            "segments": len(stats)}

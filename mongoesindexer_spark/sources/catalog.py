@@ -164,6 +164,15 @@ class ParquetCatalog:
         log = self._read_log(table)
         return log[-1]["id"] if log else 0
 
+    def snapshot_dir(self, table: str, snap_id: int) -> str:
+        """Absolute directory of one committed snapshot (for per-file
+        post-processing of rows just appended, e.g. delta-segment encode)."""
+        for e in self._read_log(table):
+            if e["id"] == snap_id:
+                return (e["dir"] if os.path.isabs(e["dir"])
+                        else os.path.join(self.root, table, e["dir"]))
+        raise KeyError(f"table {table!r} has no snapshot {snap_id}")
+
 
 def read_table_arrow(cat: ParquetCatalog, table: str,
                      columns: list[str] | None = None,

@@ -245,12 +245,17 @@ class IncrementalIndexer:
                                      / (F.col("df") + 0.5)))
         )
 
-        # --- encode delta segment (new doc range ⇒ disjoint blocks) --------
+        # --- append flat rows, then encode the delta segment from the
+        # written part files (new doc range ⇒ blocks disjoint from base).
+        # Delta flat parts are url-range partitions of a doc range above
+        # all earlier ids, hence doc-range disjoint — the per-file encode
+        # needs NO shuffle at any batch size, where the former
+        # groupBy(hash(term)) put a backfill batch's head terms each on a
+        # single task (the skew the build's encode stage exists to avoid)
         avgdl2 = (sum_dl - dl_dead + dl_new) / max(1, n_docs2)
-        self._encode_delta(spark, delta_flat, avgdl2, base_id)
-
-        # --- commit table updates -----------------------------------------
-        self.cat.append(delta_all, "postings_flat")
+        snap = self.cat.append(delta_all, "postings_flat")
+        self._encode_delta(
+            spark, self.cat.snapshot_dir("postings_flat", snap), avgdl2)
         self.cat.append(new_doc_stats, "doc_stats")
         if n_dead:
             self.cat.append(dead.select("doc_id"), "tombstones")
@@ -282,32 +287,53 @@ class IncrementalIndexer:
         return {"applied": True, "inserted": n_new, "tombstoned": n_dead,
                 "n_docs": n_docs2}
 
-    def _encode_delta(self, spark: SparkSession, delta_flat: DataFrame,
-                      avgdl: float, base_id: int) -> None:
-        """Encode the delta postings as new block rows appended to
-        ``postings_blocks``.  Block ids continue above every existing block
-        id; blocks are doc-range-disjoint from base blocks by id
-        construction (all delta doc_ids > base max)."""
+    def _encode_delta(self, spark: SparkSession, delta_dir: str,
+                      avgdl: float) -> None:
+        """Encode the just-appended delta flat part files as new block
+        segment files — one task per file, no shuffle (files are
+        doc-range disjoint; see apply_updates).  Block ids continue above
+        every existing block id so (term, block_id) order remains the
+        doc order across generations."""
+        import os
+        import uuid as _uuid
+
         import pandas as pd
 
-        from ..operators.build_index import BLOCKS_DDL, encode_groups_sorted
+        from ..operators.build_index import (encode_flat_file,
+                                             source_files_presorted)
 
         bs = self.builder.block_size
+        paths = [os.path.join(delta_dir, f) for f in os.listdir(delta_dir)
+                 if f.startswith("part-") and f.endswith(".parquet")]
+        files = source_files_presorted(paths, key="doc_id")
+        if not files:
+            return
+        # metadata-column aggregate (one small job) keeps block ids
+        # globally unique across base + every delta generation
         max_block = self.cat.read(spark, "postings_blocks") \
             .agg(F.max("block_id")).collect()[0][0] or 0
         block_base = int(max_block) + 1
+        gen = _uuid.uuid4().hex[:8]
+        seg_dir = os.path.join(self.index_dir, "segments", f"delta-{gen}")
+        os.makedirs(seg_dir, exist_ok=True)
+        todo = [(p, block_base + off, i) for i, (p, off) in enumerate(files)]
 
-        def _enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            g = encode_groups_sorted(pdf, avgdl, bs, block_base)
-            cols = ["term", "block_id", "first_doc", "last_doc", "n",
-                    "docs_vb", "tfs_vb", "dls_vb", "block_max_tfn",
-                    "max_tf", "min_dl", "sum_tf"]
-            return pd.DataFrame({c: g[c] for c in cols}, columns=cols)
+        def _enc(it):
+            for pdf in it:
+                for path, base, idx in zip(pdf["path"].values,
+                                           pdf["base"].values,
+                                           pdf["idx"].values):
+                    n_rows, n_blocks = encode_flat_file(
+                        path,
+                        os.path.join(seg_dir, f"seg-d{int(idx):06d}.parquet"),
+                        avgdl, bs, int(base))
+                    yield pd.DataFrame({"partition": [int(idx)],
+                                        "rows": [n_rows],
+                                        "blocks": [n_blocks]})
 
-        delta_blocks = (
-            delta_flat.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(self.builder.n_buckets)).cast("int"))
-            .groupBy("bucket")
-            .applyInPandas(_enc, schema=BLOCKS_DDL)
-        )
-        self.cat.append(delta_blocks, "postings_blocks")
+        fdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(todo, len(todo)),
+            "path string, base long, idx long")
+        fdf.mapInPandas(
+            _enc, schema="partition long, rows long, blocks long").collect()
+        self.cat.register_external(seg_dir, "postings_blocks", op="append")

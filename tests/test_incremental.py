@@ -112,3 +112,60 @@ def test_compaction_preserves_results(spark, synced, oracle_updated):
     for q in QUERIES:
         assert _topk_pairs_wand(spark, synced, q, 10) == before[q], q
         assert _topk_pairs_df(spark, synced, q, 10) == _oracle_pairs(oracle_updated, q, 10), q
+
+
+def test_delta_segments_doc_disjoint_per_file(spark, tiny_index, tiny_dir,
+                                              tmp_path):
+    """Delta encode is per-file over the appended flat parts (no term-hash
+    shuffle exists anymore): every delta segment file must cover a doc
+    range disjoint from its siblings — the invariant that makes per-file
+    encoding and per-segment query fan-out correct."""
+    import glob
+    import pyarrow.parquet as pq
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+
+    d = str(tmp_path / "idx")
+    shutil.copytree(tiny_index, d)
+    upd = spark.read.parquet(os.path.join(tiny_dir, "pages_updates.parquet"))
+    IncrementalIndexer(d).apply_updates(spark, upd)
+    cat = ParquetCatalog(d)
+    delta_dirs = [p for p in cat._live_dirs("postings_blocks")
+                  if "delta-" in os.path.basename(p)]
+    assert delta_dirs, "sync must register a delta segment dir"
+    for dd in delta_dirs:
+        spans = []
+        for f in glob.glob(os.path.join(dd, "seg-*.parquet")):
+            t = pq.read_table(f, columns=["first_doc", "last_doc"])
+            if t.num_rows:
+                spans.append((min(t.column("first_doc").to_pylist()),
+                              max(t.column("last_doc").to_pylist())))
+        spans.sort()
+        for (_, b1), (a2, _) in zip(spans, spans[1:]):
+            assert b1 < a2, "delta segment files overlap in doc range"
+
+
+def test_compaction_avoids_corpus_shuffle(spark, tiny_index, tiny_dir,
+                                          tmp_path):
+    """Compaction re-encodes per doc-range file; a corpus-wide
+    groupBy/repartition (the old hash(term) bucket shuffle, which puts a
+    head term's whole posting list on one task) must never reappear."""
+    from pyspark.sql import DataFrame
+    from mongoesindexer_spark.operators.merge import compact
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "idx")
+    shutil.copytree(tiny_index, d)
+    upd = spark.read.parquet(os.path.join(tiny_dir, "pages_updates.parquet"))
+    IncrementalIndexer(d).apply_updates(spark, upd)
+
+    def forbid(self, *a, **k):
+        raise AssertionError("corpus shuffle operator used in compaction")
+
+    orig_gb, orig_rp = DataFrame.groupBy, DataFrame.repartition
+    DataFrame.groupBy, DataFrame.repartition = forbid, forbid
+    try:
+        res = compact(spark, d)
+    finally:
+        DataFrame.groupBy, DataFrame.repartition = orig_gb, orig_rp
+    assert res["compacted"] and res["removed_docs"] == 25
