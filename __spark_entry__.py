@@ -278,6 +278,10 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLY remaining rows-only entry: signatures are built from
+    Spark's xxhash64, which DuckDB does not implement, so an exact SQL
+    oracle is genuinely infeasible — recall/precision are pinned by
+    tests/test_ann_recall.py and the exact n-gram Jaccard twin instead."""
     from mongoesindexer_spark.operators.dedup import minhash_lsh_candidates
     return minhash_lsh_candidates(_read(spark, sf_dir, "documents"),
                                   num_hashes=32, bands=8)
@@ -523,6 +527,33 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(
         f"'{w}'" for w in sorted(__import__("mongoesindexer_spark.functions.analysis",
                                             fromlist=["ENGLISH_STOPWORDS"]).ENGLISH_STOPWORDS))
+
+    # Random-hyperplane LSH oracles: the planes are RandomState(seed)
+    # literals (operators/ann.py hyperplane_buckets), so the exact bucket
+    # arithmetic is expressible in DuckDB — emit each plane as a DOUBLE
+    # list constant and fold sign bits with the same MSB-first weights.
+    import numpy as _np
+
+    def _dot_sql(vec_expr: str, plane) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (f"list_aggregate(list_transform(list_zip({vec_expr}, {lit}), "
+                "p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')")
+
+    def _bucket_sql(vec_expr: str, planes) -> str:
+        n = len(planes)
+        bits = [f"(CASE WHEN {_dot_sql(vec_expr, p)} > 0 THEN {1 << (n - 1 - i)} ELSE 0 END)"
+                for i, p in enumerate(planes)]
+        return "(" + " + ".join(bits) + ")"
+
+    ann_planes = _np.random.RandomState(42).standard_normal((6, 64))
+    dup_planes = _np.random.RandomState(42).standard_normal((4, 64))
+    cos_sql = (
+        "(list_aggregate(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') "
+        "/ (sqrt(list_aggregate(list_transform(a.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) "
+        "* sqrt(list_aggregate(list_transform(b.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))")
     return {
         "ft_term_stats": f"""
             SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS coll_freq
@@ -667,6 +698,16 @@ def oracle_sql() -> dict[str, str]:
                       * sqrt(list_aggregate(list_transform(b.embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))) >= 0.42
         """,
+        "dedup_embedding_lsh": f"""
+            WITH bk AS (SELECT vec_id, embedding,
+                               {_bucket_sql('embedding', dup_planes)} AS bucket
+                        FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round({cos_sql} * 1e4) AS BIGINT) AS cos_e4
+            FROM bk a JOIN bk b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {cos_sql} >= 0.42
+        """,
         "media_metadata": """
             SELECT doc_id AS media_id, 'text' AS kind,
                    'application/octet-stream' AS mime,
@@ -740,6 +781,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CAST(round(cosine * 1e4) AS BIGINT) AS cos_e4
             FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_cosine_lsh": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            qb AS (SELECT {_bucket_sql('qv', ann_planes)} AS qbucket FROM q),
+            cand AS (
+                SELECT e.vec_id,
+                       {cos_sql.replace('a.embedding', 'e.embedding')
+                               .replace('b.embedding', 'q.qv')} AS cosine
+                FROM embeddings e CROSS JOIN q CROSS JOIN qb
+                WHERE e.vec_id <> 0
+                  AND {_bucket_sql('e.embedding', ann_planes)} = qb.qbucket
+            )
+            SELECT vec_id, CAST(round(cosine * 1e4) AS BIGINT) AS cos_e4
+            FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         # FNV-1a 64 per token folded in HUGEINT arithmetic mod 2^64 —
         # byte == codepoint holds because the driver corpus is ASCII

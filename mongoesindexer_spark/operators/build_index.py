@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from ..functions.analysis import LTD_DOC, AnalyzerConfig, analyze_index, extract_text
 from ..functions.encode import BLOCK_SIZE, encode_blocks, encode_groups
 from ..plans.lineage import Lineage
+from ..sources import fsio
 from ..sources.catalog import ParquetCatalog
 
 DEFAULT_N_BUCKETS = 32
@@ -243,22 +244,25 @@ def _tokenize_batch(doc_id_vals, url_vals, text_vals,
     })
 
 
-def sorted_doc_files(art_dir: str) -> list[tuple[str, int]]:
+def sorted_doc_files(art_dir: str,
+                     filesystem=None) -> list[tuple[str, int]]:
     """(path, rank_offset) per part-file of a range-sorted parquet artifact.
 
     File-name order == range-partition order == global key order, and each
     footer's row count is exact — so cumulative offsets give every row's
     global rank with zero extra jobs.  Driver-side listing is fine up to
-    ~10^5 files; beyond that, distribute the footer reads.
+    ~10^5 files; beyond that, distribute the footer reads.  ``filesystem``:
+    optional pyarrow FileSystem for S3/HDFS artifacts (sources.fsio).
     """
-    import pyarrow.parquet as _pq
+    from ..sources import fsio
 
     # sort by the PARSED part index, not the raw name: Spark widens part
     # numbering past %05d at >=100k tasks, and 'part-100000-…' would sort
     # lexicographically between 'part-10000-…' and 'part-10001-…',
     # silently breaking rank offsets exactly at web scale
     files = sorted(
-        (os.path.join(art_dir, f) for f in os.listdir(art_dir)
+        (os.path.join(art_dir, f)
+         for f in fsio.listdir(art_dir, filesystem)
          if f.startswith("part-") and f.endswith(".parquet")),
         key=lambda p: int(os.path.basename(p).split("-")[1]),
     )
@@ -266,12 +270,12 @@ def sorted_doc_files(art_dir: str) -> list[tuple[str, int]]:
     acc = 0
     for p in files:
         out.append((p, acc))
-        acc += _pq.ParquetFile(p).metadata.num_rows
+        acc += fsio.parquet_file(p, filesystem).metadata.num_rows
     return out
 
 
-def source_files_presorted(paths: list[str],
-                           key: str = "url") -> list[tuple[str, int]]:
+def source_files_presorted(paths: list[str], key: str = "url",
+                           filesystem=None) -> list[tuple[str, int]]:
     """(path, rank_offset) per SOURCE parquet file, for corpora already
     laid out in global key order (e.g. an Iceberg/parquet table written
     ``SORTED BY url``) — the opt-out for the ``docs_sorted`` rewrite: at
@@ -288,11 +292,11 @@ def source_files_presorted(paths: list[str],
     cannot be proven from footers; the caller asserts it by choosing
     ``pre_sorted`` (the writer's SORTED BY contract).
     """
-    import pyarrow.parquet as _pq
+    from ..sources import fsio
 
     infos = []
     for p in paths:
-        md = _pq.ParquetFile(p).metadata
+        md = fsio.parquet_file(p, filesystem).metadata
         if md.num_rows == 0:
             continue
         col_idx = next((i for i in range(md.num_columns)
@@ -337,7 +341,8 @@ def rank_and_tokenize_files(spark: SparkSession,
                             files_offsets: list[tuple[str, int]],
                             cfg: AnalyzerConfig = LTD_DOC,
                             doc_stats_dir: str | None = None,
-                            lineage_root: str | None = None) -> DataFrame:
+                            lineage_root: str | None = None,
+                            filesystem=None) -> DataFrame:
     """Fused extraction + doc-id assignment + tokenization over sorted
     part-files.
 
@@ -362,10 +367,10 @@ def rank_and_tokenize_files(spark: SparkSession,
         "path string, rank_offset long")
 
     def _rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as _pq
+        from ..sources import fsio
         for pdf in it:
             for path, off in zip(pdf["path"].values, pdf["rank_offset"].values):
-                pf = _pq.ParquetFile(path)
+                pf = fsio.parquet_file(path, filesystem)
                 cols = [c for c in ("url", "text", "html")
                         if c in pf.schema_arrow.names]
                 pos = int(off)
@@ -412,22 +417,19 @@ def rank_and_tokenize_files(spark: SparkSession,
                     # and a bare basename would silently overwrite one
                     # file's doc_stats with another's
                     ds_name = f"ds-{int(off):012d}-{os.path.basename(path)}"
-                    final = os.path.join(doc_stats_dir, ds_name)
-                    tmp = os.path.join(
-                        doc_stats_dir,
-                        f".tmp-{uuid.uuid4().hex}-{ds_name}")
                     # doc_id-ordered rows in small row groups: the query
                     # engine point-fetches winner urls with a doc_id isin
                     # filter — one whole-file row group would make every
                     # fetch a full-file decode
-                    pq.write_table(t, tmp, row_group_size=8192)
-                    os.replace(tmp, final)
+                    fsio.write_parquet_atomic(
+                        t, os.path.join(doc_stats_dir, ds_name),
+                        filesystem, row_group_size=8192)
                     if lineage_root is not None:
                         # per-file (n_docs, sum_dl) metrics: the stats
                         # stage sums these driver-side — no corpus
                         # aggregate job just to recover numbers this
                         # kernel already computed
-                        Lineage(lineage_root).mark_partition(
+                        Lineage(lineage_root, filesystem).mark_partition(
                             "flat_files", f"{int(off):012d}",
                             n_docs=int(t.num_rows),
                             sum_dl=int(np.concatenate(ds_lens).sum())
@@ -511,7 +513,8 @@ BLOCKS_DDL = ("term string, block_id long, first_doc long, last_doc long, "
 def encode_flat_file(path: str, seg_path: str, avgdl: float,
                      block_size: int, block_id_base: int,
                      drop_doc_ids: np.ndarray | None = None,
-                     flat_out_path: str | None = None) -> tuple[int, int]:
+                     flat_out_path: str | None = None,
+                     filesystem=None) -> tuple[int, int]:
     """Encode ONE doc-range-disjoint postings_flat part file into ONE
     segment file (hidden-tmp + atomic rename) — the shared task kernel of
     the build's encode stage, delta-segment encoding, and compaction.
@@ -529,8 +532,9 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
     import pyarrow.dataset as _pds
 
     from ..functions.encode import encode_groups_coded
+    from ..sources import fsio
 
-    ds = _pds.dataset(path, format="parquet")
+    ds = fsio.dataset(path, filesystem)
     if drop_doc_ids is None and flat_out_path is None:
         t = ds.to_table(columns=["term", "doc_id", "tf", "doc_len"],
                         filter=_pds.field("term").is_valid())
@@ -541,11 +545,7 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
                             drop_doc_ids)
             full = full.filter(pa.array(keep))
         if flat_out_path is not None and full.num_rows:
-            tmp = os.path.join(
-                os.path.dirname(flat_out_path),
-                f".tmp-{uuid.uuid4().hex}-{os.path.basename(flat_out_path)}")
-            pq.write_table(full, tmp)
-            os.replace(tmp, flat_out_path)
+            fsio.write_parquet_atomic(full, flat_out_path, filesystem)
         t = full.filter(
             _pc.is_valid(full.column("term"))
         ).select(["term", "doc_id", "tf", "doc_len"])
@@ -563,19 +563,17 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
         {k: list(g[k]) if isinstance(g[k], list) else g[k]
          for k in _BLOCKS_SCHEMA.names}, schema=_BLOCKS_SCHEMA
     ) if n_blocks else _BLOCKS_SCHEMA.empty_table()
-    tmp = os.path.join(
-        os.path.dirname(seg_path),
-        f".tmp-{uuid.uuid4().hex}-{os.path.basename(seg_path)}")
     # term-sorted rows in small row groups so query-time term-isin
     # filters prune on row-group stats
-    pq.write_table(table, tmp, row_group_size=2048)
-    os.replace(tmp, seg_path)
+    fsio.write_parquet_atomic(table, seg_path, filesystem,
+                              row_group_size=2048)
     return t.num_rows, n_blocks
 
 
 def _encode_file_writer(seg_dir: str, lineage_root: str, avgdl: float,
                         block_size: int,
-                        fail_partitions: frozenset[str]) -> Callable:
+                        fail_partitions: frozenset[str],
+                        filesystem=None) -> Callable:
     """Build the mapInPandas kernel encoding one postings_flat part file
     into one segment file — NO shuffle: the flat files are doc-range
     disjoint by construction (one per tokenize range partition), so a
@@ -600,8 +598,8 @@ def _encode_file_writer(seg_dir: str, lineage_root: str, avgdl: float,
                     raise RuntimeError(f"injected failure at encode:{part}")
                 n_rows, n_blocks = encode_flat_file(
                     path, os.path.join(seg_dir, f"seg-{part}.parquet"),
-                    avgdl, block_size, int(off))
-                Lineage(lineage_root).mark_partition(
+                    avgdl, block_size, int(off), filesystem=filesystem)
+                Lineage(lineage_root, filesystem).mark_partition(
                     "encode", part, rows=n_rows, blocks=n_blocks,
                 )
                 yield pd.DataFrame({
@@ -633,7 +631,8 @@ class IndexBuilder:
                  key_col: str = "url", text_col: str = "text",
                  id_col: str | None = None,
                  keyword_fields: tuple[str, ...] = (),
-                 pre_sorted: bool = False):
+                 pre_sorted: bool = False,
+                 filesystem=None):
         """``key_col``: unique string document key (stored as ``url`` in
         doc_stats).  ``id_col``: optional pre-assigned integer doc id — when
         given, the deterministic rank assignment is skipped and the source
@@ -642,10 +641,17 @@ class IndexBuilder:
         ``pre_sorted``: the source parquet files are already globally
         key-ordered (SORTED BY url layout) — skip the docs_sorted rewrite
         and tokenize the source files directly (footer-validated; see
-        :func:`source_files_presorted`)."""
+        :func:`source_files_presorted`).  ``filesystem``: optional pyarrow
+        FileSystem for the per-file kernels' reads/writes (S3/HDFS paths;
+        sources.fsio seam — pyarrow filesystems pickle into task
+        closures).  Control-plane files (format marker, ParquetCatalog
+        log) stay driver-side: ParquetCatalog mode assumes the index root
+        on a shared POSIX FS; object-store deployments swap in
+        IcebergCatalog."""
         self.index_dir = index_dir
         self.cfg = cfg
         self.pre_sorted = pre_sorted
+        self.filesystem = filesystem
         if pre_sorted and (key_col, text_col) != ("url", "text"):
             raise ValueError("pre_sorted requires the standard (url, text) "
                              "column names — the file kernel reads them "
@@ -657,7 +663,7 @@ class IndexBuilder:
         self.id_col = id_col
         self.keyword_fields = tuple(keyword_fields)
         self.catalog = ParquetCatalog(index_dir)
-        self.lineage = Lineage(index_dir)
+        self.lineage = Lineage(index_dir, filesystem)
 
     # -- stages --------------------------------------------------------------
 
@@ -703,7 +709,8 @@ class IndexBuilder:
                 # sorted artifact (footer-validated disjoint key ranges)
                 src = [f[len("file:"):] if f.startswith("file:") else f
                        for f in pages.inputFiles()]
-                files = source_files_presorted(src, key="url")
+                files = source_files_presorted(
+                    src, key="url", filesystem=self.filesystem)
             elif not self.lineage.stage_complete("extract"):
                 cols = ["url", "text"] + (["html"] if "html" in pages.columns
                                           else [])
@@ -726,7 +733,7 @@ class IndexBuilder:
                     for f in src_files:
                         p = f[len("file:"):] if f.startswith("file:") else f
                         try:
-                            total += os.path.getsize(p)
+                            total += fsio.file_size(p, self.filesystem)
                         except OSError:
                             total = 0
                             break
@@ -763,14 +770,21 @@ class IndexBuilder:
             # would otherwise leave stale ds files (and stale flat_files
             # lineage metrics) that silently inflate doc_stats
             import shutil
-            shutil.rmtree(ds_dir, ignore_errors=True)
-            os.makedirs(ds_dir, exist_ok=True)
+            if self.filesystem is None:
+                shutil.rmtree(ds_dir, ignore_errors=True)
+            else:
+                try:
+                    self.filesystem.delete_dir(ds_dir)
+                except FileNotFoundError:
+                    pass
+            fsio.makedirs(ds_dir, self.filesystem)
             self.lineage.reset("flat_files")
             if not self.pre_sorted:
-                files = sorted_doc_files(art_dir)
+                files = sorted_doc_files(art_dir, self.filesystem)
             flat = rank_and_tokenize_files(spark, files, self.cfg,
                                            doc_stats_dir=ds_dir,
-                                           lineage_root=self.index_dir)
+                                           lineage_root=self.index_dir,
+                                           filesystem=self.filesystem)
             self.catalog.overwrite(flat, "postings_flat")
             if files:
                 self.catalog.register_external(ds_dir, "doc_stats")
@@ -921,15 +935,16 @@ class IndexBuilder:
         paths = []
         for d in self.catalog._live_dirs("postings_flat"):
             paths.extend(
-                os.path.join(d, f) for f in os.listdir(d)
+                os.path.join(d, f) for f in fsio.listdir(d, self.filesystem)
                 if f.startswith("part-") and f.endswith(".parquet"))
-        files = source_files_presorted(paths, key="doc_id")
+        files = source_files_presorted(paths, key="doc_id",
+                                       filesystem=self.filesystem)
 
         done = self.lineage.done_partitions("encode")
         todo = [(p, off, i) for i, (p, off) in enumerate(files)
                 if f"f{i:06d}" not in done]
         seg_dir = os.path.join(self.index_dir, "segments", "base")
-        os.makedirs(seg_dir, exist_ok=True)
+        fsio.makedirs(seg_dir, self.filesystem)
         if todo:
             # one file per task via parallelize slices (no range-sampling
             # job — see rank_and_tokenize_files)
@@ -937,7 +952,8 @@ class IndexBuilder:
                 spark.sparkContext.parallelize(todo, len(todo)),
                 "path string, off long, idx long")
             fn = _encode_file_writer(seg_dir, self.index_dir, avgdl,
-                                     self.block_size, fail_partitions)
+                                     self.block_size, fail_partitions,
+                                     filesystem=self.filesystem)
             fdf.mapInPandas(
                 fn, schema="partition string, rows long, blocks long"
             ).collect()  # execute; rows land in lineage as a side effect

@@ -12,20 +12,23 @@ Storage is one small JSON file per (stage, partition) under
 ``<index_dir>/_lineage/`` — written executor-side with atomic rename, so
 task retries / speculative duplicates cannot corrupt state (last writer
 wins with identical content).  On a cluster this directory lives on the
-shared FS next to the index tables.
+shared FS next to the index tables; pass a pyarrow ``filesystem`` to
+write/read it through S3/HDFS (sources.fsio seam).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import uuid
+
+from ..sources import fsio
 
 
 class Lineage:
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, filesystem=None):
         self.root = os.path.join(index_dir, "_lineage")
-        os.makedirs(self.root, exist_ok=True)
+        self.fs = filesystem
+        fsio.makedirs(self.root, filesystem)
 
     # -- paths ---------------------------------------------------------------
     def _stage_dir(self, stage: str) -> str:
@@ -34,56 +37,76 @@ class Lineage:
     def _part_path(self, stage: str, partition: str) -> str:
         return os.path.join(self._stage_dir(stage), f"part-{partition}.json")
 
+    def _read_json(self, path: str) -> dict:
+        if self.fs is None:
+            with open(path) as f:
+                return json.load(f)
+        with self.fs.open_input_stream(path) as f:
+            return json.loads(f.read().decode())
+
+    def _listdir(self, path: str) -> list[str]:
+        if self.fs is None:
+            if not os.path.isdir(path):
+                return []
+            return os.listdir(path)
+        from pyarrow import fs as pafs
+        info = self.fs.get_file_info(path)
+        if info.type != pafs.FileType.Directory:
+            return []
+        sel = pafs.FileSelector(path, recursive=False)
+        return [os.path.basename(i.path) for i in self.fs.get_file_info(sel)]
+
+    def _exists(self, path: str) -> bool:
+        if self.fs is None:
+            return os.path.exists(path)
+        from pyarrow import fs as pafs
+        return self.fs.get_file_info(path).type != pafs.FileType.NotFound
+
     # -- executor-side: per-partition rows ------------------------------------
     def mark_partition(self, stage: str, partition: str, **metrics) -> None:
-        d = self._stage_dir(stage)
-        os.makedirs(d, exist_ok=True)
-        p = self._part_path(stage, partition)
-        tmp = p + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"stage": stage, "partition": partition,
-                       "status": "done", **metrics}, f)
-        os.replace(tmp, p)
+        fsio.makedirs(self._stage_dir(stage), self.fs)
+        fsio.write_text_atomic(
+            json.dumps({"stage": stage, "partition": partition,
+                        "status": "done", **metrics}),
+            self._part_path(stage, partition), self.fs)
 
     def done_partitions(self, stage: str) -> set[str]:
-        d = self._stage_dir(stage)
-        if not os.path.isdir(d):
-            return set()
         out = set()
-        for fn in os.listdir(d):
+        for fn in self._listdir(self._stage_dir(stage)):
             if fn.startswith("part-") and fn.endswith(".json"):
                 out.add(fn[len("part-"):-len(".json")])
         return out
 
     # -- driver-side: stage completion ----------------------------------------
     def mark_stage(self, stage: str, **metrics) -> None:
-        os.makedirs(self._stage_dir(stage), exist_ok=True)
-        p = os.path.join(self._stage_dir(stage), "_COMPLETE.json")
-        tmp = p + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"stage": stage, "status": "complete", **metrics}, f)
-        os.replace(tmp, p)
+        fsio.makedirs(self._stage_dir(stage), self.fs)
+        fsio.write_text_atomic(
+            json.dumps({"stage": stage, "status": "complete", **metrics}),
+            os.path.join(self._stage_dir(stage), "_COMPLETE.json"), self.fs)
 
     def stage_complete(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._stage_dir(stage), "_COMPLETE.json"))
+        return self._exists(
+            os.path.join(self._stage_dir(stage), "_COMPLETE.json"))
 
     # -- reporting (ST8 parity: progress/metrics) ------------------------------
     def rows(self) -> list[dict]:
         out = []
-        for stage in sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []:
+        for stage in sorted(self._listdir(self.root)):
             d = os.path.join(self.root, stage)
-            if not os.path.isdir(d):
-                continue
-            for fn in sorted(os.listdir(d)):
+            for fn in sorted(self._listdir(d)):
                 if fn.endswith(".json"):
-                    with open(os.path.join(d, fn)) as f:
-                        out.append(json.load(f))
+                    out.append(self._read_json(os.path.join(d, fn)))
         return out
 
     def reset(self, stage: str | None = None) -> None:
-        import shutil
-        if stage is None:
-            shutil.rmtree(self.root, ignore_errors=True)
-            os.makedirs(self.root, exist_ok=True)
+        target = self.root if stage is None else self._stage_dir(stage)
+        if self.fs is None:
+            import shutil
+            shutil.rmtree(target, ignore_errors=True)
         else:
-            shutil.rmtree(self._stage_dir(stage), ignore_errors=True)
+            try:
+                self.fs.delete_dir(target)
+            except FileNotFoundError:
+                pass
+        if stage is None:
+            fsio.makedirs(self.root, self.fs)

@@ -174,6 +174,98 @@ class ParquetCatalog:
         raise KeyError(f"table {table!r} has no snapshot {snap_id}")
 
 
+class IcebergCatalog:
+    """Iceberg-backed implementation of the catalog seam (same surface as
+    :class:`ParquetCatalog`), for clusters with the
+    ``iceberg-spark-runtime`` jar and a catalog configured, e.g.::
+
+        spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.lake.type = hive   # or hadoop/rest
+
+    The engine only relies on: atomic append/replace commits, time-travel
+    reads, incremental scans between snapshots (the change-stream resume
+    token), and a listing of live data files for the per-file encode
+    kernels.  All four map 1:1 onto Iceberg's public API; no sandbox jar
+    exists to run it here, so the surface is pinned by mock-based tests
+    (tests/test_iceberg_catalog.py) rather than an integration run.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        self.spark = spark
+        self.namespace = namespace
+
+    def _tbl(self, table: str) -> str:
+        return f"{self.namespace}.{table}"
+
+    # -- DDL ---------------------------------------------------------------
+    def table_exists(self, table: str) -> bool:
+        return bool(self.spark.catalog.tableExists(self._tbl(table)))
+
+    def list_tables(self) -> list[str]:
+        return sorted(t.name for t in self.spark.catalog.listTables(self.namespace))
+
+    def drop_table(self, table: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(table)}")
+
+    # -- write -------------------------------------------------------------
+    def append(self, df: DataFrame, table: str) -> int:
+        if self.table_exists(table):
+            df.writeTo(self._tbl(table)).append()
+        else:
+            df.writeTo(self._tbl(table)).using("iceberg").create()
+        return self.current_snapshot(table)
+
+    def overwrite(self, df: DataFrame, table: str) -> int:
+        df.writeTo(self._tbl(table)).using("iceberg").createOrReplace()
+        return self.current_snapshot(table)
+
+    def write_small_arrow(self, pdf, table: str, op: str = "overwrite") -> int:
+        df = self.spark.createDataFrame(pdf)
+        return self.append(df, table) if op == "append" else \
+            self.overwrite(df, table)
+
+    def register_external(self, path: str, table: str,
+                          op: str = "overwrite") -> int:
+        """Adopt executor-written parquet files without rewriting them —
+        Iceberg's ``add_files`` procedure (the 100 TB index must not be
+        copied to be committed)."""
+        if op == "overwrite" and self.table_exists(table):
+            self.spark.sql(f"DELETE FROM {self._tbl(table)} WHERE true")
+        self.spark.sql(
+            f"CALL {self.namespace.split('.')[0]}.system.add_files("
+            f"table => '{self._tbl(table)}', "
+            f"source_table => '`parquet`.`{path}`')")
+        return self.current_snapshot(table)
+
+    # -- read --------------------------------------------------------------
+    def read(self, spark: SparkSession, table: str,
+             as_of: int | None = None) -> DataFrame:
+        r = spark.read
+        if as_of is not None:
+            r = r.option("snapshot-id", str(as_of))
+        return r.table(self._tbl(table))
+
+    def read_incremental(self, spark: SparkSession, table: str,
+                         since: int) -> DataFrame | None:
+        """Rows appended after snapshot ``since`` — Iceberg's incremental
+        scan IS the change-stream resume token (north rule S5)."""
+        return (spark.read.format("iceberg")
+                .option("start-snapshot-id", str(since))
+                .load(self._tbl(table)))
+
+    def current_snapshot(self, table: str) -> int:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._tbl(table)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1").collect()
+        return int(rows[0][0]) if rows else 0
+
+    def data_files(self, table: str) -> list[str]:
+        """Live data-file paths (the per-file encode kernels' work list —
+        the ``_live_dirs`` analog; Iceberg's files metadata table)."""
+        return [r[0] for r in self.spark.sql(
+            f"SELECT file_path FROM {self._tbl(table)}.files").collect()]
+
+
 def read_table_arrow(cat: ParquetCatalog, table: str,
                      columns: list[str] | None = None,
                      filter=None):
