@@ -36,7 +36,7 @@ from ..operators.build_index import (IndexBuilder, encode_flat_file,
 from ..sources.catalog import ParquetCatalog, read_table_arrow
 
 
-def compact(spark: SparkSession, index_dir: str) -> dict:
+def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
     """Rewrite postings_flat/doc_stats/postings_blocks without tombstoned
     docs; clear tombstones.  term_dict/global_stats are already exact
     (incremental sync maintains them by delta arithmetic) and are kept.
@@ -48,7 +48,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     from ..operators.build_index import check_format_version
     check_format_version(index_dir, "compaction target")
     cat = ParquetCatalog(index_dir)
-    builder = IndexBuilder(index_dir)
+    builder = IndexBuilder(index_dir, filesystem=filesystem)
     if not cat.table_exists("tombstones"):
         return {"compacted": False, "reason": "no tombstones"}
     # tombstones are bounded by churn-since-last-compaction (cleared on
@@ -63,20 +63,22 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         cat, "global_stats").iloc[0]["avgdl"] or 1.0) or 1.0
     bs = builder.block_size
 
+    from ..sources import fsio
     paths = []
     for d in cat._live_dirs("postings_flat"):
         paths.extend(
-            os.path.join(d, f) for f in os.listdir(d)
+            os.path.join(d, f) for f in fsio.listdir(d, filesystem)
             if f.startswith("part-") and f.endswith(".parquet"))
     # doc-range disjointness validated from footer stats; offsets double
     # as block_id bases (unique within the new generation)
-    files = source_files_presorted(paths, key="doc_id")
+    files = source_files_presorted(paths, key="doc_id",
+                                   filesystem=filesystem)
 
     gen = uuid.uuid4().hex[:8]
     new_flat = os.path.join(index_dir, "compacted", gen, "flat")
     new_seg = os.path.join(index_dir, "segments", f"cmp-{gen}")
-    os.makedirs(new_flat, exist_ok=True)
-    os.makedirs(new_seg, exist_ok=True)
+    fsio.makedirs(new_flat, filesystem)
+    fsio.makedirs(new_seg, filesystem)
     dead_bc = spark.sparkContext.broadcast(dead)
 
     def _cmp(it):
@@ -89,7 +91,8 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
                     avgdl, bs, int(off),
                     drop_doc_ids=dead_bc.value,
                     flat_out_path=os.path.join(
-                        new_flat, f"part-{int(idx):05d}-cmp.parquet"))
+                        new_flat, f"part-{int(idx):05d}-cmp.parquet"),
+                    filesystem=filesystem)
                 yield pd.DataFrame({"partition": [int(idx)],
                                     "rows": [n_rows], "blocks": [n_blocks]})
 
@@ -101,7 +104,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
             "path string, off long, idx long")
         stats = fdf.mapInPandas(
             _cmp, schema="partition long, rows long, blocks long").collect()
-    if not os.listdir(new_flat):
+    if not fsio.listdir(new_flat, filesystem):
         # fully-tombstoned corpus: keep a readable empty table
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -143,11 +143,13 @@ def writeback_indexed(spark: SparkSession, indexed_path: str,
 class IncrementalIndexer:
     def __init__(self, index_dir: str, cfg: AnalyzerConfig = LTD_DOC,
                  block_size: int | None = None,
-                 exclude_fields: tuple[str, ...] = ()):
+                 exclude_fields: tuple[str, ...] = (),
+                 filesystem=None):
         self.index_dir = index_dir
         self.cfg = cfg
         self.exclude_fields = tuple(exclude_fields)
-        self.builder = IndexBuilder(index_dir, cfg=cfg)
+        self.filesystem = filesystem
+        self.builder = IndexBuilder(index_dir, cfg=cfg, filesystem=filesystem)
         self.cat = self.builder.catalog
 
     def apply_updates(self, spark: SparkSession, updates: DataFrame,
@@ -301,11 +303,14 @@ class IncrementalIndexer:
 
         from ..operators.build_index import (encode_flat_file,
                                              source_files_presorted)
+        from ..sources import fsio
 
         bs = self.builder.block_size
-        paths = [os.path.join(delta_dir, f) for f in os.listdir(delta_dir)
+        fs = self.filesystem
+        paths = [os.path.join(delta_dir, f)
+                 for f in fsio.listdir(delta_dir, fs)
                  if f.startswith("part-") and f.endswith(".parquet")]
-        files = source_files_presorted(paths, key="doc_id")
+        files = source_files_presorted(paths, key="doc_id", filesystem=fs)
         if not files:
             return
         # metadata-column aggregate (one small job) keeps block ids
@@ -315,7 +320,7 @@ class IncrementalIndexer:
         block_base = int(max_block) + 1
         gen = _uuid.uuid4().hex[:8]
         seg_dir = os.path.join(self.index_dir, "segments", f"delta-{gen}")
-        os.makedirs(seg_dir, exist_ok=True)
+        fsio.makedirs(seg_dir, fs)
         todo = [(p, block_base + off, i) for i, (p, off) in enumerate(files)]
 
         def _enc(it):
@@ -326,7 +331,7 @@ class IncrementalIndexer:
                     n_rows, n_blocks = encode_flat_file(
                         path,
                         os.path.join(seg_dir, f"seg-d{int(idx):06d}.parquet"),
-                        avgdl, bs, int(base))
+                        avgdl, bs, int(base), filesystem=fs)
                     yield pd.DataFrame({"partition": [int(idx)],
                                         "rows": [n_rows],
                                         "blocks": [n_blocks]})
