@@ -17,19 +17,27 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+from . import fsio
 
 
 class ParquetCatalog:
     """Path-based tables: ``root/<table>/snap-<k>-<uuid>/`` parquet dirs +
     ``root/<table>/_log.json`` listing committed snapshots in order."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, filesystem=None):
+        """``filesystem``: optional ``pyarrow.fs.FileSystem`` the snapshot
+        log and driver-side arrow reads go through (sources.fsio seam).
+        ``root`` must name the same location for both that filesystem and
+        Spark's Hadoop readers (true for local paths, HDFS with matching
+        config, and mounted object stores); Spark-side reads/writes use
+        the path as-is."""
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.filesystem = filesystem
+        fsio.makedirs(root, filesystem)
 
     # -- log helpers -------------------------------------------------------
     def _log_path(self, table: str) -> str:
@@ -37,34 +45,28 @@ class ParquetCatalog:
 
     def _read_log(self, table: str) -> list[dict]:
         p = self._log_path(table)
-        if not os.path.exists(p):
+        if not fsio.exists(p, self.filesystem):
             return []
-        with open(p) as f:
-            return json.load(f)
+        return json.loads(fsio.read_text(p, self.filesystem))
 
     def _commit(self, table: str, log: list[dict]) -> None:
-        p = self._log_path(table)
-        tmp = p + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(log, f, indent=1)
-        os.replace(tmp, p)  # atomic commit
+        # atomic commit: hidden-tmp + rename (local/HDFS) or complete-or-
+        # invisible direct write (object stores)
+        fsio.write_text_atomic(json.dumps(log, indent=1),
+                               self._log_path(table), self.filesystem)
 
     # -- DDL (S9 parity) ---------------------------------------------------
     def table_exists(self, table: str) -> bool:
         return bool(self._read_log(table))
 
     def list_tables(self) -> list[str]:
-        if not os.path.isdir(self.root):
-            return []
         return sorted(
-            d for d in os.listdir(self.root)
-            if os.path.exists(self._log_path(d))
+            d for d in fsio.list_subdirs(self.root, self.filesystem)
+            if fsio.exists(self._log_path(d), self.filesystem)
         )
 
     def drop_table(self, table: str) -> None:
-        path = os.path.join(self.root, table)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
+        fsio.remove_dir(os.path.join(self.root, table), self.filesystem)
 
     # -- write -------------------------------------------------------------
     def _write_snapshot(self, df: DataFrame, table: str) -> str:
@@ -109,10 +111,11 @@ class ParquetCatalog:
         snap_id = (log[-1]["id"] + 1) if log else 1
         rel = f"snap-{snap_id:06d}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.root, table, rel)
-        os.makedirs(path, exist_ok=True)
+        fsio.makedirs(path, self.filesystem)
         t = pdf if isinstance(pdf, pa.Table) else pa.Table.from_pandas(
             pdf, preserve_index=False)
-        pq.write_table(t, os.path.join(path, "part-00000.parquet"))
+        fsio.write_parquet_atomic(
+            t, os.path.join(path, "part-00000.parquet"), self.filesystem)
         log.append({"id": snap_id, "dir": rel, "op": op})
         self._commit(table, log)
         return snap_id
@@ -124,8 +127,11 @@ class ParquetCatalog:
         absurd — Iceberg's add_files has the same role)."""
         log = self._read_log(table)
         snap_id = (log[-1]["id"] + 1) if log else 1
-        os.makedirs(os.path.join(self.root, table), exist_ok=True)
-        log.append({"id": snap_id, "dir": os.path.abspath(path), "op": op})
+        fsio.makedirs(os.path.join(self.root, table), self.filesystem)
+        # remote paths are opaque strings — abspath would prepend the
+        # driver's cwd; the "ext" flag marks them fully-qualified
+        full = path if self.filesystem is not None else os.path.abspath(path)
+        log.append({"id": snap_id, "dir": full, "op": op, "ext": True})
         self._commit(table, log)
         return snap_id
 
@@ -143,7 +149,7 @@ class ParquetCatalog:
                 live.append(e)
         if since is not None:
             live = [e for e in live if e["id"] > since]
-        return [e["dir"] if os.path.isabs(e["dir"])
+        return [e["dir"] if e.get("ext") or os.path.isabs(e["dir"])
                 else os.path.join(self.root, table, e["dir"]) for e in live]
 
     def read(self, spark: SparkSession, table: str, as_of: int | None = None) -> DataFrame:

@@ -93,6 +93,48 @@ def write_parquet_atomic(table, path: str, filesystem=None, **kw) -> None:
         pq.write_table(table, path, filesystem=filesystem, **kw)
 
 
+def exists(path: str, filesystem=None) -> bool:
+    if filesystem is None:
+        return os.path.exists(path)
+    from pyarrow import fs as pafs
+    return filesystem.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def read_text(path: str, filesystem=None) -> str:
+    if filesystem is None:
+        with open(path) as f:
+            return f.read()
+    with filesystem.open_input_stream(path) as f:
+        return f.read().decode()
+
+
+def list_subdirs(path: str, filesystem=None) -> list[str]:
+    """Names of directories directly under ``path`` ([] if absent)."""
+    if filesystem is None:
+        if not os.path.isdir(path):
+            return []
+        return [d for d in os.listdir(path)
+                if os.path.isdir(os.path.join(path, d))]
+    from pyarrow import fs as pafs
+    if filesystem.get_file_info(path).type != pafs.FileType.Directory:
+        return []
+    sel = pafs.FileSelector(path, recursive=False)
+    return [os.path.basename(fi.path) for fi in filesystem.get_file_info(sel)
+            if fi.type == pafs.FileType.Directory]
+
+
+def remove_dir(path: str, filesystem=None) -> None:
+    """Recursive delete; no-op when the directory doesn't exist."""
+    if filesystem is None:
+        import shutil
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        return
+    from pyarrow import fs as pafs
+    if filesystem.get_file_info(path).type == pafs.FileType.Directory:
+        filesystem.delete_dir(path)
+
+
 def write_text_atomic(content: str, path: str, filesystem=None) -> None:
     """Small control-plane files (lineage rows, format markers)."""
     if filesystem is None:
