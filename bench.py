@@ -32,6 +32,16 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# glibc reads malloc tunables once at process start, and fork()ed children
+# (mp.Pool, ProcessPoolExecutor) inherit the PARENT's malloc state — so the
+# bench re-execs itself with the heap-reuse tunables the engine sets for its
+# Spark workers (session.py).  Without this the host-calibration legs would
+# run in a different allocator regime than the Spark legs they normalize.
+_MALLOC_TUNABLES = {"MALLOC_MMAP_MAX_": "0", "MALLOC_TRIM_THRESHOLD_": "-1"}
+if any(os.environ.get(k) is None for k in _MALLOC_TUNABLES):
+    os.execve(sys.executable, [sys.executable] + sys.argv,
+              {**os.environ, **_MALLOC_TUNABLES})
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"

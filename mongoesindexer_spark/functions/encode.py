@@ -43,65 +43,47 @@ B = 0.75
 def varbyte_encode_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Varbyte encode returning (byte stream, bytes-per-value) — the length
     array lets callers slice the stream at arbitrary value boundaries
-    without re-encoding (used by the grouped block encoder)."""
+    without re-encoding (used by the grouped block encoder).
+
+    Implementation is all SEQUENTIAL passes (column writes into an n×maxb
+    byte matrix + one boolean compaction): the previous per-byte-position
+    masked scatter (``out[starts[mask]+k] = ...``) was the encode kernel's
+    hottest span and degraded worst under concurrent executors — random
+    scatter is the least bandwidth-friendly access pattern, and this
+    kernel runs on every posting of the corpus.
+    """
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
+    n = v.size
+    if n == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
+    # 7-bit group count per value: one vectorized compare per extra byte.
+    # Practical inputs (doc-id gaps, tf-1, doc_len-1) need 1-3 bytes.
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        m = v >= (np.uint64(1) << np.uint64(7 * k))
+        if not m.any():
             break
-        nbits[nz] += 1
-        tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits, 1)
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
+        nbytes += m
     maxb = int(nbytes.max())
+    if maxb == 1:
+        # pure cast: no continuation bits when every value fits 7 bits
+        # (the common case for tf streams)
+        return v.astype(np.uint8), nbytes
+    mat = np.empty((n, maxb), dtype=np.uint8)
     vv = v.copy()
     for k in range(maxb):
-        mask = nbytes > k
-        pos = starts[mask] + k
-        group = (vv[mask] & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
-        out[pos] = group | cont
-        vv[mask] >>= np.uint64(7)
-    return out, nbytes
+        mat[:, k] = (vv & np.uint64(0x7F)).astype(np.uint8)
+        vv >>= np.uint64(7)
+    valid = nbytes[:, None] > np.arange(maxb, dtype=np.int64)
+    # continuation bit on every byte that has a successor byte
+    mat[:, :-1] |= valid[:, 1:].view(np.uint8) << 7
+    return mat[valid], nbytes
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized varbyte encode of a non-negative int64 array."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bits/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits, 1)
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    ends = np.cumsum(nbytes)
-    starts = ends - nbytes
-    # write 7-bit groups, little-endian, continuation bit on all but last
-    maxb = int(nbytes.max())
-    vv = v.copy()
-    for k in range(maxb):
-        mask = nbytes > k
-        pos = starts[mask] + k
-        group = (vv[mask] & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
-        out[pos] = group | cont
-        vv[mask] >>= np.uint64(7)
-    return out.tobytes()
+    payload, _ = varbyte_encode_lengths(values)
+    return payload.tobytes()
 
 
 def varbyte_decode(data: bytes) -> np.ndarray:
@@ -278,14 +260,24 @@ def encode_groups_coded(codes: np.ndarray, vocab: np.ndarray,
     rank = np.empty(vocab.size, dtype=np.int64)
     rank[np.argsort(vocab, kind="stable")] = np.arange(vocab.size)
     key = rank[codes]
-    order = np.lexsort((np.asarray(doc_ids, dtype=np.int64), key))
+    doc_arr = np.asarray(doc_ids, dtype=np.int64)
+    # flat part files are written sorted by doc_id, so a STABLE single-key
+    # sort on the term rank already yields (term, doc_id) order — one
+    # radix pass over int64 keys instead of a two-key lexsort (half the
+    # memory traffic of the kernel's biggest remaining span).  The
+    # pre-check is one sequential pass; unsorted inputs (tests, ad-hoc
+    # callers) fall back to the full lexsort.
+    if n < 2 or bool((np.diff(doc_arr) >= 0).all()):
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((doc_arr, key))
     codes_s = codes[order]
     term_change = np.empty(n, dtype=bool)
     term_change[0] = True
     term_change[1:] = codes_s[1:] != codes_s[:-1]
     return _encode_groups_core(
         term_change, _CodedTerms(vocab, codes_s),
-        np.asarray(doc_ids, dtype=np.int64)[order],
+        doc_arr[order],
         np.asarray(tfs, dtype=np.int64)[order],
         np.asarray(doc_lens, dtype=np.int64)[order],
         avgdl, block_size, block_id_base)

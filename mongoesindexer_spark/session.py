@@ -32,6 +32,20 @@ def get_spark(app: str = "mongoesindexer-spark", master: str | None = None,
         import mongoesindexer_spark as _pkg
         repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
         b = b.config("spark.executorEnv.PYTHONPATH", repo)
+    # glibc malloc tuning for the numpy kernels that run inside Python
+    # workers (tokenize / posting-encode / dedup).  Those kernels allocate
+    # and free many multi-MB temporaries per Arrow batch; with glibc's
+    # defaults every one is a fresh mmap + munmap, so each concurrent
+    # worker spends most of its time in page-fault/zeroing/TLB-shootdown
+    # kernel paths that serialize across processes — measured on this host
+    # as a 15-22x per-task slowdown at 8 workers (tools/encode_kernel_probe
+    # .py) and the dominant loss of N->4N scaling efficiency.  Serving
+    # large blocks from the (never-trimmed) heap makes workers reuse
+    # already-faulted pages: same probe drops to ~1.5x, i.e. plain DRAM
+    # sharing.  Cost: worker RSS stays at its high-water mark — fine for
+    # long-lived executors sized for their task memory anyway.
+    for k, v in (("MALLOC_MMAP_MAX_", "0"), ("MALLOC_TRIM_THRESHOLD_", "-1")):
+        b = b.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
     b = (
         b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
