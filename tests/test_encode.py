@@ -170,3 +170,46 @@ def test_encode_groups_coded_empty():
                             np.array([], dtype=np.int64),
                             np.array([], dtype=np.int64), 1.0)
     assert list(g["term"]) == []
+
+
+def test_encode_groups_coded_doc_sorted_fast_path():
+    """Doc-sorted input takes the single-key stable-argsort path (the flat
+    files the build feeds it are always doc-sorted); output must be
+    bit-identical to the general lexsort path / object path."""
+    import pandas as pd
+    from mongoesindexer_spark.functions.encode import (encode_groups,
+                                                       encode_groups_coded)
+
+    rng = np.random.RandomState(23)
+    vocab = np.array([f"t{i:02d}" for i in range(25)] + ["a"], dtype=object)
+    n = 3000
+    df = pd.DataFrame({
+        "c": rng.randint(0, len(vocab), n),
+        "d": np.sort(rng.randint(0, 900, n)),  # doc-sorted like a flat file
+        "t": rng.randint(1, 9, n),
+        "l": rng.randint(4, 300, n),
+    }).drop_duplicates(["c", "d"])
+    codes, doc_ids = df.c.values, df.d.values
+    assert bool((np.diff(doc_ids) >= 0).all())
+    terms = vocab[codes]
+    order = np.lexsort((doc_ids, terms))
+    g1 = encode_groups(terms[order], doc_ids[order], df.t.values[order],
+                       df.l.values[order], 44.0, block_size=32)
+    g2 = encode_groups_coded(codes, vocab, doc_ids, df.t.values,
+                             df.l.values, 44.0, block_size=32)
+    for k in g1:
+        assert list(g1[k]) == list(g2[k]), k
+
+
+def test_varbyte_single_byte_fast_path():
+    """All values < 128 → pure-cast path: every byte is the value itself
+    (no continuation bits), and decode round-trips."""
+    vals = np.array([0, 1, 5, 100, 127], dtype=np.int64)
+    enc = varbyte_encode(vals)
+    assert enc == bytes([0, 1, 5, 100, 127])
+    assert np.array_equal(varbyte_decode(enc), vals)
+
+
+def test_varbyte_int64_max():
+    vals = np.array([2**63 - 1, 0, 127, 128], dtype=np.int64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(vals)), vals)
