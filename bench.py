@@ -93,18 +93,21 @@ def scaling_leg(master: str, pages_path: str,
     # partitions would put the whole corpus through a handful of hash
     # aggregates and OOM the small leg
     if not n_builds:
-        # asymmetric sampling: the wide leg's throughput samples show far
-        # higher host-weather variance than the narrow leg's (its builds
-        # are ~3x shorter, so each sample sits inside one weather phase);
-        # best-of needs more draws there, and they cost 1/3 as much
-        n_builds = 3 if cores >= 8 else 2
+        # 3 samples per leg per round: best-of within a round pairs the
+        # two legs inside one weather window, and 3 draws per leg give the
+        # best-of a fair shot at the window's true capacity on both sides
+        n_builds = 3
     spark = get_spark(f"bench-scaling-{cores}", master=master,
                       shuffle_partitions=max(cores, 64))
     pages = spark.read.parquet(pages_path)
     warm = tempfile.mkdtemp(prefix="mei_bench_warm_")
     rates: list[float] = []
     try:
-        warm_python_workers(spark)
+        # 1 GiB heap warm: the encode kernel's numpy high-water at the
+        # scaling input's file size (~3.5M postings) — see
+        # warm_python_workers docstring; first-big-task fault storms
+        # otherwise poison every leg's first build
+        warm_python_workers(spark, heap_mb=1024)
         warm_pages = (spark.read.parquet(warm_path) if warm_path
                       else pages.limit(30000))
         build_index_timed(spark, warm_pages, warm)
@@ -252,6 +255,13 @@ def main() -> None:
     scaling = {}
     if RUN_SCALING:
         from mongoesindexer_spark.sources.fixtures import fixture_dir
+        # 32x replication (~1.1 GiB, 32 range files).  Bigger inputs dilute
+        # the build's fixed spans (job commits + stage tails, ~4-8s — they
+        # cap measurable efficiency at ~0.84 here), but this host's
+        # throughput drifts in ~10-minute weather phases: a 64x round takes
+        # ~25 min, so the alternated N/4N pair no longer shares a weather
+        # window and the PAIRED estimators degrade more than the ceiling
+        # rises (measured: 64x paired ratios were strictly worse).
         pages_path = scale_input(spark)
         # 3 alternated rounds: the paired-median estimator needs an odd
         # round count to be a true median — with 2 rounds one

@@ -35,6 +35,7 @@ build's scaling ceiling on multi-executor runs.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from collections.abc import Iterator
 from typing import Callable
@@ -370,6 +371,7 @@ def rank_and_tokenize_files(spark: SparkSession,
         from ..sources import fsio
         for pdf in it:
             for path, off in zip(pdf["path"].values, pdf["rank_offset"].values):
+                t0 = time.perf_counter()
                 pf = fsio.parquet_file(path, filesystem)
                 cols = [c for c in ("url", "text", "html")
                         if c in pf.schema_arrow.names]
@@ -433,7 +435,8 @@ def rank_and_tokenize_files(spark: SparkSession,
                             "flat_files", f"{int(off):012d}",
                             n_docs=int(t.num_rows),
                             sum_dl=int(np.concatenate(ds_lens).sum())
-                            if ds_lens else 0)
+                            if ds_lens else 0,
+                            secs=round(time.perf_counter() - t0, 3))
 
     return fdf.mapInPandas(_rt, schema=FLAT_DDL)
 
@@ -514,7 +517,8 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
                      block_size: int, block_id_base: int,
                      drop_doc_ids: np.ndarray | None = None,
                      flat_out_path: str | None = None,
-                     filesystem=None) -> tuple[int, int]:
+                     filesystem=None,
+                     kernel_timings: dict | None = None) -> tuple[int, int]:
     """Encode ONE doc-range-disjoint postings_flat part file into ONE
     segment file (hidden-tmp + atomic rename) — the shared task kernel of
     the build's encode stage, delta-segment encoding, and compaction.
@@ -534,6 +538,8 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
     from ..functions.encode import encode_groups_coded
     from ..sources import fsio
 
+    timings: dict[str, float] | None = kernel_timings
+    t0 = time.perf_counter()
     ds = fsio.dataset(path, filesystem)
     if drop_doc_ids is None and flat_out_path is None:
         t = ds.to_table(columns=["term", "doc_id", "tf", "doc_len"],
@@ -549,6 +555,9 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
         t = full.filter(
             _pc.is_valid(full.column("term"))
         ).select(["term", "doc_id", "tf", "doc_len"])
+    if timings is not None:
+        timings["read"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
     # dictionary-encode the term column IN ARROW, sort+encode in integer
     # space (see _encode_file_writer rationale)
     denc = t.column("term").combine_chunks().dictionary_encode()
@@ -559,6 +568,9 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
         t.column("doc_len").to_numpy(), avgdl, block_size,
         block_id_base)
     n_blocks = len(g["term"])
+    if timings is not None:
+        timings["kernel"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
     table = pa.table(
         {k: list(g[k]) if isinstance(g[k], list) else g[k]
          for k in _BLOCKS_SCHEMA.names}, schema=_BLOCKS_SCHEMA
@@ -567,6 +579,8 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
     # filters prune on row-group stats
     fsio.write_parquet_atomic(table, seg_path, filesystem,
                               row_group_size=2048)
+    if timings is not None:
+        timings["write"] = round(time.perf_counter() - t0, 3)
     return t.num_rows, n_blocks
 
 
@@ -596,11 +610,15 @@ def _encode_file_writer(seg_dir: str, lineage_root: str, avgdl: float,
                 part = f"f{int(idx):06d}"
                 if part in fail_partitions:
                     raise RuntimeError(f"injected failure at encode:{part}")
+                t0 = time.perf_counter()
+                tm: dict = {}
                 n_rows, n_blocks = encode_flat_file(
                     path, os.path.join(seg_dir, f"seg-{part}.parquet"),
-                    avgdl, block_size, int(off), filesystem=filesystem)
+                    avgdl, block_size, int(off), filesystem=filesystem,
+                    kernel_timings=tm)
                 Lineage(lineage_root, filesystem).mark_partition(
                     "encode", part, rows=n_rows, blocks=n_blocks,
+                    secs=round(time.perf_counter() - t0, 3), **tm,
                 )
                 yield pd.DataFrame({
                     "partition": [part], "rows": [n_rows],

@@ -44,7 +44,13 @@ def get_spark(app: str = "mongoesindexer-spark", master: str | None = None,
     # already-faulted pages: same probe drops to ~1.5x, i.e. plain DRAM
     # sharing.  Cost: worker RSS stays at its high-water mark — fine for
     # long-lived executors sized for their task memory anyway.
-    for k, v in (("MALLOC_MMAP_MAX_", "0"), ("MALLOC_TRIM_THRESHOLD_", "-1")):
+    # ARROW_DEFAULT_MEMORY_POOL=system routes pyarrow's allocations (parquet
+    # read buffers, Arrow batches) through the same tuned glibc heap; the
+    # bundled jemalloc/mimalloc pools manage their own mmap'd arenas with
+    # ~10s decay timers that hand pages back to the kernel between waves,
+    # re-paying the fault storm every build.
+    for k, v in (("MALLOC_MMAP_MAX_", "0"), ("MALLOC_TRIM_THRESHOLD_", "-1"),
+                 ("ARROW_DEFAULT_MEMORY_POOL", "system")):
         b = b.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
     b = (
         b
@@ -65,7 +71,8 @@ def get_spark(app: str = "mongoesindexer-spark", master: str | None = None,
     return b.getOrCreate()
 
 
-def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+def warm_python_workers(spark: SparkSession, n: int | None = None,
+                        heap_mb: int = 384) -> None:
     """Force creation of ``n`` Python UDF workers (default: defaultParallelism).
 
     Spark creates pandas-UDF workers lazily and SERIALLY (one daemon fork +
@@ -74,15 +81,33 @@ def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
     ramp — ~10s at 32 cores.  Long-lived clusters amortize this; short
     benchmark jobs must warm explicitly so measurements reflect
     steady-state throughput.  Idempotent and cheap when already warm.
+
+    ``heap_mb``: also grow each worker's malloc heap to roughly the
+    high-water mark of the big numpy kernels (posting encode allocates
+    hundreds of MB of temporaries per task).  With the engine's
+    heap-reuse malloc tunables (see ``get_spark``) the pages are faulted
+    ONCE per worker lifetime; without warming, the first big task per
+    worker pays the whole fault storm — concurrently across workers,
+    which serializes in the kernel and was measured as a ~6x slowdown of
+    exactly one task per worker (tools/task_secs_probe.py).
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import col, pandas_udf
 
     n = n or spark.sparkContext.defaultParallelism
+    mb = heap_mb
 
     # no type hints: string annotations (future-import) break inference
     @pandas_udf("long")
     def _touch(s):
+        if mb:
+            # a few encode-kernel-sized temporaries, touched then freed —
+            # raises the reusable heap high-water, not steady-state RSS
+            for _ in range(3):
+                scratch = np.empty(mb * (1 << 20) // 8, dtype=np.int64)
+                scratch[:: 512] = 1
+                del scratch
         return s
 
     (spark.range(0, n * 4, 1, numPartitions=n * 4)
