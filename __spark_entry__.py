@@ -323,6 +323,21 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cosine") * 1e4).cast("long").alias("cos_e4"))
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN: seeded spherical codebook (8 cells), probe the 2
+    cells nearest the query, exact cosine within — the inverted-file
+    scale path next to the LSH one.  Codebook is data-independent, so the
+    DuckDB oracle reproduces the exact Voronoi assignment from the same
+    literals (hash-exact, unlike the rows-only LSH checks)."""
+    from mongoesindexer_spark.operators.ann import cosine_topk_ivf
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_ivf(emb.filter(F.col("vec_id") != 0), list(qvec), 10,
+                           n_clusters=8, n_probe=2).select(
+        F.col("id").alias("vec_id"),
+        F.round(F.col("cosine") * 1e4).cast("long").alias("cos_e4"))
+
+
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (threshold 0.42)."""
     from mongoesindexer_spark.operators.ann import embedding_near_dups
@@ -472,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
+        "ann_cosine_ivf": q_ann_cosine_ivf,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         # multimodal plumbing (binary columns, Arrow-batched kernels)
@@ -547,6 +563,8 @@ def oracle_sql() -> dict[str, str]:
 
     ann_planes = _np.random.RandomState(42).standard_normal((6, 64))
     dup_planes = _np.random.RandomState(42).standard_normal((4, 64))
+    from mongoesindexer_spark.operators.ann import seeded_spherical_centroids
+    ivf_centroids = seeded_spherical_centroids(8, 64, seed=42)
     cos_sql = (
         "(list_aggregate(list_transform(list_zip(a.embedding, b.embedding), "
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') "
@@ -792,6 +810,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q CROSS JOIN qb
                 WHERE e.vec_id <> 0
                   AND {_bucket_sql('e.embedding', ann_planes)} = qb.qbucket
+            )
+            SELECT vec_id, CAST(round(cosine * 1e4) AS BIGINT) AS cos_e4
+            FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # IVF oracle: identical codebook literals + identical left-fold
+        # dot streams reproduce the engine's Voronoi assignment
+        # (list_position ties → first index, = array_position) and probe
+        # ranking exactly, so the check is hash-exact
+        "ann_cosine_ivf": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            a AS (
+                SELECT e.vec_id, e.embedding,
+                       [{', '.join(_dot_sql('e.embedding', c) for c in ivf_centroids)}] AS ds
+                FROM embeddings e WHERE e.vec_id <> 0
+            ),
+            asg AS (
+                SELECT vec_id, embedding,
+                       list_position(ds, list_aggregate(ds, 'max')) - 1 AS cluster
+                FROM a
+            ),
+            qd AS (SELECT [{', '.join(_dot_sql('q.qv', c) for c in ivf_centroids)}] AS qds FROM q),
+            probe AS (
+                SELECT cid FROM (SELECT unnest(range(0, 8)) AS cid), qd
+                ORDER BY qds[cid + 1] DESC, cid ASC LIMIT 2
+            ),
+            cand AS (
+                SELECT s.vec_id,
+                       {cos_sql.replace('a.embedding', 's.embedding')
+                               .replace('b.embedding', 'q.qv')} AS cosine
+                FROM asg s CROSS JOIN q
+                WHERE s.cluster IN (SELECT cid FROM probe)
             )
             SELECT vec_id, CAST(round(cosine * 1e4) AS BIGINT) AS cos_e4
             FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT 10

@@ -163,3 +163,114 @@ def cosine_topk_lsh(df: DataFrame, query_vec: list[float], k: int, dim: int,
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization — the other classic ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def seeded_spherical_centroids(n_clusters: int, dim: int,
+                               seed: int = 42) -> np.ndarray:
+    """Data-independent coarse-quantizer codebook: ``n_clusters`` seeded
+    gaussian directions, unit-normalized (spherical random quantization).
+
+    Deterministic given (n_clusters, dim, seed), so an external oracle can
+    reproduce the exact Voronoi assignment from the same literals — the
+    production path trains the codebook instead (:func:`train_ivf_centroids`),
+    which the same assign/probe machinery consumes unchanged."""
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((n_clusters, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(df: DataFrame, n_clusters: int, dim: int,
+                        sample_n: int = 10_000, n_iters: int = 10,
+                        seed: int = 42, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Spherical k-means codebook from a deterministic driver-side sample.
+
+    The sample is the ``sample_n`` smallest ids (TakeOrdered — one pass,
+    no full collect); Lloyd iterations run in numpy on the driver.  At
+    10^12 rows the sample stays driver-sized (codebook training needs
+    thousands of points per centroid, not the corpus) while ASSIGNMENT —
+    the corpus-sized step — stays distributed in :func:`ivf_assign`."""
+    rows = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .orderBy("id").limit(sample_n).collect())
+    x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    x = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+    c = seeded_spherical_centroids(n_clusters, dim, seed)
+    for _ in range(n_iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_clusters):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / (np.linalg.norm(v) + 1e-12)
+    return c
+
+
+def _dot_literal(col, vec: np.ndarray):
+    return _dot(col, F.array(*[F.lit(float(x)) for x in vec]))
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(id, cluster, vec): nearest-centroid Voronoi cell per vector.
+
+    Pure JVM: k dot products per row (codebook ships as literals), argmax
+    via ``array_position(dots, array_max(dots))`` — first index wins ties,
+    matching `ORDER BY dot DESC, cid ASC`.  Ranking by raw dot equals
+    ranking by cosine (|row| is constant across candidates, |c|=1).  At
+    scale the output is written ``partitionBy("cluster")`` so a probe is a
+    partition-pruned scan of ~corpus/n_clusters rows."""
+    dots = F.array(*[_dot_literal(F.col(vec_col), c) for c in centroids])
+    return df.select(
+        F.col(id_col).alias("id"),
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cluster"),
+        F.col(vec_col).alias("vec"),
+    )
+
+
+def _fold_dot(a, b) -> float:
+    """Strict left-to-right float64 fold — bit-identical to the engine's
+    JVM `aggregate` and DuckDB's `list_aggregate(..., 'sum')`, unlike
+    numpy's pairwise-blocked np.dot (which can differ in the last ulp and
+    flip near-tie cluster rankings between engine and oracle)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def cosine_topk_ivf(df: DataFrame, query_vec: list[float], k: int,
+                    centroids: np.ndarray | None = None,
+                    n_clusters: int = 8, n_probe: int = 2,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k via IVF: probe only the ``n_probe``
+    Voronoi cells nearest the query, exact cosine within them.
+
+    ``centroids`` defaults to the seeded spherical codebook; pass a
+    :func:`train_ivf_centroids` codebook in production.  Recall grows with
+    n_probe (n_probe = n_clusters is exhaustive — pinned by tests)."""
+    dim = len(query_vec)
+    if centroids is None:
+        centroids = seeded_spherical_centroids(n_clusters, dim, seed)
+    qv = [float(x) for x in query_vec]
+    order = sorted(range(len(centroids)),
+                   key=lambda j: (-_fold_dot(qv, centroids[j]), j))
+    probe = order[:n_probe]
+    cand = ivf_assign(df, centroids, vec_col, id_col) \
+        .filter(F.col("cluster").isin([int(j) for j in probe]))
+    q = F.array(*[F.lit(x) for x in qv])
+    qn = float(np.linalg.norm(np.asarray(qv, dtype=np.float64))) or 1.0
+    return (
+        cand.select(
+            "id",
+            (_dot(F.col("vec"), q) / (_norm(F.col("vec")) * F.lit(qn))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )

@@ -86,3 +86,79 @@ def test_lsh_topk_scores_are_true_cosines(spark, fixture_emb):
     assert approx[0]["id"] == 0
     for r in approx:
         assert round(r["cosine"], 9) == exact[r["id"]]
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantization
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_full_probe_equals_exact(fixture_emb):
+    """n_probe = n_clusters probes every Voronoi cell — must reproduce the
+    exact brute-force top-k (same ids, same order)."""
+    from mongoesindexer_spark.operators.ann import cosine_topk, cosine_topk_ivf
+    q = fixture_emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = fixture_emb.filter(F.col("vec_id") != 0)
+    exact = [(r["id"], round(r["cosine"], 9))
+             for r in cosine_topk(rest, list(q), 10).collect()]
+    ivf = [(r["id"], round(r["cosine"], 9))
+           for r in cosine_topk_ivf(rest, list(q), 10, n_clusters=8,
+                                    n_probe=8).collect()]
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(planted):
+    """Recall in the design regime (true near-neighbors, cosine ≈ 0.94):
+    a high-cosine neighbor lands in the same Voronoi cell as the query
+    with overwhelming probability, so partial probing must find the
+    planted top-1; recall must be monotone in n_probe.  (On *random*
+    near-orthogonal data the true top-k scatters across cells — IVF's
+    contract, like LSH's, only holds when genuine neighbors exist.)"""
+    from mongoesindexer_spark.operators.ann import cosine_topk, cosine_topk_ivf
+    # query = planted near-dup of base vector 0 (cosine ≈ 0.94)
+    q = planted.filter(F.col("vec_id") == 1000).first()["embedding"]
+    rest = planted.filter(F.col("vec_id") != 1000)
+    exact = [r["id"] for r in cosine_topk(rest, list(q), 10).collect()]
+    assert exact[0] == 0  # ground truth: the base vector is the true top-1
+    got1 = {r["id"] for r in cosine_topk_ivf(rest, list(q), 10, n_clusters=8,
+                                             n_probe=1).collect()}
+    got4 = {r["id"] for r in cosine_topk_ivf(rest, list(q), 10, n_clusters=8,
+                                             n_probe=4).collect()}
+    assert 0 in got1, "true near-dup must share the query's nearest cell"
+    r1 = len(got1 & set(exact)) / len(exact)
+    r4 = len(got4 & set(exact)) / len(exact)
+    assert r4 >= r1
+    assert r4 >= 0.5, (r1, r4)
+
+
+def test_ivf_assign_matches_numpy(fixture_emb):
+    """The JVM argmax-of-dots assignment must agree with the numpy Voronoi
+    assignment (first-index tie-break) on every row."""
+    from mongoesindexer_spark.operators.ann import (ivf_assign,
+                                                    seeded_spherical_centroids)
+    c = seeded_spherical_centroids(8, DIM, seed=42)
+    got = {r["id"]: r["cluster"]
+           for r in ivf_assign(fixture_emb, c).collect()}
+    rows = fixture_emb.select("vec_id", "embedding").collect()
+    for r in rows:
+        v = np.asarray(list(r["embedding"]), dtype=np.float64)
+        want = int(np.argmax(c @ v))
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_ivf_trained_codebook_path(planted):
+    """The production path: k-means-trained centroids flow through the
+    same assign/probe machinery; full probe stays exact."""
+    from mongoesindexer_spark.operators.ann import (cosine_topk,
+                                                    cosine_topk_ivf,
+                                                    train_ivf_centroids)
+    c = train_ivf_centroids(planted, n_clusters=4, dim=DIM, sample_n=100,
+                            n_iters=5)
+    assert c.shape == (4, DIM)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
+    q = planted.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = planted.filter(F.col("vec_id") != 0)
+    exact = [r["id"] for r in cosine_topk(rest, list(q), 5).collect()]
+    ivf = [r["id"] for r in cosine_topk_ivf(rest, list(q), 5, centroids=c,
+                                            n_probe=4).collect()]
+    assert ivf == exact
