@@ -200,6 +200,39 @@ def decode_dls(dls_vb: bytes) -> np.ndarray:
     return varbyte_decode(dls_vb) + 1
 
 
+def decode_blocks_into(blocks: list[dict]) -> None:
+    """Decode MANY blocks' (docs, tfs, dls) in three vectorized varbyte
+    passes over the concatenated byte streams and store the per-block
+    arrays as ``b["_arrs"]`` — numerically identical to per-block
+    :func:`decode_block`/:func:`decode_dls` (property-tested) but ~5-10×
+    faster for query-sized batches, where hundreds of per-block numpy
+    calls are fixed-overhead bound.
+
+    The varbyte stream is self-delimiting, so concatenation decodes
+    cleanly; only the doc-gap cumsum needs a per-block base subtraction
+    (each block's deltas restart against -1).
+    """
+    if not blocks:
+        return
+    ns = np.array([b["n"] for b in blocks], dtype=np.int64)
+    ends = np.cumsum(ns)
+    gaps = varbyte_decode(b"".join(b["docs_vb"] for b in blocks))
+    if gaps.size != int(ends[-1]):
+        raise ValueError(
+            f"corrupt block batch: decoded {gaps.size} doc gaps, "
+            f"block metadata says {int(ends[-1])}")
+    tfs = varbyte_decode(b"".join(b["tfs_vb"] for b in blocks)) + 1
+    dls = varbyte_decode(b"".join(b["dls_vb"] for b in blocks)) + 1
+    c = np.cumsum(gaps)
+    starts = ends - ns
+    base = np.where(starts > 0, c[starts - 1], 0)
+    docs = c - np.repeat(base, ns) - 1
+    bounds = ends[:-1]
+    for b, d, t, dl in zip(blocks, np.split(docs, bounds),
+                           np.split(tfs, bounds), np.split(dls, bounds)):
+        b["_arrs"] = (d, t, dl)
+
+
 def encode_groups(terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
                   doc_lens: np.ndarray, avgdl: float,
                   block_size: int = BLOCK_SIZE,

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import heapq
 import itertools
+import os
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -23,8 +25,96 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analysis import LTD_DOC, AnalyzerConfig, analyze_search
-from ..functions.encode import B, K1, decode_block, decode_dls
+from ..functions.encode import (B, K1, decode_block, decode_blocks_into,
+                                decode_dls)
+from ..sources import fsio
 from ..sources.catalog import ParquetCatalog, read_table_arrow
+
+
+class _RowGroupIndex:
+    """Lucene-style resident point-read index over one table's parquet
+    files: footers are parsed ONCE (at engine warm-up), the per-row-group
+    (min, max) stats of the key column stay driver-resident, and a query
+    opens only the row groups whose key range can contain its values —
+    the analog of Lucene's in-RAM term index in front of on-disk blocks.
+
+    Replaces per-query ``pyarrow.dataset(...).to_table(filter=...)``,
+    which re-evaluates fragment pruning and re-touches every file's row
+    groups on EVERY call (~15-20 ms per scan at sf0.1 — over half the
+    warm query latency).  Memory: one (ref, int, lo, hi) tuple per row
+    group — segments are written key-sorted with small row groups, so the
+    directory is ~100 bytes/row-group; a serving node at 10^12 docs holds
+    the directory for ITS segment subset (queries that big fan out via
+    :meth:`SearchEngine.topk_segments` anyway).
+    """
+
+    def __init__(self, paths: list[str], col: str, filesystem=None):
+        self.col = col
+        self.files = []     # open pq.ParquetFile handles (footer cached)
+        self.entries = []   # (file_idx, rg_idx, min, max) — min None = no stats
+        for p in paths:
+            f = fsio.parquet_file(p, filesystem)
+            fi = len(self.files)
+            self.files.append(f)
+            md = f.metadata
+            ci = next(i for i in range(md.num_columns)
+                      if md.schema.column(i).name == col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    self.entries.append((fi, rg, st.min, st.max))
+                else:
+                    self.entries.append((fi, rg, None, None))
+
+    def _gather(self, per_file: dict[int, list[int]], columns):
+        import pyarrow as pa
+        read_cols = columns
+        if columns is not None and self.col not in columns:
+            read_cols = [self.col, *columns]
+        tabs = [self.files[fi].read_row_groups(rgs, columns=read_cols,
+                                               use_threads=False)
+                for fi, rgs in per_file.items()]
+        if not tabs:
+            schema = self.files[0].schema_arrow if self.files else pa.schema([])
+            if read_cols is not None:
+                schema = pa.schema([schema.field(c) for c in read_cols])
+            return schema.empty_table()
+        return pa.concat_tables(tabs)
+
+    def _finish(self, tbl, mask, columns) -> pd.DataFrame:
+        tbl = tbl.filter(mask)
+        if columns is not None:
+            tbl = tbl.select(columns)
+        return tbl.to_pandas()
+
+    def read_isin(self, values: list, columns: list[str] | None = None
+                  ) -> pd.DataFrame:
+        """Rows whose key is in ``values`` (exact — stats prune row
+        groups, an in-memory mask finishes the job)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        vals = sorted(values)
+        per_file: dict[int, list[int]] = {}
+        for fi, rg, lo, hi in self.entries:
+            if lo is None or any(lo <= v <= hi for v in vals):
+                per_file.setdefault(fi, []).append(rg)
+        tbl = self._gather(per_file, columns)
+        vs = pa.array(vals).cast(tbl.schema.field(self.col).type)
+        return self._finish(tbl, pc.is_in(tbl[self.col], value_set=vs),
+                            columns)
+
+    def read_range(self, lo, hi, columns: list[str] | None = None
+                   ) -> pd.DataFrame:
+        """Rows with ``lo <= key < hi``."""
+        import pyarrow.compute as pc
+        per_file: dict[int, list[int]] = {}
+        for fi, rg, mn, mx in self.entries:
+            if mn is None or not (mx < lo or mn >= hi):
+                per_file.setdefault(fi, []).append(rg)
+        tbl = self._gather(per_file, columns)
+        c = tbl[self.col]
+        mask = pc.and_(pc.greater_equal(c, lo), pc.less(c, hi))
+        return self._finish(tbl, mask, columns)
 
 
 def _query_terms(query_text: str, cfg: AnalyzerConfig) -> list[str]:
@@ -63,12 +153,13 @@ class SearchEngine:
         # tombstones.  Doc lengths travel inside posting blocks (dls_vb)
         # and urls are point-fetched for the k winners — a corpus-sized
         # doc_stats materialization here would be terabytes at 10^12 docs.
-        # pyarrow Dataset objects cached per table for the engine's
-        # lifetime: dataset construction lists the snapshot dirs and reads
-        # every segment file's footer — ~tens of ms over n_buckets×salts
-        # files, which would otherwise be paid on EVERY query.  Safe
-        # because the engine itself is invalidated on snapshot change.
-        self._ds_cache: dict = {}
+        # point-read machinery (all invalidated with the engine):
+        # _RowGroupIndex per (table, key col); term_dict rows and posting
+        # blocks LRU-cached per term — the Lucene analog of the resident
+        # term index + the OS page cache over hot posting lists.
+        self._rg_cache: dict = {}
+        self._td_cache: "OrderedDict[str, tuple | None]" = OrderedDict()
+        self._block_cache: "OrderedDict[str, list[dict]]" = OrderedDict()
         gdf = read_table_arrow(self.cat, "global_stats")
         if gdf.empty:
             raise FileNotFoundError(
@@ -83,29 +174,29 @@ class SearchEngine:
         else:
             self.tombstones = set()
 
-    def _arrow_read(self, table: str, columns: list[str] | None = None,
-                    filter=None) -> pd.DataFrame:
-        """Point-read through the cached pyarrow dataset (no dir listing,
-        no footer re-reads, no Spark job)."""
-        ds_obj = self._ds_cache.get(table)
-        if ds_obj is None:
-            import pyarrow.dataset as _ds
-            parts = [_ds.dataset(d, format="parquet")
-                     for d in self.cat._live_dirs(table)]
-            ds_obj = parts[0] if len(parts) == 1 else _ds.dataset(parts)
-            self._ds_cache[table] = ds_obj
-        return ds_obj.to_table(columns=columns, filter=filter).to_pandas()
+    def _rg_index(self, table: str, col: str) -> _RowGroupIndex:
+        """Per-(table, key) row-group directory, built once per engine."""
+        key = (table, col)
+        idx = self._rg_cache.get(key)
+        if idx is None:
+            paths = []
+            for d in self.cat._live_dirs(table):
+                paths.extend(
+                    os.path.join(d, f)
+                    for f in sorted(fsio.listdir(d, self.cat.filesystem))
+                    if f.endswith(".parquet") and not f.startswith("."))
+            idx = _RowGroupIndex(paths, col, self.cat.filesystem)
+            self._rg_cache[key] = idx
+        return idx
 
     def fetch_urls(self, doc_ids: list[int]) -> dict[int, str]:
-        """Point-fetch urls for ≤k winners via pyarrow predicate pushdown.
-        doc_stats part files are doc_id-ordered (doc_id = url rank, files
-        written in rank order), so row-group pruning is tight."""
+        """Point-fetch urls for ≤k winners via the doc_id row-group
+        directory.  doc_stats part files are doc_id-ordered (doc_id = url
+        rank, files written in rank order), so pruning is tight."""
         if not doc_ids:
             return {}
-        import pyarrow.dataset as _ds
-        pdf = self._arrow_read(
-            "doc_stats", ["doc_id", "url"],
-            filter=_ds.field("doc_id").isin([int(d) for d in doc_ids]))
+        pdf = self._rg_index("doc_stats", "doc_id").read_isin(
+            [int(d) for d in doc_ids], ["doc_id", "url"])
         return dict(zip(pdf["doc_id"].values, pdf["url"].values))
 
     def version(self) -> tuple:
@@ -157,31 +248,74 @@ class SearchEngine:
         stats (segments are written term-sorted, so pruning is tight).
         The Spark path remains for analytical scoring (topk_df).
         """
-        import pyarrow.dataset as _ds
-
-        return self._arrow_read(table, columns,
-                                filter=_ds.field("term").isin(terms))
+        return self._rg_index(table, "term").read_isin(terms, columns)
 
     def suggest(self, prefix: str, k: int = 10) -> pd.DataFrame:
         """Completion suggester (T7): top-k terms for a prefix, weighted by
         doc frequency — served from the materialized ``completion`` table
         (one prefix point-read, row-group pruned) with a term_dict range
         scan fallback for prefixes longer than MAX_PREFIX_LEN."""
-        import pyarrow.dataset as _ds
-
         from .build_index import MAX_PREFIX_LEN
         prefix = prefix.lower()
         if self.cat.table_exists("completion") and len(prefix) <= MAX_PREFIX_LEN:
-            pdf = self._arrow_read("completion", ["term", "weight"],
-                                   filter=_ds.field("prefix") == prefix)
+            pdf = self._rg_index("completion", "prefix").read_isin(
+                [prefix], ["term", "weight"])
         else:
-            f = _ds.field("term")
-            pdf = self._arrow_read(
-                "term_dict", ["term", "df"],
-                filter=(f >= prefix) & (f < prefix + chr(0x10FFFF)))
+            pdf = self._rg_index("term_dict", "term").read_range(
+                prefix, prefix + chr(0x10FFFF), ["term", "df"])
             pdf = pdf.rename(columns={"df": "weight"})
         pdf = pdf.sort_values(["weight", "term"], ascending=[False, True])
         return pdf.head(k).reset_index(drop=True)
+
+    def _term_meta(self, terms: list[str]) -> dict:
+        """term → (idf, df) | None via a bounded LRU over term_dict point
+        reads (the resident term-dictionary front of a Lucene reader).
+        Negative entries (term absent from the index) are cached too."""
+        missing = [t for t in terms if t not in self._td_cache]
+        if missing:
+            pdf = self._read_filtered("term_dict", missing,
+                                      ["term", "idf", "df"])
+            got = {t: (float(i), int(d))
+                   for t, i, d in zip(pdf["term"].values, pdf["idf"].values,
+                                      pdf["df"].values)}
+            for t in missing:
+                self._td_cache[t] = got.get(t)
+            while len(self._td_cache) > TD_CACHE_TERMS:
+                self._td_cache.popitem(last=False)
+        out = {}
+        for t in terms:
+            self._td_cache.move_to_end(t)
+            out[t] = self._td_cache[t]
+        return out
+
+    def _term_blocks(self, terms: list[str]) -> dict[str, list[dict]]:
+        """term → posting-block rows via a bounded LRU — the page-cache
+        analog over hot posting lists.  Terms whose candidate count
+        exceeds BLOCK_CACHE_MAX_POSTINGS are served but not cached (head
+        terms at corpus scale route to topk_segments before this point);
+        empty results ARE cached (absent-term queries stay cheap)."""
+        missing = [t for t in terms if t not in self._block_cache]
+        fetched: dict[str, list[dict]] = {}
+        if missing:
+            pdf = self._read_filtered("postings_blocks", missing)
+            for r in pdf.to_dict("records"):
+                fetched.setdefault(r["term"], []).append(r)
+            for t in missing:
+                bl = fetched.get(t, [])
+                if sum(b["n"] for b in bl) <= BLOCK_CACHE_MAX_POSTINGS:
+                    self._block_cache[t] = bl
+            while len(self._block_cache) > BLOCK_CACHE_TERMS:
+                self._block_cache.popitem(last=False)
+        out = {}
+        for t in terms:
+            bl = self._block_cache.get(t)
+            if bl is not None:
+                self._block_cache.move_to_end(t)
+            else:
+                bl = fetched.get(t, [])
+            if bl:
+                out[t] = bl
+        return out
 
     def topk_wand(self, query_text: str, k: int,
                   use_wand: bool | None = None,
@@ -204,18 +338,21 @@ class SearchEngine:
         terms = _query_terms(query_text, self.cfg)
         if not terms:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
-        td_pdf = self._read_filtered("term_dict", terms, ["term", "idf", "df"])
-        td = dict(zip(td_pdf["term"].values, td_pdf["idf"].values))
+        meta = self._term_meta(terms)
+        td = {t: m[0] for t, m in meta.items() if m is not None}
         if use_segments is None:
-            use_segments = int(td_pdf["df"].sum()) >= SEGMENT_FANOUT_CUTOFF
+            total_df = sum(m[1] for m in meta.values() if m is not None)
+            use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
         if use_segments:
             return self.topk_segments(terms, td, k)
-        blocks_pdf = self._read_filtered("postings_blocks", terms)
+        by_term = self._term_blocks(terms)
         if use_wand is None:
-            use_wand = int(blocks_pdf["n"].sum()) >= EXHAUSTIVE_CUTOFF
-        by_term: dict[str, list[dict]] = {}
-        for r in blocks_pdf.to_dict("records"):
-            by_term.setdefault(r["term"], []).append(r)
+            n_cand = sum(b["n"] for bl in by_term.values() for b in bl)
+            use_wand = n_cand >= EXHAUSTIVE_CUTOFF
+        # batch-decode every not-yet-decoded block in three vectorized
+        # passes (cached blocks keep their arrays across queries)
+        decode_blocks_into([b for bl in by_term.values() for b in bl
+                            if "_arrs" not in b])
         if use_wand:
             cursors = [_TermCursor(td[t], by_term[t], self.avgdl)
                        for t in terms if t in by_term]
@@ -288,8 +425,10 @@ class SearchEngine:
                     if not len(bl):
                         continue
                     by_term: dict[str, list[dict]] = {}
-                    for r in bl.to_dict("records"):
+                    recs = bl.to_dict("records")
+                    for r in recs:
                         by_term.setdefault(r["term"], []).append(r)
+                    decode_blocks_into(recs)
                     if int(bl["n"].sum()) >= EXHAUSTIVE_CUTOFF:
                         cursors = [_TermCursor(idf_by_term[t], by_term[t], avgdl)
                                    for t in terms if t in by_term]
@@ -400,9 +539,7 @@ class _TermCursor:
     def _advance_block(self) -> None:
         self.bi += 1
         if self.bi < len(self.blocks):
-            b = self.blocks[self.bi]
-            self.docs, self.tfs = decode_block(b["docs_vb"], b["tfs_vb"])
-            self.dls = decode_dls(b["dls_vb"])
+            self.docs, self.tfs, self.dls = _block_arrays(self.blocks[self.bi])
             self.pos = 0
         else:
             self.docs = None
@@ -453,6 +590,15 @@ class _TermCursor:
 # counts only for selective queries on big corpora)
 EXHAUSTIVE_CUTOFF = 1 << 20
 
+# engine-resident LRU sizing: term_dict entries are ~50 B (64k ≈ 3 MB);
+# block-cache entries hold encoded blocks + memoized decode for one term,
+# capped at BLOCK_CACHE_MAX_POSTINGS postings each (≤ ~16 MB/term decoded;
+# 256 terms ≈ bounded single-digit GB worst case, typically far less —
+# the page-cache analog, invalidated with the engine on snapshot change)
+TD_CACHE_TERMS = 1 << 16
+BLOCK_CACHE_TERMS = 256
+BLOCK_CACHE_MAX_POSTINGS = 1 << 20
+
 # above this many candidate POSTINGS (Σ df over query terms), the query
 # must not materialize its blocks in the driver: fan out per segment group
 # (SearchEngine.topk_segments) and pay one Spark job instead — at 10^12
@@ -473,8 +619,7 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
     all_scores: list[np.ndarray] = []
     for idf, blocks in term_blocks.values():
         for b in blocks:
-            docs, tfs = decode_block(b["docs_vb"], b["tfs_vb"])
-            dls = decode_dls(b["dls_vb"])
+            docs, tfs, dls = _block_arrays(b)
             tf = tfs.astype(np.float64)
             all_docs.append(docs)
             all_scores.append(
@@ -493,6 +638,17 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
         return []
     order = np.lexsort((uniq, -agg))[:k]
     return [(float(agg[i]), int(uniq[i])) for i in order]
+
+
+def _block_arrays(b: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decoded (docs, tfs, dls) of one block, memoized on the block dict —
+    blocks held in the engine's LRU decode once, not once per query.  The
+    arrays are treated as immutable by both scoring kernels."""
+    arrs = b.get("_arrs")
+    if arrs is None:
+        docs, tfs = decode_block(b["docs_vb"], b["tfs_vb"])
+        arrs = b["_arrs"] = (docs, tfs, decode_dls(b["dls_vb"]))
+    return arrs
 
 
 def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,

@@ -213,3 +213,32 @@ def test_varbyte_single_byte_fast_path():
 def test_varbyte_int64_max():
     vals = np.array([2**63 - 1, 0, 127, 128], dtype=np.int64)
     assert np.array_equal(varbyte_decode(varbyte_encode(vals)), vals)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1 << 40),
+                min_size=1, max_size=400, unique=True),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_decode_blocks_into_matches_per_block(ids, seed):
+    """Batched concat decode == per-block decode on every array, across
+    multiple terms' block lists mixed into one batch."""
+    from mongoesindexer_spark.functions.encode import (decode_blocks_into,
+                                                       decode_dls)
+    rng = np.random.RandomState(seed)
+    doc_ids = np.array(sorted(ids), dtype=np.int64)
+    tfs = rng.randint(1, 50, size=doc_ids.size).astype(np.int64)
+    dls = rng.randint(1, 500, size=doc_ids.size).astype(np.int64)
+    # two "terms": full postings and an odd-index subset, small blocks
+    rows = encode_blocks(doc_ids, tfs, dls, float(dls.mean()), block_size=7)
+    sub = slice(1, None, 2)
+    if doc_ids[sub].size:
+        rows += encode_blocks(doc_ids[sub], tfs[sub], dls[sub],
+                              float(dls.mean()), block_size=7)
+    decode_blocks_into(rows)
+    for r in rows:
+        d, t = decode_block(r["docs_vb"], r["tfs_vb"])
+        dl = decode_dls(r["dls_vb"])
+        bd, bt, bdl = r["_arrs"]
+        assert np.array_equal(bd, d)
+        assert np.array_equal(bt, t)
+        assert np.array_equal(bdl, dl)
