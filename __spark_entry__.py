@@ -297,6 +297,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.round(F.col("jaccard") * 1e4).cast("long").alias("jaccard_e4"))
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact 3-gram Jaccard near-dup pairs
+    (threshold 0.5): (doc_id, cluster_id = min member id).  The
+    keep-one-per-component step every pair-emitting dedup needs;
+    hash-min label propagation, oracle = DuckDB recursive CTE."""
+    from mongoesindexer_spark.operators.dedup import (neardup_clusters,
+                                                      ngram_jaccard_pairs_exact)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_exact(docs, 0.5)
+    return neardup_clusters(pairs).select(F.col("id").alias("doc_id"),
+                                          "cluster_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongoesindexer_spark.operators.dedup import simhash
     return simhash(_read(spark, sf_dir, "documents"))
@@ -484,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "neardup_clusters": q_neardup_clusters,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_lsh": q_ann_cosine_lsh,
@@ -763,6 +777,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    CAST(round(jaccard * 1e4) AS BIGINT) AS jaccard_e4
             FROM j WHERE jaccard >= 0.5
+        """,
+        # transitive closure by recursive CTE: min reachable id ==
+        # hash-min fixpoint label (both are "min id in my component")
+        "neardup_clusters": f"""
+            WITH RECURSIVE sh AS (
+                SELECT id,
+                       list_distinct(CASE WHEN len(toks) >= 3
+                         THEN list_transform(generate_series(1, len(toks) - 2),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                         ELSE [array_to_string(toks, ' ')] END) AS sh
+                FROM (SELECT doc_id AS id, {_TOK_DD} AS toks FROM documents)
+            ), pr AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pr
+                UNION SELECT id_b, id_a FROM pr
+            ), reach AS (
+                SELECT src AS id, src AS lab FROM edges
+                UNION
+                SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, MIN(lab) AS cluster_id
+            FROM reach GROUP BY id
         """,
         "lang_id": f"""
             SELECT id AS doc_id, {', '.join('s_' + l for l in LANG_PROFILES)},

@@ -244,3 +244,53 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                   F.col(text_col).alias("text"))
         .mapInPandas(_kernel, schema="id long, simhash long")
     )
+
+
+def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b", max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, cluster_id)``
+    with ``cluster_id`` = the component's minimum member id — the step a
+    training-data pipeline runs AFTER pair generation (MinHash/SimHash/
+    embedding LSH all emit PAIRS; dedup keeps one doc per component, and
+    transitive duplicates A~B~C must collapse even when (A, C) was never
+    emitted).
+
+    Algorithm: iterative hash-min label propagation.  Each round, every
+    node takes the min label among itself and its neighbors — one
+    broadcast-free equi-join + one groupBy per round, all JVM.  Rounds
+    needed = graph diameter; near-dup components are small by
+    construction (they are sets of mutual near-duplicates), so this
+    converges in a handful of rounds at any corpus size, and each round
+    shuffles only ``2·|pairs|`` rows — no all-pairs blowup.  The
+    convergence check is a scalar ``count`` per round (driver sees one
+    number, never the data).  Deterministic: labels are ids, min is
+    order-free.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("id")))
+    for _ in range(max_iters):
+        # neighbor labels: edge (src → dst) carries src's current label
+        prop = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("cluster_id").alias("nbr_min")))
+        nxt = (labels.join(prop, "id", "left")
+               .select("id", F.least("cluster_id", "nbr_min")
+                       .alias("cluster_id")))
+        # localCheckpoint (eager): materializes this round AND truncates
+        # the logical plan — without it the nested join lineage grows
+        # every round and Catalyst analysis time explodes by ~round 6
+        # (the standard iterative-algorithm failure mode)
+        nxt = nxt.localCheckpoint()
+        changed = (nxt.join(labels.withColumnRenamed("cluster_id", "old"),
+                            "id")
+                   .filter(F.col("cluster_id") != F.col("old"))
+                   .count())
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("id", "cluster_id")

@@ -69,7 +69,13 @@ class _RowGroupIndex:
     def _gather(self, per_file: dict[int, list[int]], columns):
         import pyarrow as pa
         read_cols = columns
-        if columns is not None and self.col not in columns:
+        if columns is None and self.files:
+            # explicit column list even for "all": base segments (pyarrow
+            # kernel) and delta segments (Spark writer) may store the same
+            # schema in different physical order, and concat_tables
+            # requires identical schemas — pin the first file's order
+            read_cols = self.files[0].schema_arrow.names
+        elif columns is not None and self.col not in columns:
             read_cols = [self.col, *columns]
         tabs = [self.files[fi].read_row_groups(rgs, columns=read_cols,
                                                use_threads=False)

@@ -260,3 +260,28 @@ def test_search_engine_cache_invalidates_after_sync(spark, tmp_path):
         .select("op", "url", "warc_ts", "html", "text", "lang")
     IncrementalIndexer(idx).apply_updates(spark, updates, batch_id="b1")
     assert bm25_topk_df(spark, idx, "zebra", 50).count() == 5
+
+
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C (no A~C edge) must land in ONE component labeled by
+    the min id; disconnected pairs stay separate; singletons (no pairs)
+    are absent from the output by design."""
+    from mongoesindexer_spark.operators.dedup import neardup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 7)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7, 20: 7}
+
+
+def test_neardup_clusters_long_chain(spark):
+    """A path graph needs diameter-many propagation rounds — the loop
+    must iterate to the fixpoint, not stop after one round."""
+    from mongoesindexer_spark.operators.dedup import neardup_clusters
+    n = 9
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in neardup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
