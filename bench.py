@@ -236,7 +236,7 @@ def main() -> None:
     suite = [
         "ft_term_stats", "lookup_join", "nested_lookup", "dedup_exact",
         "dedup_fingerprint", "minhash_lsh_pairs", "simhash",
-        "ann_cosine_topk", "text_quality", "token_counts",
+        "ann_cosine_topk", "ann_cosine_ivf", "text_quality", "token_counts",
         "topk_latest_per_user", "stale_filter",
     ]
     qs = entry_mod.queries()

@@ -384,7 +384,6 @@ class SearchEngine:
         dir is one group; splitting it per file would split a doc's terms
         across tasks and mis-score it.
         """
-        import os
         groups: list[list[str]] = []
         for d in self.cat._live_dirs("postings_blocks"):
             files = sorted(
