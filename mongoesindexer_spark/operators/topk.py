@@ -52,6 +52,7 @@ class _RowGroupIndex:
         self.col = col
         self.files = []     # open pq.ParquetFile handles (footer cached)
         self.entries = []   # (file_idx, rg_idx, min, max) — min None = no stats
+        self._pool = None   # lazy shared thread pool for multi-file reads
         for p in paths:
             f = fsio.parquet_file(p, filesystem)
             fi = len(self.files)
@@ -77,9 +78,25 @@ class _RowGroupIndex:
             read_cols = self.files[0].schema_arrow.names
         elif columns is not None and self.col not in columns:
             read_cols = [self.col, *columns]
-        tabs = [self.files[fi].read_row_groups(rgs, columns=read_cols,
-                                               use_threads=False)
-                for fi, rgs in per_file.items()]
+        items = list(per_file.items())
+        if len(items) > 4:
+            # one read per matched file; Arrow releases the GIL, so a
+            # thread map overlaps the per-file open/decode latency (a
+            # query term typically matches one row group in EVERY
+            # doc-range segment — 32+ small reads back-to-back otherwise).
+            # The pool is shared per directory: creating one per call
+            # costs more than it saves on the cache-warm path.
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(8)
+            tabs = list(self._pool.map(
+                lambda it: self.files[it[0]].read_row_groups(
+                    it[1], columns=read_cols, use_threads=False),
+                items))
+        else:
+            tabs = [self.files[fi].read_row_groups(rgs, columns=read_cols,
+                                                   use_threads=False)
+                    for fi, rgs in items]
         if not tabs:
             schema = self.files[0].schema_arrow if self.files else pa.schema([])
             if read_cols is not None:
@@ -179,6 +196,14 @@ class SearchEngine:
                 read_table_arrow(self.cat, "tombstones")["doc_id"].tolist())
         else:
             self.tombstones = set()
+        # open the segment readers NOW (Lucene opens per-segment readers
+        # at IndexReader construction): the footer sweep happens once at
+        # engine warm-up instead of inflating the first query's latency
+        for table, col in (("term_dict", "term"),
+                           ("postings_blocks", "term"),
+                           ("doc_stats", "doc_id")):
+            if self.cat.table_exists(table):
+                self._rg_index(table, col)
 
     def _rg_index(self, table: str, col: str) -> _RowGroupIndex:
         """Per-(table, key) row-group directory, built once per engine."""
