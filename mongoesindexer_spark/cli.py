@@ -5,6 +5,7 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
   spark-submit --py-files engine.zip -m mongoesindexer_spark.cli build \
       --pages /path/pages_parquet --index /path/index [--config cfg.json]
   ... query  --index /path/index --q "terms here" --k 10 [--wand]
+  ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
   ... sync   --index /path/index --updates /path/updates_parquet --batch-id b1
   ... compact --index /path/index
   ... status --index /path/index        # lineage / progress report (ST8)
@@ -41,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--wand", action="store_true")
     q.add_argument("--mode", default="or", choices=["or", "and"])
+
+    sg = sub.add_parser("suggest",
+                        help="completion suggester (T7): top-k terms for "
+                             "a prefix, weighted by doc frequency")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True)
+    sg.add_argument("--k", type=int, default=10)
 
     s = sub.add_parser("sync")
     s.add_argument("--index", required=True)
@@ -96,6 +104,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             bm25_topk_df(spark, args.index, args.q, args.k, mode=args.mode).show(
                 args.k, truncate=False)
+    elif args.cmd == "suggest":
+        from .operators.topk import get_engine
+        pdf = get_engine(spark, args.index).suggest(args.prefix, args.k)
+        print(pdf.to_string(index=False))
     elif args.cmd == "sync":
         from .functions.analysis import LTD_DOC
         from .streaming.incremental import IncrementalIndexer

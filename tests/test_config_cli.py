@@ -75,3 +75,13 @@ def test_cli_build_all(spark, tmp_path, tiny_dir):
     for name in ("idx_a", "idx_b"):
         idx = str(tmp_path / name)
         assert bm25_topk_df(spark, idx, "the", 5).count() > 0
+
+
+def test_cli_suggest(spark, tiny_index, capsys):
+    """suggest command serves the completion table (T7) from the CLI."""
+    from mongoesindexer_spark.cli import main
+    rc = main(["suggest", "--index", tiny_index, "--prefix", "th", "--k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "term" in out and "weight" in out
+    assert "the" in out.split()
