@@ -72,31 +72,35 @@ def build_index_timed(spark, pages_df, index_dir: str, **kw) -> tuple[float, int
 
 def scaling_leg(master: str, pages_path: str,
                 warm_path: str | None = None) -> list[float]:
-    """One subprocess leg: build the index from pages parquet
-    SPARK_GRAFT_LEG_BUILDS times (default 2) on one warm JVM, return
-    docs/sec per build.
+    """One subprocess leg: build the index from pages parquet repeatedly
+    on one warm JVM until the leg's wall-clock measurement budget
+    (SPARK_GRAFT_LEG_SECONDS, default 300) is spent, with at least
+    SPARK_GRAFT_LEG_BUILDS (default 2) builds; return docs/sec per build.
 
     An untimed warm-up runs first so the measurement captures steady-state
     throughput, not cold-start: worker-pool creation is serial (~300ms/core)
     and the C2 JIT needs real invocation counts, so the warm-up build uses
     a meaningful slice of the input (all stages, all workers, shuffle +
     encode paths hot).  The cluster-protocol analog measures a warm
-    cluster too.  Multiple in-process builds amortize JVM startup and give
-    the host-weather estimators (best-of / mean) more samples per leg."""
+    cluster too.
+
+    EQUAL-TIME sampling, not equal-count: under this host's drifting
+    "weather" the best-of estimator converges with wall-clock exposure,
+    and the narrow leg's builds are ~2.5-3x longer — a fixed build count
+    would give the slow leg 2.5-3x more exposure to lucky host windows,
+    systematically inflating its best and deflating the efficiency ratio.
+    A fixed time budget per leg gives both sides the same exposure (the
+    fast leg simply contributes more samples within it)."""
     from mongoesindexer_spark.session import get_spark, warm_python_workers
 
-    n_builds = int(os.environ.get("SPARK_GRAFT_LEG_BUILDS", "0"))
+    min_builds = int(os.environ.get("SPARK_GRAFT_LEG_BUILDS", "2"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_LEG_SECONDS", "300"))
     spec = master.split("[")[1].rstrip("]").split(",")
     cores = int(spec[0]) * int(spec[1]) if len(spec) >= 2 else int(spec[0])
     # shuffle partitioning tracks DATA, not cores (identical on both legs;
     # AQE coalesces the excess on the narrow leg) — cores-many reduce
     # partitions would put the whole corpus through a handful of hash
     # aggregates and OOM the small leg
-    if not n_builds:
-        # 3 samples per leg per round: best-of within a round pairs the
-        # two legs inside one weather window, and 3 draws per leg give the
-        # best-of a fair shot at the window's true capacity on both sides
-        n_builds = 3
     spark = get_spark(f"bench-scaling-{cores}", master=master,
                       shuffle_partitions=max(cores, 64))
     pages = spark.read.parquet(pages_path)
@@ -111,11 +115,17 @@ def scaling_leg(master: str, pages_path: str,
         warm_pages = (spark.read.parquet(warm_path) if warm_path
                       else pages.limit(30000))
         build_index_timed(spark, warm_pages, warm)
-        for _ in range(n_builds):
+        leg_t0 = time.perf_counter()
+        last_secs = 0.0
+        # start another build only if it is expected (at the last build's
+        # duration) to finish inside the budget — otherwise the slow leg
+        # overshoots by a whole build and the exposure symmetry is lost
+        while (len(rates) < min_builds
+               or time.perf_counter() - leg_t0 + last_secs <= budget_s):
             out = tempfile.mkdtemp(prefix="mei_bench_idx_")
             try:
-                secs, n = build_index_timed(spark, pages, out)
-                rates.append(n / secs)
+                last_secs, n = build_index_timed(spark, pages, out)
+                rates.append(n / last_secs)
             finally:
                 shutil.rmtree(out, ignore_errors=True)
         return rates

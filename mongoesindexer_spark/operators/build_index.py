@@ -211,6 +211,16 @@ def tokenize_flat(docs: DataFrame, cfg: AnalyzerConfig = LTD_DOC) -> DataFrame:
 
 
 FLAT_DDL = "term string, doc_id long, tf long, doc_len long, url string"
+# the pyarrow twin of FLAT_DDL — kernel-direct flat writers must pin the
+# exact column order and types so mixed-generation flat dirs (build /
+# delta / compaction writers) stay schema-identical
+FLAT_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("doc_id", pa.int64()),
+    ("tf", pa.int64()),
+    ("doc_len", pa.int64()),
+    ("url", pa.string()),
+])
 
 
 def _tokenize_batch(doc_id_vals, url_vals, text_vals,
@@ -343,7 +353,8 @@ def rank_and_tokenize_files(spark: SparkSession,
                             cfg: AnalyzerConfig = LTD_DOC,
                             doc_stats_dir: str | None = None,
                             lineage_root: str | None = None,
-                            filesystem=None) -> DataFrame:
+                            filesystem=None,
+                            flat_dir: str | None = None) -> DataFrame:
     """Fused extraction + doc-id assignment + tokenization over sorted
     part-files.
 
@@ -353,11 +364,22 @@ def rank_and_tokenize_files(spark: SparkSession,
     from the file's rank offset, and tokenizing in one pass.  Shipping
     wide text/binary columns into a pandas UDF costs more JVM CPU in
     Arrow serialization than the Python work itself — reading the
-    columnar file in the kernel removes that entirely; only the (small)
-    postings rows flow back.  Identical output to
-    assign_doc_ids ∘ resolve_text ∘ tokenize_flat, with the file as the
-    resumable, deterministic unit of work (on a cluster, pass a pyarrow
-    filesystem for S3/HDFS paths).
+    columnar file in the kernel removes that entirely.  Identical output
+    to assign_doc_ids ∘ resolve_text ∘ tokenize_flat, with the file as
+    the resumable, deterministic unit of work (on a cluster, pass a
+    pyarrow filesystem for S3/HDFS paths).
+
+    ``flat_dir=None`` (legacy): postings rows flow back through Arrow
+    and the returned DataFrame IS the postings (caller writes it).
+    ``flat_dir`` set: each task also WRITES its postings as one
+    ``part-{rank_offset}.parquet`` in ``flat_dir`` (atomic tmp+rename,
+    same as the encode stage's segments) and the returned DataFrame
+    carries one metrics row per file.  The postings then never cross
+    into the JVM at all — profiled on the scaling input, the JVM side
+    of the write-back path (Arrow deserialization + parquet encoding of
+    every posting) cost ~19 core-s at 2 executors but ~46 core-s at 8,
+    a non-scaling span of the build's dominant stage; per-file pyarrow
+    writes scale with the kernel itself.
     """
     n = max(1, len(files_offsets))
     # exactly one file per task via parallelize slices — deterministic, and
@@ -379,6 +401,8 @@ def rank_and_tokenize_files(spark: SparkSession,
                 ds_ids: list[np.ndarray] = []
                 ds_urls: list[np.ndarray] = []
                 ds_lens: list[pd.Series] = []
+                flat_parts: list[pa.Table] = []
+                n_rows = 0
                 for batch in pf.iter_batches(columns=cols, batch_size=10_000):
                     b = batch.to_pandas()
                     texts = b["text"].values
@@ -396,7 +420,24 @@ def rank_and_tokenize_files(spark: SparkSession,
                         ds_ids.append(out.loc[m, "doc_id"].values)
                         ds_urls.append(out.loc[m, "url"].values)
                         ds_lens.append(out.loc[m, "doc_len"].values)
-                    yield out
+                    if flat_dir is not None:
+                        flat_parts.append(pa.Table.from_pandas(
+                            out, schema=FLAT_SCHEMA, preserve_index=False))
+                        n_rows += len(out)
+                    else:
+                        yield out
+                if flat_dir is not None:
+                    flat_t = (pa.concat_tables(flat_parts) if flat_parts
+                              else FLAT_SCHEMA.empty_table())
+                    # rank offset in the name: unique, stable across
+                    # retries, and parses as the part index for
+                    # sorted_doc_files-style listings
+                    fsio.write_parquet_atomic(
+                        flat_t, os.path.join(
+                            flat_dir, f"part-{int(off):012d}.parquet"),
+                        filesystem)
+                    yield pd.DataFrame({"partition": [f"{int(off):012d}"],
+                                        "rows": [n_rows]})
                 if doc_stats_dir is not None:
                     # one doc_stats part per input file, written atomically —
                     # avoids a later full re-scan of postings_flat just to
@@ -438,6 +479,8 @@ def rank_and_tokenize_files(spark: SparkSession,
                             if ds_lens else 0,
                             secs=round(time.perf_counter() - t0, 3))
 
+    if flat_dir is not None:
+        return fdf.mapInPandas(_rt, schema="partition string, rows long")
     return fdf.mapInPandas(_rt, schema=FLAT_DDL)
 
 
@@ -782,31 +825,37 @@ class IndexBuilder:
             # consumers cannot disagree on partition boundaries).  The
             # kernel also writes one doc_stats part per input file.
             ds_dir = os.path.join(self.index_dir, "doc_stats_files")
+            flat_dir = os.path.join(self.index_dir, "postings_flat_files")
             # wipe partial output from an interrupted tokenize run: the
-            # flat stage resumes at stage granularity, and ds part names
-            # carry rank offsets — a partition-count change between runs
-            # would otherwise leave stale ds files (and stale flat_files
-            # lineage metrics) that silently inflate doc_stats
+            # flat stage resumes at stage granularity, and ds/flat part
+            # names carry rank offsets — a partition-count change between
+            # runs would otherwise leave stale parts (and stale flat_files
+            # lineage metrics) that silently inflate doc_stats/postings
             import shutil
-            if self.filesystem is None:
-                shutil.rmtree(ds_dir, ignore_errors=True)
-            else:
-                try:
-                    self.filesystem.delete_dir(ds_dir)
-                except FileNotFoundError:
-                    pass
-            fsio.makedirs(ds_dir, self.filesystem)
+            for d in (ds_dir, flat_dir):
+                if self.filesystem is None:
+                    shutil.rmtree(d, ignore_errors=True)
+                else:
+                    try:
+                        self.filesystem.delete_dir(d)
+                    except FileNotFoundError:
+                        pass
+                fsio.makedirs(d, self.filesystem)
             self.lineage.reset("flat_files")
             if not self.pre_sorted:
                 files = sorted_doc_files(art_dir, self.filesystem)
-            flat = rank_and_tokenize_files(spark, files, self.cfg,
-                                           doc_stats_dir=ds_dir,
-                                           lineage_root=self.index_dir,
-                                           filesystem=self.filesystem)
-            self.catalog.overwrite(flat, "postings_flat")
+            metrics = rank_and_tokenize_files(spark, files, self.cfg,
+                                              doc_stats_dir=ds_dir,
+                                              lineage_root=self.index_dir,
+                                              filesystem=self.filesystem,
+                                              flat_dir=flat_dir)
+            metrics.collect()  # execute; parts land via the kernel
             if files:
+                self.catalog.register_external(flat_dir, "postings_flat")
                 self.catalog.register_external(ds_dir, "doc_stats")
             else:
+                self.catalog.overwrite(
+                    spark.createDataFrame([], FLAT_DDL), "postings_flat")
                 self.catalog.overwrite(
                     spark.createDataFrame([], "doc_id long, url string, doc_len long"),
                     "doc_stats")

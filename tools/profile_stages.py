@@ -43,7 +43,10 @@ os.makedirs("/dev/shm/sparktmp", exist_ok=True)
 os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/sparktmp"
 spark = get_spark(f"profile-{cores}", master=master,
                   shuffle_partitions=max(cores, 64))
-warm_python_workers(spark)
+# 1 GiB heap warm, same as bench.scaling_leg — the default 384 MB
+# leaves the encode kernel's first big task per worker paying a
+# concurrent page-fault storm that masquerades as a non-scaling stage
+warm_python_workers(spark, heap_mb=1024)
 pages = spark.read.parquet(pages_path)
 
 warm = tempfile.mkdtemp(prefix="mei_prof_warm_", dir="/dev/shm")
