@@ -303,7 +303,11 @@ def main() -> None:
         # absorbs.  Clean-window back-to-back capacity profile: 0.94
         # (163.1s @ 2 exec vs 43.5s @ 8 exec, tools/profile_stages.py).
         max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "5"))
-        scaling_cap_s = float(os.environ.get("SPARK_GRAFT_SCALING_MAX_S", "3300"))
+        # cap chosen so worst-case total bench stays near the longest
+        # driver-recorded run (~40 min): 3 base rounds ≈ 1800s, each
+        # extension round ≈ 600s — the cap admits at most one extra round
+        # unless rounds run fast
+        scaling_cap_s = float(os.environ.get("SPARK_GRAFT_SCALING_MAX_S", "2700"))
         target_eff = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", "0.8"))
         # N=2 vs 4N=8 single-core executors, 10 GiB each (identical
         # per-executor config, only the count scales).  Both legs are
@@ -367,38 +371,17 @@ def main() -> None:
                 break
             if time.perf_counter() - scaling_t0 + last_round_s > scaling_cap_s:
                 break
-        scaling = {
-            "n_executors": 2, "n4_executors": 8, "cores_per_executor": 1,
-            "rounds": rep, "base_rounds": repeats,
-            "runs_n": [round(x, 1) for x in legs[8]],
-            "runs_4n": [round(x, 1) for x in legs[32]],
-        }
-        if leg_errors:
-            scaling["leg_errors"] = leg_errors
-        if legs[8] and legs[32]:
-            best8, best32 = max(legs[8]), max(legs[32])
-            # three estimators for the N→4N ratio under host "weather"
-            # (hypervisor steal; identical runs minutes apart differ 2-3×):
-            #  - capacity (headline): best-of per leg across every sample —
-            #    converges to the true ratio as samples grow
-            #  - paired: per alternated round, best-of within that round's
-            #    back-to-back N/4N pair (numerator and denominator share
-            #    the same weather window); median over rounds
-            #  - mean: average throughput per leg — unbiased if the
-            #    slowdown process is stationary across the whole bench
-            pair_effs = [round((max(p32) / max(p8)) / 4.0, 3)
-                         for p8, p32 in round_pairs]
-            mean8 = sum(legs[8]) / len(legs[8])
-            mean32 = sum(legs[32]) / len(legs[32])
-            scaling.update({
-                "n_docs_per_sec": round(best8, 1),
-                "n4_docs_per_sec": round(best32, 1),
-                "efficiency": round((best32 / best8) / 4.0, 3),
-                "efficiency_paired": pair_effs,
-                "efficiency_paired_median": round(
-                    statistics.median(pair_effs), 3) if pair_effs else None,
-                "efficiency_mean": round((mean32 / mean8) / 4.0, 3),
-            })
+            # about to EXTEND: emit a provisional full JSON line first, so
+            # if a harness kills the bench mid-extension the last stdout
+            # line is still a complete, parseable result (the final line
+            # simply supersedes it on a normal exit)
+            prov = _scaling_summary(legs, round_pairs, leg_errors,
+                                    rep, repeats)
+            prov["provisional"] = True
+            print(json.dumps(_result(results, total_t0, docs_per_sec,
+                                     p95, p95_cold, prov)), flush=True)
+        scaling = _scaling_summary(legs, round_pairs, leg_errors,
+                                   rep, repeats)
         # host calibration: the SAME tokenize kernel in plain
         # multiprocessing at the same worker counts — the VM's own scaling
         # ceiling, independent of Spark.  normalized_efficiency reports
@@ -413,18 +396,62 @@ def main() -> None:
             scaling["host_calibration"] = {"error": str(e)[:200]}
 
     shutil.rmtree(idx_dir, ignore_errors=True)
-    out = {
+    print(json.dumps(_result(results, total_t0, docs_per_sec,
+                             p95, p95_cold, scaling)), flush=True)
+
+
+def _scaling_summary(legs: dict, round_pairs: list, leg_errors: list,
+                     rounds: int, base_rounds: int) -> dict:
+    """Scaling dict from the samples so far (shared by the provisional
+    pre-extension emit and the final line)."""
+    scaling = {
+        "n_executors": 2, "n4_executors": 8, "cores_per_executor": 1,
+        "rounds": rounds, "base_rounds": base_rounds,
+        "runs_n": [round(x, 1) for x in legs[8]],
+        "runs_4n": [round(x, 1) for x in legs[32]],
+    }
+    if leg_errors:
+        scaling["leg_errors"] = list(leg_errors)
+    if legs[8] and legs[32]:
+        best8, best32 = max(legs[8]), max(legs[32])
+        # three estimators for the N→4N ratio under host "weather"
+        # (hypervisor steal; identical runs minutes apart differ 2-3×):
+        #  - capacity (headline): best-of per leg across every sample —
+        #    converges to the true ratio as samples grow
+        #  - paired: per alternated round, best-of within that round's
+        #    back-to-back N/4N pair (numerator and denominator share
+        #    the same weather window); median over rounds
+        #  - mean: average throughput per leg — unbiased if the
+        #    slowdown process is stationary across the whole bench
+        pair_effs = [round((max(p32) / max(p8)) / 4.0, 3)
+                     for p8, p32 in round_pairs]
+        mean8 = sum(legs[8]) / len(legs[8])
+        mean32 = sum(legs[32]) / len(legs[32])
+        scaling.update({
+            "n_docs_per_sec": round(best8, 1),
+            "n4_docs_per_sec": round(best32, 1),
+            "efficiency": round((best32 / best8) / 4.0, 3),
+            "efficiency_paired": pair_effs,
+            "efficiency_paired_median": round(
+                statistics.median(pair_effs), 3) if pair_effs else None,
+            "efficiency_mean": round((mean32 / mean8) / 4.0, 3),
+        })
+    return scaling
+
+
+def _result(results: dict, total_t0: float, docs_per_sec: float,
+            p95: float, p95_cold: float, scaling: dict) -> dict:
+    return {
         "metric": "index docs/sec + BM25 top-k p95 + operator suite seconds",
         "value": round(time.perf_counter() - total_t0, 3),
         "unit": "sec",
-        "queries": results,
+        "queries": dict(results),
         "sf": _sf_value(SF_DIR),
         "index_docs_per_sec": round(docs_per_sec, 1),
         "bm25_p95_ms": round(p95, 1),
         "bm25_p95_cold_ms": round(p95_cold, 1),
         "scaling": scaling,
     }
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

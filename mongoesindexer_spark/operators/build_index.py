@@ -79,28 +79,27 @@ _FORMAT_FILE = "_FORMAT.json"
 MAX_PREFIX_LEN = 16
 
 
-def read_format_version(index_dir: str) -> int | None:
+def read_format_version(index_dir: str, filesystem=None) -> int | None:
     import json
     p = os.path.join(index_dir, _FORMAT_FILE)
-    if not os.path.exists(p):
+    if not fsio.exists(p, filesystem):
         return None
-    with open(p) as f:
-        return int(json.load(f).get("format_version", 0))
+    return int(json.loads(
+        fsio.read_text(p, filesystem)).get("format_version", 0))
 
 
-def write_format_version(index_dir: str) -> None:
+def write_format_version(index_dir: str, filesystem=None) -> None:
     import json
-    os.makedirs(index_dir, exist_ok=True)
-    p = os.path.join(index_dir, _FORMAT_FILE)
-    tmp = p + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump({"format_version": INDEX_FORMAT_VERSION}, f)
-    os.replace(tmp, p)
+    fsio.makedirs(index_dir, filesystem)
+    fsio.write_text_atomic(
+        json.dumps({"format_version": INDEX_FORMAT_VERSION}),
+        os.path.join(index_dir, _FORMAT_FILE), filesystem)
 
 
-def check_format_version(index_dir: str, what: str = "index") -> None:
+def check_format_version(index_dir: str, what: str = "index",
+                         filesystem=None) -> None:
     """Raise unless ``index_dir`` holds a current-format index."""
-    v = read_format_version(index_dir)
+    v = read_format_version(index_dir, filesystem)
     if v != INDEX_FORMAT_VERSION:
         raise ValueError(
             f"{what} at {index_dir!r} has format version {v!r}; this build "
@@ -706,9 +705,10 @@ class IndexBuilder:
         FileSystem for the per-file kernels' reads/writes (S3/HDFS paths;
         sources.fsio seam — pyarrow filesystems pickle into task
         closures).  Control-plane files (format marker, ParquetCatalog
-        log) stay driver-side: ParquetCatalog mode assumes the index root
-        on a shared POSIX FS; object-store deployments swap in
-        IcebergCatalog."""
+        log) stay driver-side by default: ParquetCatalog mode assumes the
+        index root on a shared POSIX FS; object-store deployments swap in
+        IcebergCatalog.  (The format-marker helpers accept a filesystem
+        for remote control planes; the default is unchanged.)"""
         self.index_dir = index_dir
         self.cfg = cfg
         self.pre_sorted = pre_sorted

@@ -412,7 +412,8 @@ class SearchEngine:
         groups: list[list[str]] = []
         for d in self.cat._live_dirs("postings_blocks"):
             files = sorted(
-                os.path.join(d, f) for f in os.listdir(d)
+                os.path.join(d, f)
+                for f in fsio.listdir(d, self.cat.filesystem)
                 if f.endswith(".parquet") and not f.startswith("."))
             if not files:
                 continue

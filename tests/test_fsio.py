@@ -74,3 +74,21 @@ def test_fsio_listing_and_size(tmp_path):
     assert fsio.listdir(str(tmp_path), fs) == ["a.parquet"]
     assert fsio.listdir(str(tmp_path)) == ["a.parquet"]
     assert fsio.file_size(str(tmp_path / "a.parquet"), fs) == 2
+
+
+def test_format_version_through_explicit_filesystem(tmp_path):
+    """The format marker (control plane) also routes through the seam so a
+    remote index root can still refuse stale-format resumes."""
+    from mongoesindexer_spark.operators.build_index import (
+        INDEX_FORMAT_VERSION, check_format_version, read_format_version,
+        write_format_version)
+
+    d = str(tmp_path / "idx")
+    fs = pafs.LocalFileSystem()
+    assert read_format_version(d, fs) is None
+    write_format_version(d, fs)
+    assert read_format_version(d, fs) == INDEX_FORMAT_VERSION
+    assert read_format_version(d) == INDEX_FORMAT_VERSION  # same bytes
+    check_format_version(d, filesystem=fs)
+    with pytest.raises(ValueError):
+        check_format_version(str(tmp_path / "nope"), filesystem=fs)
