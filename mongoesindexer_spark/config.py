@@ -19,6 +19,10 @@ from dataclasses import dataclass, field
 
 from .functions.analysis import KEYWORD, LTD_DOC, AnalyzerConfig
 
+# config keys that earlier engine versions defined; ignored on load so
+# old config files stay valid (see IndexConfig.from_json)
+_DEPRECATED_KEYS = {"docs_per_salt"}
+
 
 @dataclass(frozen=True)
 class IndexConfig:
@@ -68,6 +72,11 @@ class IndexConfig:
         with open(path) as f:
             raw = json.load(f)
         allowed = set(cls.__dataclass_fields__)
+        # keys from superseded engine versions: accepted and ignored so
+        # existing config files keep loading (docs_per_salt died with the
+        # round-2 salted-shuffle encode; per-file encoding has no salt)
+        for dep in _DEPRECATED_KEYS & set(raw):
+            raw.pop(dep)
         unknown = set(raw) - allowed
         if unknown:
             raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")

@@ -279,8 +279,16 @@ def sorted_doc_files(art_dir: str,
     out = []
     acc = 0
     for p in files:
+        n = fsio.parquet_file(p, filesystem).metadata.num_rows
+        # skip 0-row parts (empty range partitions when n_parts exceeds
+        # distinct keys): an empty file would get the SAME rank offset as
+        # its successor, and the kernel-direct flat writer names its
+        # output part-{offset} — the colliding atomic renames would
+        # silently drop one file's postings and lineage metrics
+        if n == 0:
+            continue
         out.append((p, acc))
-        acc += fsio.parquet_file(p, filesystem).metadata.num_rows
+        acc += n
     return out
 
 

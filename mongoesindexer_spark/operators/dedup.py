@@ -293,4 +293,13 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
         labels = nxt
         if changed == 0:
             break
+    else:
+        # a silent non-fixpoint return would split one transitive
+        # component into several cluster_ids and keep extra "keepers"
+        # with no sign anything went wrong — fail loudly instead
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing): a component's diameter "
+            f"exceeds max_iters — raise max_iters (rounds needed = "
+            "distance from each component's min-id node)")
     return labels.select("id", "cluster_id")

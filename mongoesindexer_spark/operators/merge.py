@@ -29,7 +29,6 @@ import uuid
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.build_index import (IndexBuilder, encode_flat_file,
                                      source_files_presorted)
@@ -105,20 +104,57 @@ def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
         stats = fdf.mapInPandas(
             _cmp, schema="partition long, rows long, blocks long").collect()
     if not fsio.listdir(new_flat, filesystem):
-        # fully-tombstoned corpus: keep a readable empty table
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        pq.write_table(
-            pa.schema([("term", pa.string()), ("doc_id", pa.int64()),
-                       ("tf", pa.int64()), ("doc_len", pa.int64()),
-                       ("url", pa.string())]).empty_table(),
-            os.path.join(new_flat, "part-00000-cmp.parquet"))
+        # fully-tombstoned corpus: keep a readable empty table (schema
+        # pinned to the build's — mixed-writer dirs must stay identical)
+        from ..operators.build_index import FLAT_SCHEMA
+        fsio.write_parquet_atomic(
+            FLAT_SCHEMA.empty_table(),
+            os.path.join(new_flat, "part-00000-cmp.parquet"), filesystem)
 
     n_dead = int(dead.size)
-    live_stats = cat.read(spark, "doc_stats").join(
-        F.broadcast(spark.createDataFrame(
-            [(int(d),) for d in dead], "doc_id long")), "doc_id", "left_anti")
-    cat.overwrite(live_stats, "doc_stats")
+    # doc_stats is rewritten per part file with the SAME 8192-row row
+    # groups the build writes — a plain Spark overwrite would emit ~1M-row
+    # groups and every post-compaction fetch_urls point read would decode
+    # whole files for k winners, for the lifetime of the index.  Part
+    # files are doc_id-ordered; the tombstone filter preserves that.
+    ds_paths = []
+    for d in cat._live_dirs("doc_stats"):
+        ds_paths.extend(
+            os.path.join(d, f) for f in fsio.listdir(d, filesystem)
+            if f.endswith(".parquet") and not f.startswith("."))
+    new_ds = os.path.join(index_dir, "compacted", gen, "doc_stats")
+    fsio.makedirs(new_ds, filesystem)
+
+    def _cmp_ds(it):
+        import pyarrow as pa
+        for pdf in it:
+            for path, idx in zip(pdf["path"].values, pdf["idx"].values):
+                tbl = fsio.parquet_file(path, filesystem).read()
+                mask = ~np.isin(tbl["doc_id"].to_numpy(), dead_bc.value)
+                out_tbl = tbl.filter(pa.array(mask))
+                if out_tbl.num_rows:
+                    fsio.write_parquet_atomic(
+                        out_tbl,
+                        os.path.join(new_ds, f"ds-{int(idx):06d}.parquet"),
+                        filesystem, row_group_size=8192)
+                yield pd.DataFrame({"rows": [int(out_tbl.num_rows)]})
+
+    live_rows = 0
+    if ds_paths:
+        dsdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(p, i) for i, p in enumerate(sorted(ds_paths))],
+                len(ds_paths)),
+            "path string, idx long")
+        live_rows = sum(r["rows"] for r in
+                        dsdf.mapInPandas(_cmp_ds, schema="rows long").collect())
+    if not live_rows:
+        import pyarrow as pa
+        fsio.write_parquet_atomic(
+            pa.schema([("doc_id", pa.int64()), ("url", pa.string()),
+                       ("doc_len", pa.int64())]).empty_table(),
+            os.path.join(new_ds, "ds-000000.parquet"), filesystem)
+    cat.register_external(new_ds, "doc_stats")
     cat.register_external(new_flat, "postings_flat")
     cat.register_external(new_seg, "postings_blocks")
     cat.write_small_arrow(

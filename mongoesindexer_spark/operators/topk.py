@@ -67,6 +67,22 @@ class _RowGroupIndex:
                 else:
                     self.entries.append((fi, rg, None, None))
 
+    def close(self) -> None:
+        """Release the thread pool and file handles.  Engines are
+        replaced on every snapshot advance (incremental sync), so a
+        long-running serving process would otherwise accumulate 8
+        non-daemon threads + one fd per segment file per sync."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+        for f in self.files:
+            try:
+                f.close()
+            except Exception:
+                pass
+        self.files = []
+        self.entries = []
+
     def _gather(self, per_file: dict[int, list[int]], columns):
         import pyarrow as pa
         read_cols = columns
@@ -233,6 +249,16 @@ class SearchEngine:
     def version(self) -> tuple:
         return self._version
 
+    def close(self) -> None:
+        """Release every row-group directory (thread pools + parquet file
+        handles).  Called by get_engine when a snapshot advance replaces
+        this engine; safe to call twice."""
+        for idx in self._rg_cache.values():
+            idx.close()
+        self._rg_cache.clear()
+        self._td_cache.clear()
+        self._block_cache.clear()
+
     # -- exhaustive DataFrame path ------------------------------------------
     def topk_df(self, query_text: str, k: int, mode: str = "or") -> DataFrame:
         from .build_index import read_flat
@@ -371,6 +397,13 @@ class SearchEngine:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
         meta = self._term_meta(terms)
         td = {t: m[0] for t, m in meta.items() if m is not None}
+        # drop terms with no term_dict row NOW: a fully-tombstoned term
+        # loses its dictionary row at sync (exact delta arithmetic) but
+        # keeps posting blocks until compaction — scoring paths must
+        # never see a term they have no idf for (KeyError otherwise)
+        terms = [t for t in terms if t in td]
+        if not terms:
+            return pd.DataFrame(columns=["doc_id", "url", "score"])
         if use_segments is None:
             total_df = sum(m[1] for m in meta.values() if m is not None)
             use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
@@ -436,7 +469,10 @@ class SearchEngine:
         the same way (4-shard analog, configs/ltd_doc.settings.json:244).
         Driver traffic is ≤ k rows per group, never the candidate blocks.
         """
-        groups = self._segment_groups()
+        # only terms with a dictionary row are scorable (a fully-
+        # tombstoned term keeps blocks until compaction but has no idf)
+        terms = [t for t in terms if t in idf_by_term]
+        groups = self._segment_groups() if terms else []
         if not groups:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
         avgdl = self.avgdl
@@ -503,6 +539,8 @@ def get_engine(spark: SparkSession, index_dir: str,
                cfg: AnalyzerConfig = LTD_DOC) -> SearchEngine:
     eng = _ENGINES.get(index_dir)
     if eng is None or eng.cfg is not cfg or eng.version() != _current_version(index_dir):
+        if eng is not None:
+            eng.close()  # release the stale engine's pools + fds
         eng = SearchEngine(spark, index_dir, cfg)
         _ENGINES[index_dir] = eng
     return eng

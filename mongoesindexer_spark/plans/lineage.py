@@ -37,30 +37,18 @@ class Lineage:
     def _part_path(self, stage: str, partition: str) -> str:
         return os.path.join(self._stage_dir(stage), f"part-{partition}.json")
 
+    # thin wrappers over the one filesystem seam (sources.fsio) — lineage
+    # must not carry a second copy of the FS-dispatch logic
     def _read_json(self, path: str) -> dict:
-        if self.fs is None:
-            with open(path) as f:
-                return json.load(f)
-        with self.fs.open_input_stream(path) as f:
-            return json.loads(f.read().decode())
+        return json.loads(fsio.read_text(path, self.fs))
 
     def _listdir(self, path: str) -> list[str]:
-        if self.fs is None:
-            if not os.path.isdir(path):
-                return []
-            return os.listdir(path)
-        from pyarrow import fs as pafs
-        info = self.fs.get_file_info(path)
-        if info.type != pafs.FileType.Directory:
+        if not self._exists(path):
             return []
-        sel = pafs.FileSelector(path, recursive=False)
-        return [os.path.basename(i.path) for i in self.fs.get_file_info(sel)]
+        return fsio.listdir(path, self.fs)
 
     def _exists(self, path: str) -> bool:
-        if self.fs is None:
-            return os.path.exists(path)
-        from pyarrow import fs as pafs
-        return self.fs.get_file_info(path).type != pafs.FileType.NotFound
+        return fsio.exists(path, self.fs)
 
     # -- executor-side: per-partition rows ------------------------------------
     def mark_partition(self, stage: str, partition: str, **metrics) -> None:
@@ -91,7 +79,7 @@ class Lineage:
     # -- reporting (ST8 parity: progress/metrics) ------------------------------
     def rows(self) -> list[dict]:
         out = []
-        for stage in sorted(self._listdir(self.root)):
+        for stage in sorted(fsio.list_subdirs(self.root, self.fs)):
             d = os.path.join(self.root, stage)
             for fn in sorted(self._listdir(d)):
                 if fn.endswith(".json"):

@@ -116,13 +116,9 @@ def writeback_indexed(spark: SparkSession, indexed_path: str,
     import shutil
     import uuid as _uuid
 
-    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
-
     if not keys:
         return 0
     now = now if now is not None else F.current_timestamp()
-    schema = StructType([StructField(key, StringType()),
-                         StructField("last_indexed_at", TimestampType())])
     fresh = (spark.createDataFrame([(k,) for k in keys], f"{key} string")
              .withColumn("last_indexed_at", now))
     if os.path.isdir(indexed_path) or os.path.isfile(indexed_path):

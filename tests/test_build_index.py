@@ -114,3 +114,25 @@ def test_extracted_text_byte_identical(spark, tiny_dir, tiny_pages):
         assert got[r.url] == want
         if r.text is not None:
             assert extract_text(r.html) == r.text  # extraction == pre-extracted
+
+
+def test_sorted_doc_files_skips_empty_parts(tmp_path):
+    """Empty range partitions (n_parts > distinct keys) must not produce
+    duplicate rank offsets: the kernel-direct flat writer names outputs
+    part-{offset}, so a collision silently drops a file's postings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongoesindexer_spark.operators.build_index import sorted_doc_files
+
+    pq.write_table(pa.table({"url": ["a", "b"]}),
+                   str(tmp_path / "part-00000-x.parquet"))
+    pq.write_table(pa.table({"url": pa.array([], pa.string())}),
+                   str(tmp_path / "part-00001-x.parquet"))
+    pq.write_table(pa.table({"url": ["c"]}),
+                   str(tmp_path / "part-00002-x.parquet"))
+    files = sorted_doc_files(str(tmp_path))
+    assert [os.path.basename(p) for p, _ in files] == [
+        "part-00000-x.parquet", "part-00002-x.parquet"]
+    offs = [off for _, off in files]
+    assert offs == [0, 2] and len(set(offs)) == len(offs)

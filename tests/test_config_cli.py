@@ -85,3 +85,25 @@ def test_cli_suggest(spark, tiny_index, capsys):
     out = capsys.readouterr().out
     assert "term" in out and "weight" in out
     assert "the" in out.split()
+
+
+def test_deprecated_config_key_ignored(tmp_path):
+    """Configs written against the salted-encode engine version carried
+    docs_per_salt; they must keep loading (ignored), while genuinely
+    unknown keys still fail."""
+    import json
+
+    import pytest
+
+    from mongoesindexer_spark.config import IndexConfig
+
+    p = tmp_path / "old.json"
+    p.write_text(json.dumps({"source_table": "pages", "index_name": "idx",
+                             "docs_per_salt": 131072}))
+    cfg = IndexConfig.from_json(str(p))
+    assert cfg.index_name == "idx"
+    p2 = tmp_path / "bad.json"
+    p2.write_text(json.dumps({"source_table": "pages", "index_name": "idx",
+                              "totally_unknown": 1}))
+    with pytest.raises(ValueError, match="unknown config keys"):
+        IndexConfig.from_json(str(p2))

@@ -112,6 +112,16 @@ def test_compaction_preserves_results(spark, synced, oracle_updated):
     for q in QUERIES:
         assert _topk_pairs_wand(spark, synced, q, 10) == before[q], q
         assert _topk_pairs_df(spark, synced, q, 10) == _oracle_pairs(oracle_updated, q, 10), q
+    # the rewritten doc_stats must keep the build's small row groups —
+    # fetch_urls point reads decode whole row groups, and a Spark-default
+    # ~1M-row group would regress every post-compaction query
+    import pyarrow.parquet as pq
+    for d in cat._live_dirs("doc_stats"):
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(d, f)).metadata
+                for i in range(md.num_row_groups):
+                    assert md.row_group(i).num_rows <= 8192, (d, f)
 
 
 def test_delta_segments_doc_disjoint_per_file(spark, tiny_index, tiny_dir,
@@ -169,3 +179,43 @@ def test_compaction_avoids_corpus_shuffle(spark, tiny_index, tiny_dir,
     finally:
         DataFrame.groupBy, DataFrame.repartition = orig_gb, orig_rp
     assert res["compacted"] and res["removed_docs"] == 25
+
+
+def test_query_with_fully_tombstoned_term(spark, tiny_index, tiny_dir,
+                                          tmp_path_factory):
+    """A term whose only docs were all deleted loses its term_dict row at
+    sync (exact delta arithmetic) but keeps posting blocks until
+    compaction.  Querying it alongside live terms must score the live
+    terms, not crash — on every execution locus (regression: KeyError)."""
+    import pandas as pd
+
+    from mongoesindexer_spark.operators.topk import get_engine
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path_factory.mktemp("idx-deadterm")) + "/idx"
+    shutil.copytree(tiny_index, d)
+    td = ParquetCatalog(d).read(spark, "term_dict")
+    rare = td.filter("df = 1").orderBy("term").first()["term"]
+    common = td.orderBy("df", ascending=False).first()["term"]
+    eng = get_engine(spark, d)
+    victim_url = eng.topk_wand(rare, 1)["url"].iloc[0]
+
+    pages = pd.read_parquet(os.path.join(tiny_dir, "pages.parquet"))
+    row = pages[pages["url"] == victim_url].iloc[0]
+    upd = spark.createDataFrame(pd.DataFrame([{
+        "op": "delete", "url": victim_url, "warc_ts": row["warc_ts"],
+        "html": row["html"], "text": row["text"], "lang": row["lang"],
+    }]))
+    IncrementalIndexer(d).apply_updates(spark, upd, batch_id="dead-term")
+
+    eng = get_engine(spark, d)  # fresh snapshot
+    assert eng._term_meta([rare])[rare] is None  # dictionary row gone
+    q = f"{rare} {common}"
+    for kw in ({}, {"use_segments": True}, {"use_wand": True},
+               {"use_wand": False}):
+        out = eng.topk_wand(q, 5, **kw)
+        assert len(out) > 0, kw  # live term still scores
+        assert victim_url not in set(out["url"]), kw
+    # the dead term ALONE returns empty, not an error
+    assert len(eng.topk_wand(rare, 5)) == 0

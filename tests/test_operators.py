@@ -285,3 +285,15 @@ def test_neardup_clusters_long_chain(spark):
     got = {r["id"]: r["cluster_id"]
            for r in neardup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_neardup_clusters_nonconvergence_raises(spark):
+    """If a component's diameter exceeds max_iters the function must fail
+    loudly, never return a silently-split component."""
+    import pytest
+
+    from mongoesindexer_spark.operators.dedup import neardup_clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(pairs, max_iters=3)

@@ -92,3 +92,26 @@ def test_missing_stats_row_groups_always_scanned(tmp_path, monkeypatch):
     idx.entries = [(fi, rg, None, None) for fi, rg, _, _ in idx.entries]
     got = idx.read_isin(["c"], ["term", "df"])
     assert list(got["term"]) == ["c"]
+
+
+def test_engine_close_releases_resources(spark, tiny_index):
+    """get_engine must close the stale engine on snapshot advance: each
+    sync otherwise leaks 8 non-daemon threads + one fd per segment file."""
+    from mongoesindexer_spark.operators import topk as topk_mod
+    from mongoesindexer_spark.operators.topk import get_engine
+
+    eng = get_engine(spark, tiny_index)
+    eng.topk_wand("data", 5)
+    idxs = list(eng._rg_cache.values())
+    assert any(i.files for i in idxs)
+    # simulate a snapshot advance: poison the cached version
+    eng._version = ("stale",)
+    eng2 = get_engine(spark, tiny_index)
+    assert eng2 is not eng
+    assert eng._rg_cache == {}  # closed
+    for i in idxs:
+        assert i.files == [] and i._pool is None
+    assert len(eng2.topk_wand("data", 5).columns) == 3  # replacement serves
+    eng2.close()
+    eng2.close()  # idempotent
+    topk_mod._ENGINES.pop(tiny_index, None)
