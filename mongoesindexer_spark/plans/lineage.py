@@ -43,7 +43,10 @@ class Lineage:
         return json.loads(fsio.read_text(path, self.fs))
 
     def _listdir(self, path: str) -> list[str]:
-        if not self._exists(path):
+        # [] for missing AND non-directory paths (a stray file where a
+        # stage dir should be must read as "no completed partitions",
+        # not abort the resume scan)
+        if not fsio.is_dir(path, self.fs):
             return []
         return fsio.listdir(path, self.fs)
 
@@ -88,13 +91,6 @@ class Lineage:
 
     def reset(self, stage: str | None = None) -> None:
         target = self.root if stage is None else self._stage_dir(stage)
-        if self.fs is None:
-            import shutil
-            shutil.rmtree(target, ignore_errors=True)
-        else:
-            try:
-                self.fs.delete_dir(target)
-            except FileNotFoundError:
-                pass
+        fsio.remove_dir(target, self.fs)
         if stage is None:
             fsio.makedirs(self.root, self.fs)

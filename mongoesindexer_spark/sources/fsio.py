@@ -123,6 +123,13 @@ def list_subdirs(path: str, filesystem=None) -> list[str]:
             if fi.type == pafs.FileType.Directory]
 
 
+def is_dir(path: str, filesystem=None) -> bool:
+    if filesystem is None:
+        return os.path.isdir(path)
+    from pyarrow import fs as pafs
+    return filesystem.get_file_info(path).type == pafs.FileType.Directory
+
+
 def remove_dir(path: str, filesystem=None) -> None:
     """Recursive delete; no-op when the directory doesn't exist."""
     if filesystem is None:

@@ -132,6 +132,10 @@ def writeback_indexed(spark: SparkSession, indexed_path: str,
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(indexed_path):
         shutil.rmtree(indexed_path)
+    elif os.path.exists(indexed_path):
+        # single-file parquet table (the read branch supports it): rename
+        # onto a leftover file would raise ENOTDIR
+        os.remove(indexed_path)
     os.rename(tmp, indexed_path)
     return len(keys)
 

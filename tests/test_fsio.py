@@ -92,3 +92,19 @@ def test_format_version_through_explicit_filesystem(tmp_path):
     check_format_version(d, filesystem=fs)
     with pytest.raises(ValueError):
         check_format_version(str(tmp_path / "nope"), filesystem=fs)
+
+
+def test_lineage_listdir_tolerates_stray_file(tmp_path):
+    """A stray regular file where a stage dir should be must read as 'no
+    completed partitions', not abort the resume scan."""
+    from mongoesindexer_spark.plans.lineage import Lineage
+
+    lin = Lineage(str(tmp_path))
+    (tmp_path / "_lineage" / "encode").write_text("junk")
+    assert lin.done_partitions("encode") == set()
+    assert lin.rows() == []
+    for fs in (None, pafs.LocalFileSystem()):
+        from mongoesindexer_spark.sources import fsio
+        assert fsio.is_dir(str(tmp_path), fs)
+        assert not fsio.is_dir(str(tmp_path / "_lineage" / "encode"), fs)
+        assert not fsio.is_dir(str(tmp_path / "nope"), fs)

@@ -144,3 +144,23 @@ def test_writeback_indexed_upserts(spark, tmp_path):
     batch = poll_updates(src, spark.read.parquet(path),
                          now=F.lit(later)).collect()
     assert [(r["op"], r["url"]) for r in batch] == [("insert", "https://x/d")]
+
+
+def test_writeback_indexed_over_single_file_table(spark, tmp_path):
+    """The read branch supports a single parquet FILE as the bookkeeping
+    table; the swap must replace it too (regression: os.rename onto a
+    leftover file raised ENOTDIR and left the table stale)."""
+    import pandas as pd
+
+    from mongoesindexer_spark.streaming.incremental import writeback_indexed
+
+    path = str(tmp_path / "indexed.parquet")
+    pd.DataFrame({"url": ["https://x/a"],
+                  "last_indexed_at": [NOW]}).to_parquet(
+        path, coerce_timestamps="us")  # Spark cannot read NANOS
+    later = NOW + dt.timedelta(hours=1)
+    assert writeback_indexed(spark, path, ["https://x/b"],
+                             now=F.lit(later)) == 1
+    got = {r["url"]: r["last_indexed_at"]
+           for r in spark.read.parquet(path).collect()}
+    assert got == {"https://x/a": NOW, "https://x/b": later}
