@@ -32,8 +32,11 @@ BM25_K = 20
 CONJ_QUERY = "merge join"
 PREFIX = "sca"
 
-_TOK = "filter(split(lower(text), ' '), x -> x != '')"
-_TOK_DD = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+# whitespace-regex split on both sides (engine tokenizers use str.split(),
+# which splits on runs of any whitespace — a literal ' ' split would
+# disagree on multi-whitespace text)
+_TOK = r"filter(split(lower(text), '\\s+'), x -> x != '')"
+_TOK_DD = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

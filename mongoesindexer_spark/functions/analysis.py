@@ -219,6 +219,23 @@ KEYWORD = AnalyzerConfig(
 _TOKEN_CACHE: dict[tuple[str, str], tuple[str, ...]] = {}
 _TOKEN_CACHE_MAX = 1_000_000
 
+# Cache namespaces are interned per *full* config value, not per cfg.name:
+# two AnalyzerConfigs sharing a name but differing in flags (stopwords on/
+# off, ngram bounds) must not share cache entries — keying on name alone
+# would silently serve one config's tokenization to the other.  Equal
+# configs intern to the same namespace (frozen dataclass ⇒ value hash), so
+# cache reuse across equal instances is preserved; the dict lookup hashes
+# the config once per analyze call, keeping the per-token loop string-keyed.
+_CFG_NS: dict[AnalyzerConfig, str] = {}
+
+
+def _cfg_namespace(cfg: AnalyzerConfig) -> str:
+    ns = _CFG_NS.get(cfg)
+    if ns is None:
+        ns = f"{cfg.name}#{len(_CFG_NS)}"
+        _CFG_NS[cfg] = ns
+    return ns
+
 
 def _analyze_index_token(t: str, cfg: AnalyzerConfig) -> tuple[str, ...]:
     tokens = word_delimiter([t])
@@ -233,7 +250,7 @@ def analyze_index(text: str, cfg: AnalyzerConfig = LTD_DOC) -> list[str]:
     """Index-side ``autocomplete_analyzer`` chain."""
     out: list[str] = []
     cache = _TOKEN_CACHE
-    name = "i:" + cfg.name
+    name = "i:" + _cfg_namespace(cfg)
     for raw in text.split():
         t = raw.lower()
         key = (name, t)
@@ -259,7 +276,7 @@ def analyze_search(text: str, cfg: AnalyzerConfig = LTD_DOC) -> list[str]:
     """Search-side ``autosearch`` chain (asymmetric: no edge-ngrams)."""
     out: list[str] = []
     cache = _TOKEN_CACHE
-    name = "s:" + cfg.name
+    name = "s:" + _cfg_namespace(cfg)
     for raw in text.split():
         t = raw.lower()
         key = (name, t)

@@ -36,19 +36,17 @@ from __future__ import annotations
 
 import os
 import time
-import uuid
 from collections.abc import Iterator
 from typing import Callable
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analysis import LTD_DOC, AnalyzerConfig, analyze_index, extract_text
-from ..functions.encode import BLOCK_SIZE, encode_blocks, encode_groups
+from ..functions.encode import BLOCK_SIZE
 from ..plans.lineage import Lineage
 from ..sources import fsio
 from ..sources.catalog import ParquetCatalog
@@ -342,8 +340,6 @@ def source_files_presorted(paths: list[str], key: str = "url",
     prev_hi = None
     prev_p = None
     for p, lo, hi, n in infos:
-        if n == 0:
-            continue
         if prev_hi is not None and lo <= prev_hi:
             raise ValueError(
                 f"pre_sorted: {key!r} ranges of {prev_p} and {p} overlap "
@@ -522,27 +518,43 @@ def read_doc_markers(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
             .select("doc_id", "url", "doc_len"))
 
 
+def fields_subfields(df: DataFrame, cols: list[str]) -> DataFrame:
+    """doc_id + ES-mapping sub-fields for ``cols``: ``<col>_keyword``
+    (raw string, exact match) and ``<col>_normalized`` (keyword tokenizer
+    → lowercase → asciifolding; ltd_doc.settings.json:278-310).  Shared
+    by the build stage and incremental sync so every generation of the
+    ``fields`` table is computed identically."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.analysis import normalize
+
+    @pandas_udf("string")
+    def _norm(col: pd.Series) -> pd.Series:
+        return col.map(lambda v: normalize(v) if isinstance(v, str) else None)
+
+    out = df.select("doc_id", *[F.col(c) for c in cols])
+    for c in cols:
+        out = out.withColumn(f"{c}_keyword", F.col(c).cast("string"))
+        out = out.withColumn(f"{c}_normalized", _norm(F.col(c).cast("string")))
+    return out.drop(*cols)
+
+
+def read_fields(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
+    """Serve the sub-field table with merge-on-read semantics: incremental
+    sync appends delta generations and tombstones retired docs, so raw
+    reads of ``fields`` would return deleted docs and the anti-join here
+    is required for freshness (physical removal happens at compaction —
+    the same contract every postings query path follows)."""
+    out = cat.read(spark, "fields")
+    if cat.table_exists("tombstones"):
+        out = out.join(cat.read(spark, "tombstones").select("doc_id"),
+                       "doc_id", "left_anti")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # stage "encode"
 # ---------------------------------------------------------------------------
-
-def encode_groups_sorted(pdf: pd.DataFrame, avgdl: float, block_size: int,
-                         block_id_base: int = 0) -> dict:
-    """Sort one encode group by (term, doc_id) and vector-encode every
-    term's blocks in one pass (see encode.encode_groups_coded).
-
-    The sort runs in integer space: terms are factorized once (C-level
-    hashing) and only vocab-many distinct strings are ever compared — a
-    pandas object sort of every posting row was the kernel's
-    memory-bandwidth ceiling under concurrent executors."""
-    from ..functions.encode import encode_groups_coded
-    codes, vocab = pd.factorize(pdf["term"].values, sort=False)
-    return encode_groups_coded(codes, np.asarray(vocab, dtype=object),
-                               pdf["doc_id"].values, pdf["tf"].values,
-                               pdf["doc_len"].values, avgdl,
-                               block_size=block_size,
-                               block_id_base=block_id_base)
-
 
 _BLOCKS_SCHEMA = pa.schema([
     ("term", pa.string()),
@@ -961,14 +973,6 @@ class IndexBuilder:
         ltd_doc.settings.json:278-310)."""
         if not self.keyword_fields or self.lineage.stage_complete("fields"):
             return
-        from pyspark.sql.functions import pandas_udf
-
-        from ..functions.analysis import normalize
-
-        @pandas_udf("string")
-        def _norm(col: pd.Series) -> pd.Series:
-            return col.map(lambda v: normalize(v) if isinstance(v, str) else None)
-
         cols = [c for c in self.keyword_fields if c in pages.columns]
         if self.id_col:
             keyed = pages.withColumn("doc_id", F.col(self.id_col).cast("long"))
@@ -977,11 +981,7 @@ class IndexBuilder:
             ds = self.catalog.read(spark, "doc_stats").select("doc_id", "url")
             keyed = pages.withColumn(
                 "url", F.col(self.key_col).cast("string")).join(ds, "url")
-        out = keyed.select("doc_id", *[F.col(c) for c in cols])
-        for c in cols:
-            out = out.withColumn(f"{c}_keyword", F.col(c).cast("string"))
-            out = out.withColumn(f"{c}_normalized", _norm(F.col(c).cast("string")))
-        self.catalog.overwrite(out.drop(*cols), "fields")
+        self.catalog.overwrite(fields_subfields(keyed, cols), "fields")
         self.lineage.mark_stage("fields")
 
     def _stage_encode(self, spark: SparkSession,
@@ -1032,6 +1032,17 @@ class IndexBuilder:
             fdf.mapInPandas(
                 fn, schema="partition string, rows long, blocks long"
             ).collect()  # execute; rows land in lineage as a side effect
+        if not any(f.endswith(".parquet")
+                   for f in fsio.listdir(seg_dir, self.filesystem)):
+            # empty corpus: register_external would adopt a file-less dir
+            # and every later read of postings_blocks would die with
+            # UNABLE_TO_INFER_SCHEMA — pin the schema with an empty
+            # segment instead (compact() does the same for a
+            # fully-tombstoned corpus)
+            fsio.write_parquet_atomic(
+                _BLOCKS_SCHEMA.empty_table(),
+                os.path.join(seg_dir, "seg-empty.parquet"),
+                self.filesystem)
         self.lineage.mark_stage(
             "encode", n_files=len(files), avgdl=avgdl,
         )

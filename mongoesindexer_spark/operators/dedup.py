@@ -18,7 +18,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TOKENS = "filter(split(lower({col}), ' '), x -> x != '')"
+# \s+ (not a literal space) so every operator in this module agrees with
+# the simhash kernel's Python .split() on multi-whitespace text — a literal
+# ' ' split would treat "foo\nbar" as one token here but two there, giving
+# inconsistent dedup verdicts across operators on the same corpus.
+TOKENS = r"filter(split(lower({col}), '\\s+'), x -> x != '')"
+
+# Cap on the simhash FNV kernel's (tokens, max_token_len) scatter matrix;
+# module-level so tests can shrink it to force multi-chunk execution.
+FNV_BUDGET_BYTES = 64 << 20
 
 
 def _tokens(col: str):
@@ -189,14 +197,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     (doc, token) pairs.  No per-token or per-byte Python in the hot path.
     """
 
-    def _fnv1a_many(tokens: np.ndarray) -> np.ndarray:
+    def _fnv1a_chunk(bs: list[bytes], lens: np.ndarray) -> np.ndarray:
         """FNV-1a 64 of each (utf-8 encoded) token; bit-identical to the
         sequential reference implementation."""
-        bs = [t.encode("utf-8") for t in tokens]
-        lens = np.array([len(b) for b in bs], dtype=np.int64)
+        n = len(bs)
         total = int(lens.sum())
         flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
-        n = len(bs)
         maxlen = int(lens.max()) if n else 0
         # scatter the ragged byte streams into a (n, maxlen) matrix
         mat = np.zeros((n, maxlen), dtype=np.uint8)
@@ -210,6 +216,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             active = lens > kpos
             h[active] = (h[active] ^ mat[active, kpos].astype(np.uint64)) * prime
         return h
+
+    def _fnv1a_many(tokens: np.ndarray) -> np.ndarray:
+        """Hash in length-sorted chunks whose scatter matrix stays under a
+        fixed byte budget: one pathological multi-MB token (minified JS or
+        base64 that survived html extraction) would otherwise inflate the
+        (vocab, max_token_len) matrix to vocab × MBs and OOM the executor.
+        Each token's hash depends only on its own bytes, so chunked output
+        is bit-identical to the one-shot computation."""
+        bs = [t.encode("utf-8") for t in tokens]
+        lens = np.array([len(b) for b in bs], dtype=np.int64)
+        n = len(bs)
+        out = np.empty(n, dtype=np.uint64)
+        if not n:
+            return out
+        budget = FNV_BUDGET_BYTES
+        order = np.argsort(lens, kind="stable")
+        sl = lens[order]
+        start = 0
+        while start < n:
+            # ascending lengths: estimate rows from the chunk's shortest
+            # token, then clip against its actual longest (one re-clip is
+            # enough — shrinking the chunk can only shrink its max length)
+            rows = max(1, int(budget // max(1, int(sl[start]))))
+            end = min(n, start + rows)
+            maxlen = int(sl[end - 1])
+            if maxlen and (end - start) * maxlen > budget:
+                end = start + max(1, int(budget // maxlen))
+            idx = order[start:end]
+            out[idx] = _fnv1a_chunk([bs[i] for i in idx], lens[idx])
+            start = end
+        return out
 
     def _kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitpos = np.arange(64, dtype=np.uint64)

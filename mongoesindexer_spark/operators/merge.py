@@ -157,6 +157,14 @@ def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
     cat.register_external(new_ds, "doc_stats")
     cat.register_external(new_flat, "postings_flat")
     cat.register_external(new_seg, "postings_blocks")
+    if cat.table_exists("fields"):
+        # fields rows for tombstoned docs are only masked at read time
+        # (read_fields anti-join); compaction is where they go away
+        dead_df = spark.createDataFrame(
+            [(int(d),) for d in dead], "doc_id long")
+        cat.overwrite(
+            cat.read(spark, "fields").join(dead_df, "doc_id", "left_anti"),
+            "fields")
     cat.write_small_arrow(
         pd.DataFrame({"doc_id": pd.Series([], dtype="int64")}), "tombstones")
     return {"compacted": True, "removed_docs": n_dead,

@@ -538,7 +538,11 @@ def _current_version(index_dir: str) -> tuple:
 def get_engine(spark: SparkSession, index_dir: str,
                cfg: AnalyzerConfig = LTD_DOC) -> SearchEngine:
     eng = _ENGINES.get(index_dir)
-    if eng is None or eng.cfg is not cfg or eng.version() != _current_version(index_dir):
+    # value (not identity) comparison: callers constructing a fresh-but-
+    # equal AnalyzerConfig per query must hit the cached engine, or every
+    # request pays the full segment-footer sweep the engine exists to
+    # amortize (AnalyzerConfig is a frozen dataclass — != is well-defined)
+    if eng is None or eng.cfg != cfg or eng.version() != _current_version(index_dir):
         if eng is not None:
             eng.close()  # release the stale engine's pools + fds
         eng = SearchEngine(spark, index_dir, cfg)

@@ -170,6 +170,19 @@ class ParquetCatalog:
         log = self._read_log(table)
         return log[-1]["id"] if log else 0
 
+    def rollback(self, table: str, snap_id: int) -> None:
+        """Truncate the table's history to snapshots with id ≤ ``snap_id``
+        (Iceberg ``rollback_to_snapshot`` analog; ``snap_id=0`` reverts the
+        table to nonexistence).  Later snapshot dirs stay on disk,
+        unreachable from the log, until vacuumed — the commit itself is a
+        single atomic log write."""
+        log = self._read_log(table)
+        new = [e for e in log if e["id"] <= snap_id]
+        if len(new) == len(log):
+            return  # nothing later than snap_id (incl. never-created table)
+        fsio.makedirs(os.path.join(self.root, table), self.filesystem)
+        self._commit(table, new)
+
     def snapshot_dir(self, table: str, snap_id: int) -> str:
         """Absolute directory of one committed snapshot (for per-file
         post-processing of rows just appended, e.g. delta-segment encode)."""
@@ -264,6 +277,17 @@ class IcebergCatalog:
             f"SELECT snapshot_id FROM {self._tbl(table)}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1").collect()
         return int(rows[0][0]) if rows else 0
+
+    def rollback(self, table: str, snap_id: int) -> None:
+        """Iceberg ``rollback_to_snapshot`` procedure; ``snap_id=0`` means
+        the table did not exist before the failed transaction → drop."""
+        if snap_id == 0:
+            self.drop_table(table)
+            return
+        self.spark.sql(
+            f"CALL {self.namespace.split('.')[0]}.system."
+            f"rollback_to_snapshot(table => '{self._tbl(table)}', "
+            f"snapshot_id => {int(snap_id)})")
 
     def data_files(self, table: str) -> list[str]:
         """Live data-file paths (the per-file encode kernels' work list —

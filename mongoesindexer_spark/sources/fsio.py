@@ -142,6 +142,19 @@ def remove_dir(path: str, filesystem=None) -> None:
         filesystem.delete_dir(path)
 
 
+def remove_file(path: str, filesystem=None) -> None:
+    """Delete one file; no-op when absent."""
+    if filesystem is None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        return
+    from pyarrow import fs as pafs
+    if filesystem.get_file_info(path).type == pafs.FileType.File:
+        filesystem.delete_file(path)
+
+
 def write_text_atomic(content: str, path: str, filesystem=None) -> None:
     """Small control-plane files (lineage rows, format markers)."""
     if filesystem is None:

@@ -152,6 +152,44 @@ class IncrementalIndexer:
         self.builder = IndexBuilder(index_dir, cfg=cfg, filesystem=filesystem)
         self.cat = self.builder.catalog
 
+    # every table a sync batch may touch, in no particular order — the
+    # journal snapshots all of them so recovery is total
+    _SYNC_TABLES = ("postings_flat", "postings_blocks", "doc_stats",
+                    "tombstones", "term_dict", "completion", "global_stats",
+                    "fields", "sync_log")
+
+    def _journal_path(self) -> str:
+        import os
+        return os.path.join(self.index_dir, "_sync_journal.json")
+
+    def recover(self, spark: SparkSession) -> dict | None:
+        """Roll back a sync batch that crashed mid-commit.
+
+        ``apply_updates`` mutates up to nine tables; the catalog commits
+        each atomically but there is no cross-table transaction, so a
+        crash between commits leaves the index with (say) delta postings
+        registered but no doc_stats/sync_log — and a naive replay would
+        reuse the same doc_ids (base_id derives from max(doc_stats)) and
+        double-register every posting.  Fix: before its first write,
+        apply_updates journals the pre-batch snapshot id of every table;
+        this routine rolls each table back to that id and clears the
+        journal.  Called automatically at the top of apply_updates, so a
+        replayed batch always starts from the clean pre-crash state.
+        Returns the recovered journal dict, or None if no crash happened.
+        Orphaned snapshot/segment dirs from the failed attempt stay on
+        disk (unreachable from any log) until vacuumed."""
+        import json as _json
+
+        from ..sources import fsio
+        p = self._journal_path()
+        if not fsio.exists(p, self.filesystem):
+            return None
+        j = _json.loads(fsio.read_text(p, self.filesystem))
+        for t, sid in j["pre"].items():
+            self.cat.rollback(t, int(sid))
+        fsio.remove_file(p, self.filesystem)
+        return j
+
     def apply_updates(self, spark: SparkSession, updates: DataFrame,
                       batch_id: str | None = None) -> dict:
         """Apply one change batch. ``updates`` columns: op (insert/update/
@@ -159,15 +197,50 @@ class IncrementalIndexer:
         # syncing a stale-format index would append mixed-schema blocks;
         # fail loudly instead (rebuild via IndexBuilder.build)
         check_format_version(self.index_dir, "incremental-sync target")
+        # heal a previous batch that crashed between table commits BEFORE
+        # reading any stats (see recover()) — replay must not observe
+        # partial state
+        self.recover(spark)
         # ST5: drop our own writeback events before they can re-index
         updates = filter_self_updates(updates, self.exclude_fields)
         if "changed_fields" in updates.columns:
             updates = updates.drop("changed_fields")
+        # within-batch upsert collapse: one micro-batch can carry several
+        # events for the same url (stream_sync coalesces up to 8 files per
+        # trigger).  The reference applies change events in stream order;
+        # a batch loses that order, so the page's own version stamp
+        # decides: per url keep the event with the greatest warc_ts, ties
+        # broken delete > update > insert (a delete of a version never
+        # loses to an equal-version write).  Without this, two events for
+        # one url would BOTH insert under fresh doc_ids — `dead` below is
+        # computed against the PRE-batch doc_stats, so neither retires the
+        # other and queries return the document twice.
+        from pyspark.sql import Window
+        op_rank = F.when(F.col("op") == "delete", 3) \
+            .when(F.col("op") == "update", 2).otherwise(1)
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc_nulls_last(), op_rank.desc(),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        updates = updates.withColumn("_rn", F.row_number().over(w)) \
+            .filter(F.col("_rn") == 1).drop("_rn")
         if batch_id and self.cat.table_exists("sync_log"):
             seen = {r["batch_id"] for r in
                     self.cat.read(spark, "sync_log").collect()}
             if batch_id in seen:
                 return {"applied": False, "reason": "duplicate batch"}
+
+        # intent journal: pre-batch snapshot ids of every table this batch
+        # may commit to — one atomic control-plane write.  sync_log lands
+        # LAST below, so the journal existing without the matching
+        # sync_log row is exactly the signature recover() reverses.
+        import json as _json
+
+        from ..sources import fsio
+        fsio.write_text_atomic(
+            _json.dumps({"batch_id": batch_id,
+                         "pre": {t: self.cat.current_snapshot(t)
+                                 for t in self._SYNC_TABLES}}),
+            self._journal_path(), self.filesystem)
 
         stats = self.cat.read(spark, "doc_stats")
         g = self.cat.read(spark, "global_stats").collect()[0]
@@ -179,7 +252,11 @@ class IncrementalIndexer:
         # for an already-indexed url (e.g. a poll tick racing a writeback)
         # would duplicate the document.  Genuinely-new urls miss the join.
         dead_urls = updates.select("url").distinct()
-        # old doc ids being retired (join is broadcast: a change batch is small)
+        # old doc ids being retired.  No broadcast hint on either dead-side
+        # join: a backfill-sized batch can carry millions of urls / retire
+        # millions of docs, and a forced broadcast would collect all of
+        # them to the driver — AQE picks broadcast automatically when the
+        # set is genuinely small
         if self.cat.table_exists("tombstones"):
             live = stats.join(
                 self.cat.read(spark, "tombstones"), "doc_id", "left_anti")
@@ -188,7 +265,7 @@ class IncrementalIndexer:
         # dead doc ids/lens stay DISTRIBUTED: a backfill-sized batch can
         # retire millions of docs, so only scalar aggregates reach the
         # driver (ids go straight into the tombstones table)
-        dead = live.join(F.broadcast(dead_urls), "url", "inner") \
+        dead = live.join(dead_urls, "url", "inner") \
             .select("doc_id", "doc_len").persist()
         dg = dead.agg(F.count("*").alias("n"),
                       F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl")).collect()[0]
@@ -229,7 +306,7 @@ class IncrementalIndexer:
             from ..operators.build_index import read_flat
             dead_delta = (
                 read_flat(self.cat, spark)
-                .join(F.broadcast(dead.select("doc_id")), "doc_id", "inner")
+                .join(dead.select("doc_id"), "doc_id", "inner")
                 .groupBy("term")
                 .agg((-F.count("*")).alias("d_df"), (-F.sum("tf")).alias("d_cf"))
             )
@@ -259,6 +336,24 @@ class IncrementalIndexer:
         self._encode_delta(
             spark, self.cat.snapshot_dir("postings_flat", snap), avgdl2)
         self.cat.append(new_doc_stats, "doc_stats")
+        if self.cat.table_exists("fields"):
+            # keep the keyword/normalized sub-field table (T8) fresh: new
+            # docs get rows computed by the SAME kernel the build stage
+            # uses; retired docs are masked by read_fields' tombstone
+            # anti-join until compaction drops them physically.  Base
+            # columns are recovered from the existing schema — a sub-field
+            # column the sync payload lacks stays null for delta docs.
+            from ..operators.build_index import fields_subfields
+            f_cols = sorted(c[:-len("_keyword")] for c in
+                            self.cat.read(spark, "fields").columns
+                            if c.endswith("_keyword"))
+            src = new_pages
+            for c in f_cols:
+                if c not in src.columns:
+                    src = src.withColumn(c, F.lit(None).cast("string"))
+            keyed = new_doc_stats.select("doc_id", "url") \
+                .join(src.select("url", *f_cols), "url")
+            self.cat.append(fields_subfields(keyed, f_cols), "fields")
         if n_dead:
             self.cat.append(dead.select("doc_id"), "tombstones")
         self.cat.overwrite(td2, "term_dict")
@@ -284,6 +379,8 @@ class IncrementalIndexer:
                 pd.DataFrame({"batch_id": pd.Series([batch_id],
                                                     dtype="object")}),
                 "sync_log", op="append")
+        # all commits landed (sync_log included) — retire the intent journal
+        fsio.remove_file(self._journal_path(), self.filesystem)
         delta_all.unpersist()
         dead.unpersist()
         return {"applied": True, "inserted": n_new, "tombstoned": n_dead,

@@ -161,3 +161,25 @@ def test_memoized_chain_equals_unmemoized():
             assert A.analyze_search(text, cfg) == sdirect
 
     check()
+
+
+def test_same_name_configs_do_not_share_token_cache():
+    """The analyzer token cache namespaces by the FULL config value: two
+    configs sharing a name but differing in flags must not serve each
+    other's cached tokenizations (regression: cache keyed on cfg.name
+    silently cross-poisoned them)."""
+    from mongoesindexer_spark.functions.analysis import (AnalyzerConfig,
+                                                         analyze_index)
+
+    plain = AnalyzerConfig()                      # name "ltd_docs"
+    stopped = AnalyzerConfig(use_stopwords=True)  # same default name
+    text = "the quick the brown"
+    # warm the cache with the plain config first, then query the stopped
+    # one — before the fix, the second call returned the cached
+    # un-filtered tuples
+    with_stops = analyze_index(text, plain)
+    without = analyze_index(text, stopped)
+    assert "the" in with_stops
+    assert "the" not in without
+    # equal config VALUES still share cache entries (fresh equal instance)
+    assert analyze_index(text, AnalyzerConfig()) == with_stops

@@ -136,3 +136,26 @@ def test_sorted_doc_files_skips_empty_parts(tmp_path):
         "part-00000-x.parquet", "part-00002-x.parquet"]
     offs = [off for _, off in files]
     assert offs == [0, 2] and len(set(offs)) == len(offs)
+
+
+def test_empty_corpus_builds_and_serves(spark, tmp_path):
+    """A zero-row input must produce a valid, queryable (empty) index —
+    not an UNABLE_TO_INFER_SCHEMA crash at the term_dict stage (the
+    encode stage pins the blocks schema with an empty segment, same as
+    compaction does for a fully-tombstoned corpus)."""
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.topk import bm25_topk_df, bm25_topk_wand
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+
+    pages = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, n_buckets=2).build(spark, pages)
+
+    cat = ParquetCatalog(idx)
+    assert cat.read(spark, "term_dict").count() == 0
+    g = cat.read(spark, "global_stats").collect()[0]
+    assert g["n_docs"] == 0
+    assert bm25_topk_df(spark, idx, "data query", 5).count() == 0
+    assert len(bm25_topk_wand(spark, idx, "data query", 5)) == 0

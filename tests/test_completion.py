@@ -83,3 +83,51 @@ def test_keyword_fields_materialization(spark, tmp_path):
     ordered = [r["doc_id"] for r in
                fields.orderBy("title_normalized").collect() if r["title_normalized"]]
     assert ordered == [1, 0]  # cafe < eclair
+
+
+def test_fields_follow_incremental_sync(spark, tmp_path):
+    """Incremental sync must keep the sub-field table fresh: new docs get
+    rows (same kernel as the build), retired docs are masked by
+    read_fields' tombstone anti-join, and compaction removes them
+    physically (regression: fields went permanently stale after any
+    sync)."""
+    import datetime as dt
+
+    from mongoesindexer_spark.operators.build_index import (IndexBuilder,
+                                                            read_fields)
+    from mongoesindexer_spark.operators.merge import compact
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    page_ddl = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+    pages = spark.createDataFrame([
+        ("a", dt.datetime(2026, 1, 1), None, "alpha beta", "EN"),
+        ("b", dt.datetime(2026, 1, 1), None, "beta gamma", "DÉ"),
+        ("c", dt.datetime(2026, 1, 1), None, "gamma delta", "fr"),
+    ], page_ddl)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, n_buckets=2, keyword_fields=("lang",)).build(spark, pages)
+
+    upd = spark.createDataFrame([
+        ("update", "b", dt.datetime(2026, 2, 1), None, "beta gamma two", "ja"),
+        ("insert", "d", dt.datetime(2026, 2, 1), None, "delta epsilon", "PT"),
+        ("delete", "c", dt.datetime(2026, 2, 1), None, None, None),
+    ], "op string, " + page_ddl)
+    IncrementalIndexer(idx).apply_updates(spark, upd, batch_id="f1")
+
+    cat = ParquetCatalog(idx)
+    ds = {r["url"]: r["doc_id"] for r in cat.read(spark, "doc_stats").join(
+        cat.read(spark, "tombstones"), "doc_id", "left_anti").collect()}
+    live = {r["doc_id"]: r for r in read_fields(cat, spark).collect()}
+    # exactly the live docs, with the post-update values
+    assert set(live) == {ds["a"], ds["b"], ds["d"]}
+    assert live[ds["b"]]["lang_keyword"] == "ja"
+    assert live[ds["d"]]["lang_keyword"] == "PT"
+    assert live[ds["d"]]["lang_normalized"] == "pt"
+    assert live[ds["a"]]["lang_normalized"] == "en"
+
+    # compaction drops the masked rows physically
+    compact(spark, idx)
+    raw = {r["doc_id"] for r in cat.read(spark, "fields").collect()}
+    assert raw == {ds["a"], ds["b"], ds["d"]}

@@ -108,3 +108,28 @@ def test_lineage_listdir_tolerates_stray_file(tmp_path):
         assert fsio.is_dir(str(tmp_path), fs)
         assert not fsio.is_dir(str(tmp_path / "_lineage" / "encode"), fs)
         assert not fsio.is_dir(str(tmp_path / "nope"), fs)
+
+
+def test_parquet_catalog_rollback(spark, tmp_path):
+    """rollback truncates history atomically: later snapshots become
+    unreachable, table_exists reverts for snap_id=0, and a rollback of a
+    never-created table is a no-op (no stray dirs)."""
+    import os
+
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "cat"))
+    df1 = spark.createDataFrame([(1,)], "x long")
+    df2 = spark.createDataFrame([(2,)], "x long")
+    s1 = cat.append(df1, "t")
+    cat.append(df2, "t")
+    assert cat.read(spark, "t").count() == 2
+    cat.rollback("t", s1)
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [1]
+    assert cat.current_snapshot("t") == s1
+    # to-zero reverts to nonexistence
+    cat.rollback("t", 0)
+    assert not cat.table_exists("t")
+    # never-created table: no-op, no directory materialized
+    cat.rollback("ghost", 0)
+    assert not os.path.isdir(str(tmp_path / "cat" / "ghost"))

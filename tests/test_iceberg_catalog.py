@@ -93,3 +93,17 @@ def test_data_files_lists_files_metadata_table():
     assert cat.data_files("postings_blocks") == ["/a.parquet", "/b.parquet"]
     spark.sql.assert_called_with(
         "SELECT file_path FROM lake.idx.postings_blocks.files")
+
+
+def test_rollback_calls_rollback_to_snapshot():
+    cat, spark = _cat()
+    cat.rollback("doc_stats", 42)
+    spark.sql.assert_called_with(
+        "CALL lake.system.rollback_to_snapshot(table => "
+        "'lake.idx.doc_stats', snapshot_id => 42)")
+
+
+def test_rollback_to_zero_drops_table():
+    cat, spark = _cat()
+    cat.rollback("sync_log", 0)
+    spark.sql.assert_called_with("DROP TABLE IF EXISTS lake.idx.sync_log")

@@ -297,3 +297,30 @@ def test_neardup_clusters_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(8)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_clusters(pairs, max_iters=3)
+
+
+def test_simhash_fnv_chunking_exact_and_bounded(spark, monkeypatch):
+    """The FNV kernel hashes in length-bucketed chunks so one pathological
+    multi-KB token can't inflate the (vocab, max_token_len) scatter matrix
+    to vocab x MBs (executor OOM).  Chunked output must stay bit-identical
+    to the sequential FNV-1a reference — verified with the budget shrunk
+    far enough that a single batch spans many chunks."""
+    from mongoesindexer_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "FNV_BUDGET_BYTES", 1 << 12)  # 4 KB
+
+    def fnv_ref(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & ((1 << 64) - 1)
+        return h
+
+    long_tok = "x" * 20_000  # alone exceeds the shrunk budget
+    toks = [f"tok{i}" for i in range(50)] + ["y" * 300, long_tok]
+    # single-token docs: the doc's simhash IS its token's FNV hash bits
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, text string")
+    got = {r["id"]: r["simhash"] & ((1 << 64) - 1)
+           for r in dedup.simhash(df).collect()}
+    for i, t in enumerate(toks):
+        assert got[i] == fnv_ref(t), t[:20]
