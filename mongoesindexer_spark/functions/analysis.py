@@ -227,13 +227,21 @@ _TOKEN_CACHE_MAX = 1_000_000
 # cache reuse across equal instances is preserved; the dict lookup hashes
 # the config once per analyze call, keeping the per-token loop string-keyed.
 _CFG_NS: dict[AnalyzerConfig, str] = {}
+_CFG_NS_LOCK = __import__("threading").Lock()
 
 
 def _cfg_namespace(cfg: AnalyzerConfig) -> str:
-    ns = _CFG_NS.get(cfg)
+    ns = _CFG_NS.get(cfg)  # lock-free fast path (dict reads are atomic)
     if ns is None:
-        ns = f"{cfg.name}#{len(_CFG_NS)}"
-        _CFG_NS[cfg] = ns
+        # interning must be serialized: two driver threads racing on
+        # different configs could otherwise both read len()==0 and mint
+        # the SAME "#0" namespace — recreating the cross-config cache
+        # poisoning this function exists to prevent
+        with _CFG_NS_LOCK:
+            ns = _CFG_NS.get(cfg)
+            if ns is None:
+                ns = f"{cfg.name}#{len(_CFG_NS)}"
+                _CFG_NS[cfg] = ns
     return ns
 
 

@@ -25,7 +25,9 @@ LANG_PROFILES = {
     "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
 }
 
-_TOKENS = "filter(split(lower({c}), ' '), x -> x != '')"
+# \s+ keeps every whitespace-splitting operator in the engine (dedup
+# TOKENS, the __spark_entry__ oracles) in agreement on multi-whitespace text
+_TOKENS = r"filter(split(lower({c}), '\\s+'), x -> x != '')"
 
 
 def _tokens(c: str):

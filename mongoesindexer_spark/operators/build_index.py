@@ -1032,10 +1032,11 @@ class IndexBuilder:
             fdf.mapInPandas(
                 fn, schema="partition string, rows long, blocks long"
             ).collect()  # execute; rows land in lineage as a side effect
-        if not any(f.endswith(".parquet")
-                   for f in fsio.listdir(seg_dir, self.filesystem)):
-            # empty corpus: register_external would adopt a file-less dir
-            # and every later read of postings_blocks would die with
+        if not files:
+            # empty corpus (encode_flat_file always writes a segment file,
+            # so a file-less seg_dir ⇔ an empty work list — no directory
+            # listing needed): register_external would adopt a file-less
+            # dir and every later read of postings_blocks would die with
             # UNABLE_TO_INFER_SCHEMA — pin the schema with an empty
             # segment instead (compact() does the same for a
             # fully-tombstoned corpus)

@@ -19,10 +19,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # \s+ (not a literal space) so every operator in this module agrees with
-# the simhash kernel's Python .split() on multi-whitespace text — a literal
+# the simhash kernel's ASCII-\s split on multi-whitespace text — a literal
 # ' ' split would treat "foo\nbar" as one token here but two there, giving
-# inconsistent dedup verdicts across operators on the same corpus.
+# inconsistent dedup verdicts across operators on the same corpus.  (Java's
+# \s is ASCII-only, so the simhash Python kernel splits with re.ASCII to
+# match; the full-text analyzers deliberately keep unicode-aware .split()
+# — that is ES whitespace-tokenizer parity, a different contract.)
 TOKENS = r"filter(split(lower({col}), '\\s+'), x -> x != '')"
+
+# the Python-side twin of TOKENS (see comment above)
+_WS_ASCII = __import__("re").compile(r"\s+", __import__("re").ASCII)
 
 # Cap on the simhash FNV kernel's (tokens, max_token_len) scatter matrix;
 # module-level so tests can shrink it to force multi-chunk execution.
@@ -252,7 +258,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         bitpos = np.arange(64, dtype=np.uint64)
         for pdf in it:
             ids = pdf["id"].values
-            tok_lists = [(t or "").lower().split() for t in pdf["text"].values]
+            tok_lists = [[t for t in _WS_ASCII.split((txt or "").lower()) if t]
+                         for txt in pdf["text"].values]
             doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64),
                                 [len(t) for t in tok_lists])
             all_toks = np.array([t for toks in tok_lists for t in toks],

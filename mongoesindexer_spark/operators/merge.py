@@ -159,11 +159,14 @@ def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
     cat.register_external(new_seg, "postings_blocks")
     if cat.table_exists("fields"):
         # fields rows for tombstoned docs are only masked at read time
-        # (read_fields anti-join); compaction is where they go away
-        dead_df = spark.createDataFrame(
-            [(int(d),) for d in dead], "doc_id long")
+        # (read_fields anti-join); compaction is where they go away.
+        # tombstones is still registered at this point (cleared below) —
+        # anti-join it distributed rather than shipping the dead-id set
+        # (possibly millions of rows) back out through createDataFrame
         cat.overwrite(
-            cat.read(spark, "fields").join(dead_df, "doc_id", "left_anti"),
+            cat.read(spark, "fields").join(
+                cat.read(spark, "tombstones").select("doc_id"),
+                "doc_id", "left_anti"),
             "fields")
     cat.write_small_arrow(
         pd.DataFrame({"doc_id": pd.Series([], dtype="int64")}), "tombstones")

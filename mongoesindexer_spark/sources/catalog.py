@@ -273,6 +273,12 @@ class IcebergCatalog:
                 .load(self._tbl(table)))
 
     def current_snapshot(self, table: str) -> int:
+        # 0 for a nonexistent table, like ParquetCatalog — the sync
+        # journal snapshots every table it MIGHT touch, including ones a
+        # fresh index does not have yet, and querying .snapshots on a
+        # missing table raises
+        if not self.table_exists(table):
+            return 0
         rows = self.spark.sql(
             f"SELECT snapshot_id FROM {self._tbl(table)}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1").collect()

@@ -185,6 +185,18 @@ class IncrementalIndexer:
         if not fsio.exists(p, self.filesystem):
             return None
         j = _json.loads(fsio.read_text(p, self.filesystem))
+        # a crash can also land AFTER every commit (sync_log included) but
+        # BEFORE the journal removal — that batch is fully applied, and
+        # rolling it back would LOSE it if the caller never re-sends it
+        # (e.g. a poll loop moving on to the next batch).  sync_log is the
+        # witness: committed batch_id present ⇒ just retire the journal.
+        bid = j.get("batch_id")
+        if bid and self.cat.table_exists("sync_log"):
+            seen = {r["batch_id"] for r in
+                    self.cat.read(spark, "sync_log").collect()}
+            if bid in seen:
+                fsio.remove_file(p, self.filesystem)
+                return None
         for t, sid in j["pre"].items():
             self.cat.rollback(t, int(sid))
         fsio.remove_file(p, self.filesystem)
@@ -218,7 +230,14 @@ class IncrementalIndexer:
         from pyspark.sql import Window
         op_rank = F.when(F.col("op") == "delete", 3) \
             .when(F.col("op") == "update", 2).otherwise(1)
+        # a delete usually carries NO page payload and hence no version
+        # stamp — a null-warc_ts delete must win the batch outright, or
+        # the nulls-last ordering below would silently drop it and leave
+        # the supposedly-deleted doc live
+        unversioned_delete = (F.col("op") == "delete") & \
+            F.col("warc_ts").isNull()
         w = Window.partitionBy("url").orderBy(
+            unversioned_delete.desc(),
             F.col("warc_ts").desc_nulls_last(), op_rank.desc(),
             F.md5(F.coalesce(F.col("text"), F.lit(""))))
         updates = updates.withColumn("_rn", F.row_number().over(w)) \

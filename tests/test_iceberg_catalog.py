@@ -107,3 +107,12 @@ def test_rollback_to_zero_drops_table():
     cat, spark = _cat()
     cat.rollback("sync_log", 0)
     spark.sql.assert_called_with("DROP TABLE IF EXISTS lake.idx.sync_log")
+
+
+def test_current_snapshot_zero_for_missing_table():
+    """The sync journal snapshots tables a fresh index lacks; a missing
+    table must read as snapshot 0 (ParquetCatalog parity), not raise."""
+    cat, spark = _cat()
+    spark.catalog.tableExists.return_value = False
+    assert cat.current_snapshot("tombstones") == 0
+    spark.sql.assert_not_called()

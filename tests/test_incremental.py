@@ -318,3 +318,63 @@ def test_crash_mid_sync_replays_cleanly(spark, tiny_index, tiny_dir,
     g_clean = ParquetCatalog(clean).read(spark, "global_stats").collect()[0]
     assert g_crash["n_docs"] == g_clean["n_docs"]
     assert g_crash["sum_dl"] == g_clean["sum_dl"]
+
+
+def test_unversioned_delete_wins_within_batch(spark, tiny_index, tiny_dir,
+                                              tmp_path_factory):
+    """A delete event usually carries no page payload and hence a null
+    warc_ts.  It must still win the within-batch collapse — nulls-last
+    version ordering alone would drop it and leave the doc live."""
+    import pandas as pd
+
+    from mongoesindexer_spark.operators.topk import get_engine
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path_factory.mktemp("idx-nulldel")) + "/idx"
+    shutil.copytree(tiny_index, d)
+    pages = pd.read_parquet(os.path.join(tiny_dir, "pages.parquet"))
+    victim = pages.iloc[0]
+    upd = spark.createDataFrame(
+        [("update", victim["url"],
+          victim["warc_ts"].to_pydatetime().replace(tzinfo=None), None,
+          "resurrect attempt", "en"),
+         ("delete", victim["url"], None, None, None, None)],
+        "op string, url string, warc_ts timestamp, html binary, "
+        "text string, lang string")
+    res = IncrementalIndexer(d).apply_updates(spark, upd, batch_id="nd")
+    assert res["inserted"] == 0 and res["tombstoned"] == 1
+    eng = get_engine(spark, d)
+    assert victim["url"] not in set(eng.topk_wand("resurrect", 10)["url"])
+
+
+def test_crash_after_full_commit_keeps_batch(spark, tiny_index, tiny_dir,
+                                             tmp_path_factory):
+    """If the crash lands AFTER every table commit (sync_log included) but
+    BEFORE the journal removal, the batch is fully applied — recovery must
+    retire the journal via the sync_log witness, NOT roll the batch back
+    (a poll loop moving on to the next batch would otherwise silently
+    lose it)."""
+    import json
+
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path_factory.mktemp("idx-postcommit")) + "/idx"
+    shutil.copytree(tiny_index, d)
+    upd = spark.read.parquet(os.path.join(tiny_dir, "pages_updates.parquet"))
+    inc = IncrementalIndexer(d)
+    inc.apply_updates(spark, upd, batch_id="b1")
+    before = {q: _topk_pairs_wand(spark, d, q, 10) for q in QUERIES}
+
+    # simulate the crash window: resurrect b1's journal after the fact
+    pre = {t: 0 for t in IncrementalIndexer._SYNC_TABLES}
+    with open(os.path.join(d, "_sync_journal.json"), "w") as f:
+        json.dump({"batch_id": "b1", "pre": pre}, f)
+
+    got = IncrementalIndexer(d).recover(spark)
+    assert got is None  # witnessed in sync_log → no rollback
+    assert not os.path.exists(os.path.join(d, "_sync_journal.json"))
+    cat = ParquetCatalog(d)
+    assert cat.table_exists("sync_log")  # NOT rolled back to pre-state
+    for q in QUERIES:
+        assert _topk_pairs_wand(spark, d, q, 10) == before[q], q

@@ -324,3 +324,17 @@ def test_simhash_fnv_chunking_exact_and_bounded(spark, monkeypatch):
            for r in dedup.simhash(df).collect()}
     for i, t in enumerate(toks):
         assert got[i] == fnv_ref(t), t[:20]
+
+
+def test_textstats_split_on_any_whitespace(spark):
+    """token_counts/quality_metrics tokenize with \\s+ so they agree with
+    the dedup operators and the DuckDB oracles on multi-whitespace text
+    (regression: literal-space split saw 'foo\\nbar' as one token)."""
+    from mongoesindexer_spark.functions.textstats import (quality_metrics,
+                                                          token_counts)
+    df = spark.createDataFrame(
+        [(0, "foo\nbar  baz\tqux")], "doc_id long, text string")
+    tc = token_counts(df).collect()[0]
+    assert tc["ws_tokens"] == 4
+    qm = quality_metrics(df).collect()[0]
+    assert qm["n_tokens"] == 4
