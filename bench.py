@@ -38,9 +38,13 @@ sys.path.insert(0, REPO)
 # Spark workers (session.py).  Without this the host-calibration legs would
 # run in a different allocator regime than the Spark legs they normalize.
 _MALLOC_TUNABLES = {"MALLOC_MMAP_MAX_": "0", "MALLOC_TRIM_THRESHOLD_": "-1"}
-if any(os.environ.get(k) is None for k in _MALLOC_TUNABLES):
+_missing_tunables = {k: v for k, v in _MALLOC_TUNABLES.items()
+                     if os.environ.get(k) is None}
+if _missing_tunables:
+    # fill only the ABSENT keys — a user experimenting with their own
+    # allocator settings must not have them silently stomped
     os.execve(sys.executable, [sys.executable] + sys.argv,
-              {**os.environ, **_MALLOC_TUNABLES})
+              {**os.environ, **_missing_tunables})
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

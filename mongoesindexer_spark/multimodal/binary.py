@@ -22,8 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MEDIA_META_DDL = ("media_id long, kind string, mime string, width int, "
-                  "height int, duration_ms int, n_bytes long")
+# schema of media_metadata's output (width/height/duration would need a
+# real decode — they belong to decode_features-style kernels, not the
+# JVM-only sniff below)
+MEDIA_META_DDL = "media_id long, kind string, mime string, n_bytes long"
 
 
 def _default_decoder(data: bytes, kind: str) -> np.ndarray:

@@ -150,7 +150,11 @@ def cosine_topk_lsh(df: DataFrame, query_vec: list[float], k: int, dim: int,
     qv = np.asarray(query_vec, dtype=np.float64)
     qbucket = 0
     for i in range(n_planes):
-        qbucket = qbucket * 2 + int(planes[i] @ qv > 0)
+        # _fold_dot, NOT planes[i] @ qv: the corpus rows' buckets (and the
+        # DuckDB oracle) accumulate strictly left-to-right, and numpy's
+        # pairwise-blocked dot can flip the sign of a last-ulp near-zero
+        # projection — probing a different bucket than the rows landed in
+        qbucket = qbucket * 2 + int(_fold_dot(planes[i], qv) > 0)
     bucketed = hyperplane_buckets(df, dim, n_planes, vec_col, id_col, seed)
     cand = bucketed.filter(F.col("bucket") == qbucket)
     q = F.array(*[F.lit(float(x)) for x in query_vec])

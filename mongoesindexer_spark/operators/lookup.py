@@ -30,11 +30,17 @@ def lookup(parent: DataFrame, child: DataFrame, local_field: str,
            child_filter: Column | None = None,
            child_project: list[str] | None = None,
            broadcast_child: bool = True) -> DataFrame:
-    """Mongo ``$lookup`` as LEFT join + collect_list of structs.
+    """Mongo ``$lookup`` as pre-aggregated child + LEFT join.
 
     Array elements are sorted (by their string form) for deterministic
     output — Mongo preserves child insertion order, which has no Spark
     analog; determinism is the engine's contract.
+
+    The child is aggregated to ``(fk, array)`` BEFORE the join — never a
+    groupBy over all parent columns, which would collapse fully-duplicate
+    parent rows into one (Mongo keeps each document), fail outright on
+    non-groupable parent types (maps), and shuffle the whole parent by
+    every column.  Same strategy as plans.pipeline._apply_lookup.
     """
     c = child
     if child_filter is not None:
@@ -45,14 +51,15 @@ def lookup(parent: DataFrame, child: DataFrame, local_field: str,
     struct_cols = [f for f in c.columns]
     c = c.select(F.col(foreign_field).alias("__fk"),
                  F.struct(*[F.col(f) for f in struct_cols]).alias("__child"))
+    agg = c.groupBy("__fk").agg(
+        F.array_sort(F.collect_list("__child")).alias(as_field))
     if broadcast_child:
-        c = F.broadcast(c)
-    joined = parent.join(c, parent[local_field] == c["__fk"], "left")
-    parent_cols = parent.columns
-    return (
-        joined.groupBy(*[parent[f] for f in parent_cols])
-        .agg(F.array_sort(F.collect_list("__child")).alias(as_field))
-    )
+        agg = F.broadcast(agg)
+    arr_type = agg.schema[as_field].dataType
+    out = parent.join(agg, parent[local_field] == agg["__fk"], "left") \
+        .drop("__fk")
+    return out.withColumn(
+        as_field, F.coalesce(F.col(as_field), F.array().cast(arr_type)))
 
 
 def anti_join_new(source: DataFrame, done: DataFrame, key: str) -> DataFrame:

@@ -40,9 +40,22 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _in_condition(c: Column, v) -> Column:
+    """Mongo ``$in`` matches null/missing fields when the list contains
+    null ({deletedAt: {$in: [null]}} is the standard keep-non-deleted
+    idiom); Spark's isin never matches null, so null membership needs an
+    explicit isNull branch."""
+    vals = list(v)
+    non_null = [x for x in vals if x is not None]
+    cond = c.isin(non_null) if non_null else F.lit(False)
+    if len(non_null) < len(vals):  # null ∈ list
+        cond = cond | c.isNull()
+    return cond
+
+
 _MATCH_OPS = {
     "$ne": lambda c, v: (c != F.lit(v)) | c.isNull() if v is not None else c.isNotNull(),
-    "$in": lambda c, v: c.isin(list(v)),
+    "$in": _in_condition,
     "$gt": lambda c, v: c > F.lit(v),
     "$gte": lambda c, v: c >= F.lit(v),
     "$lt": lambda c, v: c < F.lit(v),
@@ -75,34 +88,52 @@ def _match_condition(spec: dict) -> Column:
 
 def _apply_project(df: DataFrame, spec: dict, doc_key: str) -> DataFrame:
     includes = [k for k, v in spec.items() if v in (1, True)]
+    # Mongo expression context: a string starting with "$" is a FIELD PATH
+    # ({title: "$Title"} copies the Title field); any other string is a
+    # literal — treating paths as literals would silently inject the
+    # constant text "$Title" into every document
+    paths = {k: v[1:] for k, v in spec.items()
+             if isinstance(v, str) and v.startswith("$")}
     literals = {k: v for k, v in spec.items()
-                if isinstance(v, str) and not isinstance(v, bool)}
+                if isinstance(v, str) and not isinstance(v, bool)
+                and k not in paths}
     excludes = [k for k, v in spec.items() if v in (0, False)]
     unsupported = {k: v for k, v in spec.items()
                    if k not in includes and k not in literals
-                   and k not in excludes}
+                   and k not in paths and k not in excludes}
     if unsupported:
         # a silently-dropped numeric/dict literal would ship a config whose
         # injected field simply vanishes — fail loudly instead
         raise ValueError(
             f"unsupported $project values {unsupported!r}: supported are "
-            "1/true (include), 0/false (exclude), and string literals")
-    if includes or literals:
+            "1/true (include), 0/false (exclude), \"$field\" paths, and "
+            "string literals")
+    if includes or literals or paths:
         cols: list[Column] = []
-        if "__fk" in df.columns:   # hidden $lookup join key must survive
-            cols.append(F.col("__fk"))
+        # hidden $lookup join keys must survive a sub-pipeline's $project
+        cols.extend(F.col(c) for c in df.columns if c.startswith("__fk"))
         if doc_key in df.columns and doc_key not in excludes and \
-                doc_key not in includes and doc_key not in literals:
+                doc_key not in includes and doc_key not in literals \
+                and doc_key not in paths:
             cols.append(F.col(doc_key))
         for k in spec:          # preserve the config's field order
             if k in literals:
                 cols.append(F.lit(literals[k]).alias(k))
+            elif k in paths:
+                cols.append(F.col(paths[k]).alias(k))
             elif k in includes and k in df.columns:
                 cols.append(F.col(k))
         return df.select(*cols)
     if excludes:
         return df.drop(*[c for c in excludes if c in df.columns])
     return df
+
+
+# distinct hidden-key names per $lookup invocation: DataFrame.drop(name)
+# drops EVERY column with that name, so a nested scalar lookup sharing
+# "__fk" with its parent would drop the parent's join key mid-pipeline
+# (AnalysisException UNRESOLVED_COLUMN on the outer groupBy)
+_FK_SEQ = __import__("itertools").count()
 
 
 def _apply_lookup(df: DataFrame, spec: dict,
@@ -112,15 +143,16 @@ def _apply_lookup(df: DataFrame, spec: dict,
 
     child = resolver(spec["from"])
     local, foreign, as_field = spec["localField"], spec["foreignField"], spec["as"]
+    fk = f"__fk{next(_FK_SEQ)}"
     # keep a hidden fk: the sub-pipeline may project the foreignField away,
     # but the join key must survive it (Mongo matches before the pipeline's
     # $project is applied to the matched docs)
-    child = child.withColumn("__fk", F.col(foreign))
+    child = child.withColumn(fk, F.col(foreign))
     sub = spec.get("pipeline") or []
     child = compile_pipeline(child, sub, resolver, doc_key=doc_key,
                              broadcast_children=broadcast_child)
-    visible = [c for c in child.columns if c != "__fk"]
-    agg = (child.groupBy("__fk")
+    visible = [c for c in child.columns if not c.startswith("__fk")]
+    agg = (child.groupBy(fk)
            .agg(F.array_sort(F.collect_list(F.struct(*visible))).alias(as_field)))
     if broadcast_child:
         agg = F.broadcast(agg)
@@ -130,7 +162,7 @@ def _apply_lookup(df: DataFrame, spec: dict,
     local_is_array = isinstance(df.schema[local].dataType, ArrayType) \
         if local in df.columns else False
     if not local_is_array:
-        out = df.join(agg, df[local] == agg["__fk"], "left").drop("__fk")
+        out = df.join(agg, df[local] == agg[fk], "left").drop(fk)
         return out.withColumn(as_field, F.coalesce(F.col(as_field), empty))
     # array localField: foreign docs matching ANY element, each once —
     # explode(distinct) keyed by the parent doc key, then re-aggregate so
@@ -141,7 +173,7 @@ def _apply_lookup(df: DataFrame, spec: dict,
             f"column {doc_key!r} to re-aggregate")
     pairs = df.select(F.col(doc_key).alias("__pk"),
                       F.explode(F.array_distinct(F.col(local))).alias("__el"))
-    matched = (pairs.join(agg, pairs["__el"] == agg["__fk"], "inner")
+    matched = (pairs.join(agg, pairs["__el"] == agg[fk], "inner")
                .groupBy("__pk")
                .agg(F.array_sort(F.flatten(F.collect_list(as_field))).alias(as_field)))
     out = df.join(matched, df[doc_key] == matched["__pk"], "left").drop("__pk")

@@ -338,3 +338,18 @@ def test_textstats_split_on_any_whitespace(spark):
     assert tc["ws_tokens"] == 4
     qm = quality_metrics(df).collect()[0]
     assert qm["n_tokens"] == 4
+
+
+def test_lookup_preserves_duplicate_parents(spark):
+    """Mongo $lookup keeps each parent document — two fully-identical
+    parent rows must yield two output rows (the old groupBy-all-parent-
+    columns implementation collapsed them)."""
+    from mongoesindexer_spark.operators.lookup import lookup
+    parents = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "pk long, pname string")
+    children = spark.createDataFrame([(1, "x")], "fk long, cname string")
+    out = lookup(parents, children, "pk", "fk", "kids")
+    assert out.count() == 3
+    dup = [r for r in out.collect() if r["pk"] == 1]
+    assert len(dup) == 2 and all([c["cname"] for c in r["kids"]] == ["x"]
+                                 for r in dup)

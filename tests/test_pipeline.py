@@ -150,3 +150,46 @@ def test_project_non_string_literal_raises(spark, collections):
         compile_pipeline(collections["CldDoc"],
                          [{"$project": {"Title": 1, "weight": 2.5}}],
                          collections.__getitem__).collect()
+
+
+def test_in_with_null_matches_missing(spark, collections):
+    """{deletedAt: {$in: [null, false]}} — Mongo's keep-non-deleted idiom —
+    must match rows whose field is NULL (Spark isin never matches null)."""
+    df = spark.createDataFrame(
+        [Row(_id=1, deletedAt=None), Row(_id=2, deletedAt="2024-01-01"),
+         Row(_id=3, deletedAt="x")],
+        "_id long, deletedAt string")
+    out = compile_pipeline(df, [{"$match": {"deletedAt": {"$in": [None, "x"]}}}],
+                           lambda n: None)
+    assert sorted(r["_id"] for r in out.collect()) == [1, 3]
+
+
+def test_project_field_path_vs_literal(spark, collections):
+    """"$Title" copies the Title field; "CldDoc" (no $) injects a literal."""
+    out = compile_pipeline(collections["CldDoc"],
+                           [{"$project": {"title_copy": "$Title",
+                                          "doc_type": "CldDoc"}}],
+                           collections.__getitem__)
+    rows = {r["_id"]: r for r in out.collect()}
+    assert rows[1]["title_copy"] == "finding one"
+    assert rows[1]["doc_type"] == "CldDoc"
+
+
+def test_nested_scalar_lookup_distinct_join_keys(spark, collections):
+    """A scalar-localField $lookup inside another $lookup's sub-pipeline:
+    the two hidden join keys must not collide (DataFrame.drop(name) drops
+    every column with that name)."""
+    pipe = [{"$lookup": {
+        "from": "CldDoc", "localField": "_id", "foreignField": "ltdDocId",
+        "as": "cldDocs",
+        "pipeline": [
+            {"$lookup": {"from": "CldField", "localField": "cldFieldLanguageId",
+                         "foreignField": "_id", "as": "lang"}},
+            {"$project": {"Title": 1, "lang": 1}},
+        ]}}]
+    out = compile_pipeline(collections["LtdDoc"], pipe,
+                           collections.__getitem__)
+    rows = {r["_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[100]["cldDocs"][0]["lang"][0]["name"] == "English"
+    assert rows[102]["cldDocs"][0]["lang"] == []   # dangling inner FK
