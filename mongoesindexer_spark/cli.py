@@ -8,6 +8,7 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
   ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
   ... sync   --index /path/index --updates /path/updates_parquet --batch-id b1
   ... compact --index /path/index
+  ... vacuum --index /path/index        # expire snapshots + orphan sweep
   ... status --index /path/index        # lineage / progress report (ST8)
   ... build-all --configs /path/configs_dir   # indexAll parity (S10/ST6)
 
@@ -68,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact")
     c.add_argument("--index", required=True)
+
+    v = sub.add_parser("vacuum",
+                       help="expire superseded snapshots + remove orphan "
+                            "dirs (Iceberg expire_snapshots analog)")
+    v.add_argument("--index", required=True)
 
     st = sub.add_parser("status")
     st.add_argument("--index", required=True)
@@ -147,6 +153,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         from .operators.merge import compact
         print(json.dumps(compact(spark, args.index)))
+    elif args.cmd == "vacuum":
+        from .operators.vacuum import vacuum_index
+        print(json.dumps(vacuum_index(spark, args.index)))
     elif args.cmd == "build-all":
         # indexAll parity (load.service.ts:108-138): one build per config.
         # The reference throttles 3 collections via Bottleneck (ST6); on

@@ -880,12 +880,22 @@ class IndexBuilder:
                     spark.createDataFrame([], "doc_id long, url string, doc_len long"),
                     "doc_stats")
             self.lineage.mark_stage("flat")
+            # flat_files holds per-file tokenize tags consumed only
+            # while "flat" is incomplete — close it too, so a
+            # finished build leaves every stage dir _COMPLETE (the
+            # invariant vacuum's in-flight-build guard relies on)
+            self.lineage.mark_stage("flat_files")
             return
         self.catalog.overwrite(flat, "postings_flat")
         # doc_stats = the marker rows (tiny filtered re-read, no corpus
         # aggregate or join — the tokenize pass already counted doc_len)
         self.catalog.overwrite(read_doc_markers(self.catalog, spark), "doc_stats")
         self.lineage.mark_stage("flat")
+        # flat_files holds per-file tokenize tags consumed only
+        # while "flat" is incomplete — close it too, so a
+        # finished build leaves every stage dir _COMPLETE (the
+        # invariant vacuum's in-flight-build guard relies on)
+        self.lineage.mark_stage("flat_files")
 
     def _stage_stats(self, spark: SparkSession) -> None:
         if self.lineage.stage_complete("stats"):

@@ -170,5 +170,6 @@ def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
             "fields")
     cat.write_small_arrow(
         pd.DataFrame({"doc_id": pd.Series([], dtype="int64")}), "tombstones")
+    dead_bc.unpersist()
     return {"compacted": True, "removed_docs": n_dead,
             "segments": len(stats)}

@@ -511,8 +511,13 @@ class SearchEngine:
                             {"score": [s for s, _ in hits],
                              "doc_id": [d for _, d in hits]})
 
-        rows = fdf.mapInPandas(_seg_topk,
-                               schema="score double, doc_id long").collect()
+        try:
+            rows = fdf.mapInPandas(
+                _seg_topk, schema="score double, doc_id long").collect()
+        finally:
+            # per-query broadcast: release driver+executor copies now, or
+            # a serving process leaks one per fanned-out query
+            ts_bc.unpersist()
         merged = sorted(((r["score"], r["doc_id"]) for r in rows),
                         key=lambda t: (-t[0], t[1]))[:k]
         urls = self.fetch_urls([d for _, d in merged])
