@@ -116,6 +116,23 @@ def q_ft_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+def q_ft_bm25_segments_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranking through the SEGMENT-PARALLEL serving path (the ES
+    shard-merge analog, operators/topk.py topk_segments): per doc-disjoint
+    segment group, top-k inside a Spark task; driver merges <=k rows per
+    group.  Forced onto the distributed locus regardless of the cost-based
+    SEGMENT_FANOUT_CUTOFF so the correctness gate pins the scale path, not
+    just the driver kernel."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).topk_wand(BM25_QUERY, BM25_K,
+                                           use_segments=True)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 def q_ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongoesindexer_spark.operators.topk import bm25_topk_df
     idx = _docs_index(spark, sf_dir)
@@ -482,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_global_stats": q_ft_global_stats,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_bm25_wand_topk": q_ft_bm25_wand_topk,
+        "ft_bm25_segments_topk": q_ft_bm25_segments_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_prefix_search": q_ft_prefix_search,
         "ft_stop_filter": q_ft_stop_filter,
@@ -611,6 +629,10 @@ def oracle_sql() -> dict[str, str]:
             FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_bm25_wand_topk": bm25_scores.format(terms=terms) + f"""
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        "ft_bm25_segments_topk": bm25_scores.format(terms=terms) + f"""
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
