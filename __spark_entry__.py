@@ -140,6 +140,22 @@ def q_ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+def q_ft_bm25_conjunctive_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) semantics through the BLOCK-KERNEL path: zig-zag
+    intersection with whole-block skips over the encoded segments
+    (operators/topk.py conjunctive_topk_arrays), forced onto the WAND
+    locus — must rank identically to the same n_terms-filtered SQL oracle
+    as ft_bm25_conjunctive (the ES bool.filter analog, J6)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).topk_wand(CONJ_QUERY, 50, use_wand=True,
+                                           mode="and")
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 def q_ft_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completion/prefix semantics (T7): served from the materialized
     ``completion(prefix, term, weight)`` table (the FST analog) — the
@@ -501,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_wand_topk": q_ft_bm25_wand_topk,
         "ft_bm25_segments_topk": q_ft_bm25_segments_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
+        "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
         "ft_prefix_search": q_ft_prefix_search,
         "ft_stop_filter": q_ft_stop_filter,
         # relational / orchestration parity (SURVEY §2.1-2.5)
@@ -637,6 +654,11 @@ def oracle_sql() -> dict[str, str]:
             FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_bm25_conjunctive": bm25_scores.format(terms=cterms) + """
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores WHERE n_terms = 2
+            ORDER BY score DESC, doc_id ASC LIMIT 50
+        """,
+        "ft_bm25_conjunctive_wand": bm25_scores.format(terms=cterms) + """
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores WHERE n_terms = 2
             ORDER BY score DESC, doc_id ASC LIMIT 50

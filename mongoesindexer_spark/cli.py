@@ -105,7 +105,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "query":
         from .operators.topk import bm25_topk_df, bm25_topk_wand
         if args.wand:
-            pdf = bm25_topk_wand(spark, args.index, args.q, args.k)
+            pdf = bm25_topk_wand(spark, args.index, args.q, args.k,
+                                 mode=args.mode)
             print(pdf.to_string(index=False))
         else:
             bm25_topk_df(spark, args.index, args.q, args.k, mode=args.mode).show(

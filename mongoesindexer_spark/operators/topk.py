@@ -376,7 +376,8 @@ class SearchEngine:
 
     def topk_wand(self, query_text: str, k: int,
                   use_wand: bool | None = None,
-                  use_segments: bool | None = None) -> pd.DataFrame:
+                  use_segments: bool | None = None,
+                  mode: str = "or") -> pd.DataFrame:
         """Top-k over the encoded blocks, cost-based (Lucene-style): when
         the candidate postings are few (< EXHAUSTIVE_CUTOFF), decode them
         all and score vectorized — the doc-at-a-time WAND loop's per-doc
@@ -391,25 +392,35 @@ class SearchEngine:
         group as a Spark job and only ≤k rows per group reach the driver
         (:meth:`topk_segments`) — a head term ("the" ≈ N postings) must
         never materialize its full candidate block set driver-side.
-        ``use_segments`` forces the locus (None = cost-based)."""
-        terms = _query_terms(query_text, self.cfg)
-        if not terms:
+        ``use_segments`` forces the locus (None = cost-based).
+
+        ``mode="and"`` gives conjunctive semantics (ES ``bool.filter`` of
+        term queries, J6): only docs containing EVERY analyzed query term,
+        scored by the same BM25 sum — rank-identical to
+        ``topk_df(..., mode="and")``."""
+        analyzed = _query_terms(query_text, self.cfg)
+        if not analyzed:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
-        meta = self._term_meta(terms)
+        meta = self._term_meta(analyzed)
         td = {t: m[0] for t, m in meta.items() if m is not None}
         # drop terms with no term_dict row NOW: a fully-tombstoned term
         # loses its dictionary row at sync (exact delta arithmetic) but
         # keeps posting blocks until compaction — scoring paths must
         # never see a term they have no idf for (KeyError otherwise)
-        terms = [t for t in terms if t in td]
-        if not terms:
+        terms = [t for t in analyzed if t in td]
+        # conjunctive: a query term with no live postings means no doc can
+        # contain every term (same as topk_df, whose n_terms count can
+        # never reach len(analyzed))
+        if not terms or (mode == "and" and len(terms) < len(analyzed)):
             return pd.DataFrame(columns=["doc_id", "url", "score"])
         if use_segments is None:
             total_df = sum(m[1] for m in meta.values() if m is not None)
             use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
         if use_segments:
-            return self.topk_segments(terms, td, k)
+            return self.topk_segments(terms, td, k, mode=mode)
         by_term = self._term_blocks(terms)
+        if mode == "and" and len(by_term) < len(terms):
+            return pd.DataFrame(columns=["doc_id", "url", "score"])
         if use_wand is None:
             n_cand = sum(b["n"] for bl in by_term.values() for b in bl)
             use_wand = n_cand >= EXHAUSTIVE_CUTOFF
@@ -420,12 +431,19 @@ class SearchEngine:
         if use_wand:
             cursors = [_TermCursor(td[t], by_term[t], self.avgdl)
                        for t in terms if t in by_term]
-            hits = wand_topk_arrays(cursors, self.avgdl, k,
-                                    self.tombstones) if cursors else []
+            if not cursors:
+                hits = []
+            elif mode == "and":
+                hits = conjunctive_topk_arrays(cursors, self.avgdl, k,
+                                               self.tombstones)
+            else:
+                hits = wand_topk_arrays(cursors, self.avgdl, k,
+                                        self.tombstones)
         else:
             hits = exhaustive_topk_arrays(
                 {t: (td[t], by_term[t]) for t in terms if t in by_term},
-                self.avgdl, k, self.tombstones)
+                self.avgdl, k, self.tombstones,
+                require_all=(mode == "and"))
         urls = self.fetch_urls([d for _, d in hits])
         return pd.DataFrame(
             [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
@@ -457,7 +475,7 @@ class SearchEngine:
         return groups
 
     def topk_segments(self, terms: list[str], idf_by_term: dict[str, float],
-                      k: int) -> pd.DataFrame:
+                      k: int, mode: str = "or") -> pd.DataFrame:
         """ES-shard-style fan-out: per doc-disjoint segment group, score
         top-k locally (same cost-based exhaustive/WAND kernel) inside a
         Spark task; merge the ≤ groups×k (score, doc_id) rows driver-side.
@@ -468,6 +486,10 @@ class SearchEngine:
         top-ks — the reference's ES executes WAND per shard and merges
         the same way (4-shard analog, configs/ltd_doc.settings.json:244).
         Driver traffic is ≤ k rows per group, never the candidate blocks.
+
+        ``mode="and"``: conjunctive per group — valid because a doc's
+        postings for ALL terms live in exactly one doc-disjoint group, so
+        per-group intersections partition the global intersection.
         """
         # only terms with a dictionary row are scorable (a fully-
         # tombstoned term keeps blocks until compaction but has no idf)
@@ -495,17 +517,26 @@ class SearchEngine:
                     recs = bl.to_dict("records")
                     for r in recs:
                         by_term.setdefault(r["term"], []).append(r)
+                    if mode == "and" and len(by_term) < len(terms):
+                        continue        # some term absent ⇒ empty group
                     decode_blocks_into(recs)
                     if int(bl["n"].sum()) >= EXHAUSTIVE_CUTOFF:
                         cursors = [_TermCursor(idf_by_term[t], by_term[t], avgdl)
                                    for t in terms if t in by_term]
-                        hits = wand_topk_arrays(cursors, avgdl, k,
-                                                ts_bc.value) if cursors else []
+                        if not cursors:
+                            hits = []
+                        elif mode == "and":
+                            hits = conjunctive_topk_arrays(
+                                cursors, avgdl, k, ts_bc.value)
+                        else:
+                            hits = wand_topk_arrays(cursors, avgdl, k,
+                                                    ts_bc.value)
                     else:
                         hits = exhaustive_topk_arrays(
                             {t: (idf_by_term[t], by_term[t])
                              for t in terms if t in by_term},
-                            avgdl, k, ts_bc.value)
+                            avgdl, k, ts_bc.value,
+                            require_all=(mode == "and"))
                     if hits:
                         yield pd.DataFrame(
                             {"score": [s for s, _ in hits],
@@ -688,11 +719,17 @@ SEGMENT_FANOUT_CUTOFF = 1 << 22
 
 def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
                            avgdl: float, k: int,
-                           tombstones: set[int] | None = None
+                           tombstones: set[int] | None = None,
+                           require_all: bool = False
                            ) -> list[tuple[float, int]]:
     """Decode every candidate block and score all postings vectorized —
     rank-identical to :func:`wand_topk_arrays` (ties doc_id asc), used
-    below EXHAUSTIVE_CUTOFF where pruning cannot pay for its loop."""
+    below EXHAUSTIVE_CUTOFF where pruning cannot pay for its loop.
+
+    ``require_all``: conjunctive semantics — keep only docs matched by
+    every term in ``term_blocks`` (each term contributes a doc at most
+    once: posting lists are per-term unique and segments doc-disjoint, so
+    a doc's occurrence count IS its matched-term count)."""
     all_docs: list[np.ndarray] = []
     all_scores: list[np.ndarray] = []
     for idf, blocks in term_blocks.values():
@@ -709,6 +746,10 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
     scores = np.concatenate(all_scores)
     uniq, inv = np.unique(docs, return_inverse=True)
     agg = np.bincount(inv, weights=scores)
+    if require_all:
+        counts = np.bincount(inv)
+        keep = counts == len(term_blocks)
+        uniq, agg = uniq[keep], agg[keep]
     if tombstones:
         keep = ~np.isin(uniq, np.fromiter(tombstones, dtype=np.int64))
         uniq, agg = uniq[keep], agg[keep]
@@ -716,6 +757,56 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
         return []
     order = np.lexsort((uniq, -agg))[:k]
     return [(float(agg[i]), int(uniq[i])) for i in order]
+
+
+def conjunctive_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
+                            tombstones: set[int] | None = None
+                            ) -> list[tuple[float, int]]:
+    """Top-k over the INTERSECTION of the cursors' posting lists (ES
+    ``bool.filter`` conjunctive, J6) — doc-at-a-time zig-zag join with
+    whole-block skips via the ``last_doc`` pointers: every cursor seeks to
+    the current maximum, a full alignment scores, ties rank doc_id asc.
+    Rank-identical to :func:`exhaustive_topk_arrays` with ``require_all``
+    (property-tested); the skipping is what makes selective conjunctions
+    sublinear in the longest list."""
+    tombstones = tombstones or set()
+    if not cursors:
+        return []
+    by_ord = sorted(cursors, key=lambda c: c.ord)
+    heap: list[tuple[float, int]] = []   # min-heap of (score, -doc_id)
+    while True:
+        if any(c.exhausted for c in cursors):
+            break
+        target = max(c.doc for c in cursors)
+        aligned = True
+        for c in cursors:
+            if c.doc < target:
+                c.seek(target)
+                aligned = False
+                if c.exhausted:
+                    break
+        if not aligned:
+            continue
+        if target not in tombstones:
+            # accumulate in cursor-creation (term) order — float addition
+            # order must match the vectorized scorer's term order, or the
+            # last bit can flip near-tied ranks (same contract as
+            # wand_topk_arrays)
+            score = 0.0
+            norm = None
+            for c in by_ord:
+                if norm is None:
+                    norm = K1 * (1.0 - B + B * float(c.dl) / avgdl)
+                tf = float(c.tf)
+                score += c.idf * tf * (K1 + 1.0) / (tf + norm)
+            if len(heap) < k:
+                heapq.heappush(heap, (score, -target))
+            elif (score, -target) > heap[0]:
+                heapq.heapreplace(heap, (score, -target))
+        for c in cursors:
+            c.next()
+    out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return [(s, -nd) for s, nd in out]
 
 
 def _block_arrays(b: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -809,10 +900,13 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
 
 
 def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
-                   cfg: AnalyzerConfig = LTD_DOC) -> pd.DataFrame:
+                   cfg: AnalyzerConfig = LTD_DOC,
+                   mode: str = "or") -> pd.DataFrame:
     """Top-k via block-max WAND over the encoded ``postings_blocks``.
 
     The block fetch is a DataFrame scan with the term predicate pushed to
     parquet; the WAND loop itself runs driver-side in numpy (|q| cursors).
+    ``mode="and"`` intersects via the zig-zag conjunctive kernel (J6).
     """
-    return get_engine(spark, index_dir, cfg).topk_wand(query_text, k)
+    return get_engine(spark, index_dir, cfg).topk_wand(query_text, k,
+                                                       mode=mode)

@@ -119,3 +119,34 @@ def test_segment_fanout_with_delta_segments(spark, tiny_dir, tmp_path):
         seg = eng.topk_wand(q, k, use_segments=True)
         assert [(x.doc_id, round(x.score, 9)) for x in drv.itertuples()] == \
             [(x.doc_id, round(x.score, 9)) for x in seg.itertuples()], q
+
+
+def test_conjunctive_wand_matches_df_all_paths(spark, tiny_index,
+                                               tiny_queries):
+    """mode="and" must rank identically across every execution path:
+    exhaustive DataFrame (topk_df), block-kernel exhaustive, zig-zag
+    conjunctive WAND, and segment fan-out (J6 on the scale path)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, tiny_index)
+    for r in tiny_queries.itertuples():
+        q, k = r.query_text, int(r.k)
+        want = [(row["doc_id"], round(row["score"], 9))
+                for row in bm25_topk_df(spark, tiny_index, q, k,
+                                        mode="and").collect()]
+        for kw in ({"use_wand": True}, {"use_wand": False},
+                   {"use_segments": True}):
+            pdf = eng.topk_wand(q, k, mode="and", **kw)
+            got = [(int(d), round(float(s), 9))
+                   for d, s in zip(pdf["doc_id"], pdf["score"])]
+            assert got == want, (q, kw)
+
+
+def test_conjunctive_empty_when_term_absent(spark, tiny_index):
+    """A query term absent from the index ⇒ conjunctive result is empty on
+    every path (matches topk_df, whose n_terms count can't be reached)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    q = "the zzzzmissingterm"
+    assert bm25_topk_df(spark, tiny_index, q, 10, mode="and").count() == 0
+    eng = get_engine(spark, tiny_index)
+    for kw in ({"use_wand": True}, {"use_segments": True}):
+        assert len(eng.topk_wand(q, 10, mode="and", **kw)) == 0

@@ -79,3 +79,45 @@ def test_wand_equals_exhaustive(data):
     for (gs, gd), (ws, wd) in zip(got_ex, want):
         assert gd == wd
         assert abs(gs - ws) < 1e-9
+
+
+@given(corpus())
+@settings(max_examples=150, deadline=None)
+def test_conjunctive_equals_exhaustive_require_all(data):
+    """Zig-zag conjunctive kernel == exhaustive scorer filtered to docs
+    containing EVERY query term (J6), on random corpora with tombstones —
+    including score equality and doc_id-asc tie ranking."""
+    from mongoesindexer_spark.operators.topk import conjunctive_topk_arrays
+
+    doc_lens, postings, terms, k = data
+    n_docs = doc_lens.size
+    avgdl = float(doc_lens.mean())
+    tomb = set(np.flatnonzero(np.arange(n_docs) % 7 == 3).tolist())
+
+    scores = np.zeros(n_docs, dtype=np.float64)
+    n_matched = np.zeros(n_docs, dtype=np.int64)
+    for t in terms:
+        docs, tfs = postings[t]
+        idf = float(bm25_idf(docs.size, n_docs))
+        scores[docs] += idf * bm25_tf_norm(tfs, doc_lens[docs], avgdl)
+        n_matched[docs] += 1
+    cand = [d for d in np.flatnonzero(n_matched == len(terms))
+            if d not in tomb]
+    want = sorted(((scores[d], int(d)) for d in cand),
+                  key=lambda x: (-x[0], x[1]))[:k]
+
+    cursors, term_blocks = [], {}
+    for t in terms:
+        docs, tfs = postings[t]
+        idf = float(bm25_idf(docs.size, n_docs))
+        blocks = encode_blocks(docs, tfs, doc_lens[docs], avgdl, block_size=8)
+        cursors.append(_TermCursor(idf, blocks, avgdl))
+        term_blocks[t] = (idf, blocks)
+
+    got = conjunctive_topk_arrays(cursors, avgdl, k, tombstones=tomb)
+    assert [(d, round(s, 9)) for s, d in got] == \
+        [(d, round(s, 9)) for s, d in want]
+
+    got_ex = exhaustive_topk_arrays(term_blocks, avgdl, k, tombstones=tomb,
+                                    require_all=True)
+    assert [d for _, d in got_ex] == [d for _, d in want]
