@@ -61,10 +61,14 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     # must never adopt a stale dir built by older code (round-1 bug), and
     # IndexBuilder.build additionally wipes any version-mismatched dir
     tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    # "f2" = feature tag: bumped when the build CALL here gains tables
+    # (keyword_fields) — a cached dir from an older call shape would lack
+    # them even at the same format version
     index_dir = os.path.join(
-        tempfile.gettempdir(), f"mei_idx_v{INDEX_FORMAT_VERSION}_{tag}")
+        tempfile.gettempdir(), f"mei_idx_v{INDEX_FORMAT_VERSION}f2_{tag}")
     builder = IndexBuilder(index_dir, n_buckets=8, key_col="doc_id",
-                           id_col="doc_id")
+                           id_col="doc_id",
+                           keyword_fields=("source", "lang"))
     builder.build(spark, _read(spark, sf_dir, "documents"))
     _IDX[key] = index_dir
     return index_dir
@@ -138,6 +142,23 @@ def q_ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _docs_index(spark, sf_dir)
     return bm25_topk_df(spark, idx, CONJ_QUERY, 50, mode="and").select(
         "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
+def q_ft_keyword_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 query side: ES term query on the materialized <field>.keyword
+    sub-field (fields table) — raw exact match, merge-on-read."""
+    from mongoesindexer_spark.operators.keyword import keyword_match
+    idx = _docs_index(spark, sf_dir)
+    return keyword_match(spark, idx, "source", "src7")
+
+
+def q_ft_keyword_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 query side: term query on <field>.normalized — both sides go
+    through the normalize analyzer (keyword -> lowercase -> asciifolding),
+    so the UPPERCASED query value must still match."""
+    from mongoesindexer_spark.operators.keyword import keyword_match
+    idx = _docs_index(spark, sf_dir)
+    return keyword_match(spark, idx, "lang", "EN", normalized=True)
 
 
 def q_ft_bm25_conjunctive_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_segments_topk": q_ft_bm25_segments_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
+        "ft_keyword_match": q_ft_keyword_match,
+        "ft_keyword_normalized": q_ft_keyword_normalized,
         "ft_prefix_search": q_ft_prefix_search,
         "ft_stop_filter": q_ft_stop_filter,
         # relational / orchestration parity (SURVEY §2.1-2.5)
@@ -662,6 +685,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores WHERE n_terms = 2
             ORDER BY score DESC, doc_id ASC LIMIT 50
+        """,
+        "ft_keyword_match": """
+            SELECT doc_id, CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE source = 'src7'
+        """,
+        "ft_keyword_normalized": """
+            SELECT doc_id, CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE lower(strip_accents(lang)) = 'en'
         """,
         "ft_prefix_search": f"""
             SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq

@@ -1071,24 +1071,28 @@ class IndexBuilder:
         artifacts were written by a different format version silently
         poisons every later stage (round 1's gate-killing bug).  On
         mismatch the whole index dir is wiped and rebuilt from scratch."""
-        v = read_format_version(self.index_dir)
+        fs = self.filesystem
+        v = read_format_version(self.index_dir, fs)
         if v == INDEX_FORMAT_VERSION:
             return
+        lineage_dir = os.path.join(self.index_dir, "_lineage")
         has_state = (
-            os.path.isdir(os.path.join(self.index_dir, "_lineage"))
-            and bool(os.listdir(os.path.join(self.index_dir, "_lineage")))
+            fsio.is_dir(lineage_dir, fs)
+            and bool(fsio.list_subdirs(lineage_dir, fs)
+                     or fsio.listdir(lineage_dir, fs))
         ) or bool(self.catalog.list_tables())
         if has_state:
-            import shutil
             import sys
             print(f"[mongoesindexer] index at {self.index_dir} has format "
                   f"{v!r}, need {INDEX_FORMAT_VERSION}; wiping for full "
                   "rebuild", file=sys.stderr)
-            shutil.rmtree(self.index_dir, ignore_errors=True)
-            os.makedirs(self.index_dir, exist_ok=True)
-            self.catalog = ParquetCatalog(self.index_dir)
-            self.lineage = Lineage(self.index_dir)
-        write_format_version(self.index_dir)
+            # through the fs seam: a remote-FS build's format wipe must
+            # act on the remote index root, not the driver's local disk
+            fsio.remove_dir(self.index_dir, fs)
+            fsio.makedirs(self.index_dir, fs)
+            self.catalog = ParquetCatalog(self.index_dir, fs)
+            self.lineage = Lineage(self.index_dir, fs)
+        write_format_version(self.index_dir, fs)
 
     def build(self, spark: SparkSession, pages: DataFrame,
               fail_partitions: frozenset[str] = frozenset()) -> dict:

@@ -1,0 +1,43 @@
+"""Query-side exact-match over materialized keyword sub-fields (T8).
+
+The reference's mappings give text columns ``<field>.keyword`` (raw) and
+``<field>.normalized`` (keyword tokenizer → lowercase → asciifolding)
+sub-fields for ES term queries and sort keys
+(configs/ltd_doc.settings.json:278-310).  The build/sync stages
+materialize those as the ``fields`` table (operators/build_index.py
+fields_subfields); this module is the ES term-query analog over it.
+
+Plan shape: one equality filter pushed into the parquet scan of the
+vocab-thin ``fields`` table, tombstone anti-join for merge-on-read
+freshness, then a doc_id equi-join to doc_stats for the url — no
+corpus-wide shuffle (AQE broadcasts the filtered side when small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import normalize
+from ..sources.catalog import ParquetCatalog
+
+
+def keyword_match(spark: SparkSession, index_dir: str, field: str,
+                  value: str, normalized: bool = False) -> DataFrame:
+    """Docs whose ``field`` exactly matches ``value`` → (doc_id, url).
+
+    ``normalized=False``: raw exact match (the ``<field>.keyword`` term
+    query).  ``normalized=True``: match after the ``normalize`` analyzer
+    on BOTH sides (the ``<field>.normalized`` term query) — the query
+    value goes through the same keyword→lowercase→asciifolding chain the
+    index side did, exactly as ES analyzes a term query against a
+    normalizer-equipped field.
+    """
+    from .build_index import read_fields
+
+    cat = ParquetCatalog(index_dir)
+    col = f"{field}_normalized" if normalized else f"{field}_keyword"
+    v = normalize(value) if normalized else value
+    hits = read_fields(cat, spark).filter(F.col(col) == v).select("doc_id")
+    urls = cat.read(spark, "doc_stats").select("doc_id", "url")
+    return hits.join(urls, "doc_id", "left").select("doc_id", "url")

@@ -131,3 +131,37 @@ def test_fields_follow_incremental_sync(spark, tmp_path):
     compact(spark, idx)
     raw = {r["doc_id"] for r in cat.read(spark, "fields").collect()}
     assert raw == {ds["a"], ds["b"], ds["d"]}
+
+
+def test_keyword_match_query(spark, tmp_path):
+    """T8 query side (keyword_match): raw exact match on <field>_keyword;
+    normalized match folds case+accents on BOTH sides; tombstoned docs
+    are excluded (merge-on-read)."""
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.keyword import keyword_match
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+
+    pages = spark.createDataFrame([
+        Row(url="a", text="alpha beta", title="Éclair STUDY"),
+        Row(url="b", text="beta gamma", title="eclair study"),
+        Row(url="c", text="gamma delta", title="other"),
+    ])
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, n_buckets=2, keyword_fields=("title",)).build(spark, pages)
+
+    # raw keyword: byte-exact, accents/case distinguish
+    raw = {r["doc_id"] for r in
+           keyword_match(spark, idx, "title", "Éclair STUDY").collect()}
+    assert raw == {0}
+    # normalized: both docs fold to "eclair study", query value folds too
+    norm = {r["doc_id"]: r["url"] for r in keyword_match(
+        spark, idx, "title", "ÉCLAIR Study", normalized=True).collect()}
+    assert set(norm) == {0, 1} and norm[0] == "a"
+
+    # tombstoned doc disappears from matches
+    import pandas as pd
+    ParquetCatalog(idx).write_small_arrow(
+        pd.DataFrame({"doc_id": pd.Series([0], dtype="int64")}), "tombstones")
+    norm2 = {r["doc_id"] for r in keyword_match(
+        spark, idx, "title", "eclair study", normalized=True).collect()}
+    assert norm2 == {1}
