@@ -161,6 +161,14 @@ def q_ft_keyword_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_match(spark, idx, "lang", "EN", normalized=True)
 
 
+def q_ft_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation on the source keyword sub-field (fielddata
+    analog): top-10 values by live-doc count, count desc / value asc."""
+    from mongoesindexer_spark.operators.keyword import terms_agg
+    idx = _docs_index(spark, sf_dir)
+    return terms_agg(spark, idx, "source", size=10)
+
+
 def q_ft_bm25_conjunctive_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) semantics through the BLOCK-KERNEL path: zig-zag
     intersection with whole-block skips over the encoded segments
@@ -541,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
         "ft_keyword_match": q_ft_keyword_match,
         "ft_keyword_normalized": q_ft_keyword_normalized,
+        "ft_terms_agg": q_ft_terms_agg,
         "ft_prefix_search": q_ft_prefix_search,
         "ft_stop_filter": q_ft_stop_filter,
         # relational / orchestration parity (SURVEY §2.1-2.5)
@@ -685,6 +694,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores WHERE n_terms = 2
             ORDER BY score DESC, doc_id ASC LIMIT 50
+        """,
+        "ft_terms_agg": """
+            SELECT source AS value, count(*)::BIGINT AS doc_count
+            FROM documents GROUP BY source
+            ORDER BY doc_count DESC, value ASC LIMIT 10
         """,
         "ft_keyword_match": """
             SELECT doc_id, CAST(doc_id AS VARCHAR) AS url

@@ -195,9 +195,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out))
     elif args.cmd == "status":
         from .plans.lineage import Lineage
+        from .sources.catalog import ParquetCatalog, read_table_arrow
         rows = Lineage(args.index).rows()
-        print(json.dumps({"rows": rows, "partitions_done":
-                          sum(1 for r in rows if r.get("partition"))}, indent=1))
+        out = {"rows": rows, "partitions_done":
+               sum(1 for r in rows if r.get("partition"))}
+        # index-health summary (ST8): all driver-side pyarrow metadata
+        # reads — no Spark job, safe against a serving index
+        cat = ParquetCatalog(args.index)
+        tables = cat.list_tables()
+        out["tables"] = {t: cat.current_snapshot(t) for t in tables}
+        if "global_stats" in tables:
+            g = read_table_arrow(cat, "global_stats")
+            if len(g):
+                out["n_docs"] = int(g.iloc[0]["n_docs"])
+                out["avgdl"] = round(float(g.iloc[0]["avgdl"] or 0.0), 3)
+        if "tombstones" in tables:
+            out["tombstones"] = int(len(read_table_arrow(cat, "tombstones")))
+        if "sync_log" in tables:
+            out["sync_batches"] = int(len(read_table_arrow(cat, "sync_log")))
+        import os as _os
+        from .sources import fsio as _fsio
+        out["segment_files"] = sum(
+            sum(1 for f in _fsio.listdir(d)
+                if f.endswith(".parquet") and not f.startswith("."))
+            for d in (cat._live_dirs("postings_blocks")
+                      if "postings_blocks" in tables else []))
+        out["pending_sync_journal"] = _os.path.exists(
+            _os.path.join(args.index, "_sync_journal.json"))
+        print(json.dumps(out, indent=1))
     return 0
 
 

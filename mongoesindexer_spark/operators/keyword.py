@@ -41,3 +41,25 @@ def keyword_match(spark: SparkSession, index_dir: str, field: str,
     hits = read_fields(cat, spark).filter(F.col(col) == v).select("doc_id")
     urls = cat.read(spark, "doc_stats").select("doc_id", "url")
     return hits.join(urls, "doc_id", "left").select("doc_id", "url")
+
+
+def terms_agg(spark: SparkSession, index_dir: str, field: str,
+              size: int = 10, normalized: bool = False) -> DataFrame:
+    """ES ``terms`` aggregation on a keyword sub-field: top-``size``
+    distinct values by live-doc count → (value, doc_count), count desc,
+    ties by value asc (ES ties break by term order).
+
+    The fielddata analog the reference's keyword mappings exist for
+    (faceting / keyword sub-field aggregations).  One shuffled aggregate
+    over the vocab-thin ``fields`` table (merge-on-read: tombstoned docs
+    excluded), top-k via TakeOrderedAndProject — no global sort."""
+    from .build_index import read_fields
+
+    cat = ParquetCatalog(index_dir)
+    col = f"{field}_normalized" if normalized else f"{field}_keyword"
+    return (read_fields(cat, spark)
+            .filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("value"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("value"))
+            .limit(size))

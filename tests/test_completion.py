@@ -165,3 +165,29 @@ def test_keyword_match_query(spark, tmp_path):
     norm2 = {r["doc_id"] for r in keyword_match(
         spark, idx, "title", "eclair study", normalized=True).collect()}
     assert norm2 == {1}
+
+
+def test_terms_agg(spark, tmp_path):
+    """ES terms-aggregation analog: live-doc counts per keyword value,
+    count desc / value asc, tombstones excluded."""
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.keyword import terms_agg
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+
+    pages = spark.createDataFrame([
+        Row(url=f"u{i}", text="alpha beta", cat=c)
+        for i, c in enumerate(["news", "news", "blog", "news", "blog", "doc"])
+    ])
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, n_buckets=2, keyword_fields=("cat",)).build(spark, pages)
+    got = [(r["value"], r["doc_count"])
+           for r in terms_agg(spark, idx, "cat").collect()]
+    assert got == [("news", 3), ("blog", 2), ("doc", 1)]
+
+    # tombstoning a 'news' doc (url=u0 -> doc_id 0) drops its count
+    import pandas as pd
+    ParquetCatalog(idx).write_small_arrow(
+        pd.DataFrame({"doc_id": pd.Series([0], dtype="int64")}), "tombstones")
+    got2 = [(r["value"], r["doc_count"])
+            for r in terms_agg(spark, idx, "cat").collect()]
+    assert got2 == [("blog", 2), ("news", 2), ("doc", 1)]
