@@ -954,9 +954,39 @@ class IndexBuilder:
             "idf",
             F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
         )
+        # Overlap the completion write with the term_dict write: both are
+        # vocab-derived jobs whose cost is fixed scheduling/commit latency
+        # at any corpus size (profiled 0.8 s + 1.4 s back-to-back on the
+        # wide scaling leg — ~5% of that build, pure serial driver span).
+        # td is persisted so the blocks-metadata aggregate runs once;
+        # Spark job submission is thread-safe per session.  Crash between
+        # the two commits is resume-safe either way: each table has its
+        # own lineage marker and _stage_completion rebuilds from the
+        # committed term_dict table.
+        import threading
+        td = td.persist()
+        comp_err: list[BaseException] = []
+
+        def _completion_write() -> None:
+            try:
+                if not self.lineage.stage_complete("completion"):
+                    n_parts = max(1, min(self.n_buckets,
+                                         spark.sparkContext.defaultParallelism))
+                    self.catalog.overwrite(
+                        completion_from_term_dict(td, n_parts), "completion")
+                    self.lineage.mark_stage("completion")
+            except BaseException as e:  # surface on the main thread
+                comp_err.append(e)
+
+        t = threading.Thread(target=_completion_write, daemon=True)
+        t.start()
         # in-partition term sort (no exchange): query-time term point
         # reads prune on row-group stats, which need clustered terms
         self.catalog.overwrite(td.sortWithinPartitions("term"), "term_dict")
+        t.join()
+        td.unpersist()
+        if comp_err:
+            raise comp_err[0]
         self.lineage.mark_stage("term_dict")
 
     def _stage_completion(self, spark: SparkSession) -> None:
