@@ -169,6 +169,14 @@ def q_ft_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms_agg(spark, idx, "source", size=10)
 
 
+def q_ft_keyword_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort on <field>.normalized (accent/case-insensitive collation
+    keys): top-15 by normalized source asc, ties doc_id asc."""
+    from mongoesindexer_spark.operators.keyword import keyword_sort
+    idx = _docs_index(spark, sf_dir)
+    return keyword_sort(spark, idx, "source", k=15)
+
+
 def q_ft_bm25_conjunctive_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) semantics through the BLOCK-KERNEL path: zig-zag
     intersection with whole-block skips over the encoded segments
@@ -550,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_keyword_match": q_ft_keyword_match,
         "ft_keyword_normalized": q_ft_keyword_normalized,
         "ft_terms_agg": q_ft_terms_agg,
+        "ft_keyword_sort": q_ft_keyword_sort,
         "ft_prefix_search": q_ft_prefix_search,
         "ft_stop_filter": q_ft_stop_filter,
         # relational / orchestration parity (SURVEY §2.1-2.5)
@@ -694,6 +703,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores WHERE n_terms = 2
             ORDER BY score DESC, doc_id ASC LIMIT 50
+        """,
+        "ft_keyword_sort": """
+            SELECT doc_id, lower(strip_accents(source)) AS sort_key
+            FROM documents
+            ORDER BY sort_key ASC NULLS LAST, doc_id ASC LIMIT 15
         """,
         "ft_terms_agg": """
             SELECT source AS value, count(*)::BIGINT AS doc_count

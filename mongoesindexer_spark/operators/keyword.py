@@ -43,6 +43,28 @@ def keyword_match(spark: SparkSession, index_dir: str, field: str,
     return hits.join(urls, "doc_id", "left").select("doc_id", "url")
 
 
+def keyword_sort(spark: SparkSession, index_dir: str, field: str,
+                 k: int = 20, ascending: bool = True,
+                 normalized: bool = True) -> DataFrame:
+    """Top-``k`` docs ordered by a keyword sub-field — the ES ``sort``
+    on ``<field>.normalized`` (accent/case-insensitive collation keys,
+    what the reference's normalize analyzer exists for,
+    ltd_doc.settings.json:278-310).  Nulls last either direction (ES
+    missing-last default); ties by doc_id asc (determinism contract).
+    TakeOrderedAndProject — no global sort at any corpus size."""
+    from .build_index import read_fields
+
+    cat = ParquetCatalog(index_dir)
+    col = f"{field}_normalized" if normalized else f"{field}_keyword"
+    key = F.col("sort_key")
+    return (read_fields(cat, spark)
+            .select("doc_id", F.col(col).alias("sort_key"))
+            .orderBy(key.asc_nulls_last() if ascending
+                     else key.desc_nulls_last(),
+                     F.col("doc_id").asc())
+            .limit(k))
+
+
 def terms_agg(spark: SparkSession, index_dir: str, field: str,
               size: int = 10, normalized: bool = False) -> DataFrame:
     """ES ``terms`` aggregation on a keyword sub-field: top-``size``

@@ -191,3 +191,26 @@ def test_terms_agg(spark, tmp_path):
     got2 = [(r["value"], r["doc_count"])
             for r in terms_agg(spark, idx, "cat").collect()]
     assert got2 == [("blog", 2), ("news", 2), ("doc", 1)]
+
+
+def test_keyword_sort(spark, tmp_path):
+    """ES sort on the normalized sub-field: accent/case-insensitive
+    ordering, nulls last, ties by doc_id asc."""
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.keyword import keyword_sort
+
+    pages = spark.createDataFrame([
+        Row(url="a", text="x", title="Émile"),
+        Row(url="b", text="x", title="apple"),
+        Row(url="c", text="x", title=None),
+        Row(url="d", text="x", title="Banana"),
+    ])
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, n_buckets=2, keyword_fields=("title",)).build(spark, pages)
+    got = [(r["doc_id"], r["sort_key"])
+           for r in keyword_sort(spark, idx, "title", k=10).collect()]
+    # apple < banana < emile (accent folded), null last; urls a..d -> ids 0..3
+    assert got == [(1, "apple"), (3, "banana"), (0, "emile"), (2, None)]
+    desc = [r["doc_id"] for r in
+            keyword_sort(spark, idx, "title", k=10, ascending=False).collect()]
+    assert desc == [0, 3, 1, 2]   # emile > banana > apple, null still last
