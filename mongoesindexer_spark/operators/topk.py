@@ -49,10 +49,12 @@ class _RowGroupIndex:
     """
 
     def __init__(self, paths: list[str], col: str, filesystem=None):
+        import threading
         self.col = col
         self.files = []     # open pq.ParquetFile handles (footer cached)
         self.entries = []   # (file_idx, rg_idx, min, max) — min None = no stats
         self._pool = None   # lazy shared thread pool for multi-file reads
+        self._pool_lock = threading.Lock()   # guards lazy pool creation
         for p in paths:
             f = fsio.parquet_file(p, filesystem)
             fi = len(self.files)
@@ -103,8 +105,10 @@ class _RowGroupIndex:
             # The pool is shared per directory: creating one per call
             # costs more than it saves on the cache-warm path.
             if self._pool is None:
-                from concurrent.futures import ThreadPoolExecutor
-                self._pool = ThreadPoolExecutor(8)
+                with self._pool_lock:
+                    if self._pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
+                        self._pool = ThreadPoolExecutor(8)
             tabs = list(self._pool.map(
                 lambda it: self.files[it[0]].read_row_groups(
                     it[1], columns=read_cols, use_threads=False),
@@ -199,6 +203,14 @@ class SearchEngine:
         self._rg_cache: dict = {}
         self._td_cache: "OrderedDict[str, tuple | None]" = OrderedDict()
         self._block_cache: "OrderedDict[str, list[dict]]" = OrderedDict()
+        # a serving process answers queries from many threads against one
+        # cached engine (get_engine); the LRU OrderedDicts mutate on every
+        # hit (move_to_end) and are not thread-safe — one lock over both
+        # caches costs ~µs against a ~10 ms p95 serving path
+        import threading
+        # RLock: the locked cache methods' fetch paths re-enter _rg_index,
+        # which locks again when a directory is lazily built
+        self._cache_lock = threading.RLock()
         gdf = read_table_arrow(self.cat, "global_stats")
         if gdf.empty:
             raise FileNotFoundError(
@@ -222,18 +234,29 @@ class SearchEngine:
                 self._rg_index(table, col)
 
     def _rg_index(self, table: str, col: str) -> _RowGroupIndex:
-        """Per-(table, key) row-group directory, built once per engine."""
+        """Per-(table, key) row-group directory, built once per engine.
+        Lazy creation is locked: most directories open at engine
+        construction, but e.g. ``completion`` opens on the first
+        suggest(), which may arrive on several serving threads at once."""
         key = (table, col)
         idx = self._rg_cache.get(key)
         if idx is None:
-            paths = []
-            for d in self.cat._live_dirs(table):
-                paths.extend(
-                    os.path.join(d, f)
-                    for f in sorted(fsio.listdir(d, self.cat.filesystem))
-                    if f.endswith(".parquet") and not f.startswith("."))
-            idx = _RowGroupIndex(paths, col, self.cat.filesystem)
-            self._rg_cache[key] = idx
+            with self._cache_lock:
+                idx = self._rg_cache.get(key)
+                if idx is not None:
+                    return idx
+                return self._build_rg_index(key, table, col)
+        return idx
+
+    def _build_rg_index(self, key, table: str, col: str) -> _RowGroupIndex:
+        paths = []
+        for d in self.cat._live_dirs(table):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(fsio.listdir(d, self.cat.filesystem))
+                if f.endswith(".parquet") and not f.startswith("."))
+        idx = _RowGroupIndex(paths, col, self.cat.filesystem)
+        self._rg_cache[key] = idx
         return idx
 
     def fetch_urls(self, doc_ids: list[int]) -> dict[int, str]:
@@ -327,52 +350,61 @@ class SearchEngine:
     def _term_meta(self, terms: list[str]) -> dict:
         """term → (idf, df) | None via a bounded LRU over term_dict point
         reads (the resident term-dictionary front of a Lucene reader).
-        Negative entries (term absent from the index) are cached too."""
-        missing = [t for t in terms if t not in self._td_cache]
-        if missing:
-            pdf = self._read_filtered("term_dict", missing,
-                                      ["term", "idf", "df"])
-            got = {t: (float(i), int(d))
-                   for t, i, d in zip(pdf["term"].values, pdf["idf"].values,
-                                      pdf["df"].values)}
-            for t in missing:
-                self._td_cache[t] = got.get(t)
-            while len(self._td_cache) > TD_CACHE_TERMS:
-                self._td_cache.popitem(last=False)
-        out = {}
-        for t in terms:
-            self._td_cache.move_to_end(t)
-            out[t] = self._td_cache[t]
-        return out
+        Negative entries (term absent from the index) are cached too.
+
+        Whole method under the cache lock: concurrent serving threads
+        mutate the LRU on every hit (move_to_end).  Cold-term point
+        reads serialize under it — acceptable, they are ~ms events on a
+        warm path measured in µs."""
+        with self._cache_lock:
+            missing = [t for t in terms if t not in self._td_cache]
+            if missing:
+                pdf = self._read_filtered("term_dict", missing,
+                                          ["term", "idf", "df"])
+                got = {t: (float(i), int(d))
+                       for t, i, d in zip(pdf["term"].values,
+                                          pdf["idf"].values,
+                                          pdf["df"].values)}
+                for t in missing:
+                    self._td_cache[t] = got.get(t)
+                while len(self._td_cache) > TD_CACHE_TERMS:
+                    self._td_cache.popitem(last=False)
+            out = {}
+            for t in terms:
+                self._td_cache.move_to_end(t)
+                out[t] = self._td_cache[t]
+            return out
 
     def _term_blocks(self, terms: list[str]) -> dict[str, list[dict]]:
         """term → posting-block rows via a bounded LRU — the page-cache
         analog over hot posting lists.  Terms whose candidate count
         exceeds BLOCK_CACHE_MAX_POSTINGS are served but not cached (head
         terms at corpus scale route to topk_segments before this point);
-        empty results ARE cached (absent-term queries stay cheap)."""
-        missing = [t for t in terms if t not in self._block_cache]
-        fetched: dict[str, list[dict]] = {}
-        if missing:
-            pdf = self._read_filtered("postings_blocks", missing)
-            for r in pdf.to_dict("records"):
-                fetched.setdefault(r["term"], []).append(r)
-            for t in missing:
-                bl = fetched.get(t, [])
-                if sum(b["n"] for b in bl) <= BLOCK_CACHE_MAX_POSTINGS:
-                    self._block_cache[t] = bl
-            while len(self._block_cache) > BLOCK_CACHE_TERMS:
-                self._block_cache.popitem(last=False)
-        out = {}
-        for t in terms:
-            bl = self._block_cache.get(t)
-            if bl is not None:
-                self._block_cache.move_to_end(t)
-            else:
-                bl = fetched.get(t, [])
-            if bl:
-                out[t] = bl
-        return out
+        empty results ARE cached (absent-term queries stay cheap).
+        Runs under the cache lock (see :meth:`_term_meta`)."""
+        with self._cache_lock:
+            missing = [t for t in terms if t not in self._block_cache]
+            fetched: dict[str, list[dict]] = {}
+            if missing:
+                pdf = self._read_filtered("postings_blocks", missing)
+                for r in pdf.to_dict("records"):
+                    fetched.setdefault(r["term"], []).append(r)
+                for t in missing:
+                    bl = fetched.get(t, [])
+                    if sum(b["n"] for b in bl) <= BLOCK_CACHE_MAX_POSTINGS:
+                        self._block_cache[t] = bl
+                while len(self._block_cache) > BLOCK_CACHE_TERMS:
+                    self._block_cache.popitem(last=False)
+            out = {}
+            for t in terms:
+                bl = self._block_cache.get(t)
+                if bl is not None:
+                    self._block_cache.move_to_end(t)
+                else:
+                    bl = fetched.get(t, [])
+                if bl:
+                    out[t] = bl
+            return out
 
     def topk_wand(self, query_text: str, k: int,
                   use_wand: bool | None = None,
@@ -562,6 +594,7 @@ class SearchEngine:
 # Module-level cache: (index_dir) → SearchEngine, invalidated when any
 # index table advances to a new snapshot (e.g. after incremental sync).
 _ENGINES: dict[str, SearchEngine] = {}
+_ENGINES_LOCK = __import__("threading").Lock()
 
 
 def _current_version(index_dir: str) -> tuple:
@@ -573,17 +606,22 @@ def _current_version(index_dir: str) -> tuple:
 
 def get_engine(spark: SparkSession, index_dir: str,
                cfg: AnalyzerConfig = LTD_DOC) -> SearchEngine:
-    eng = _ENGINES.get(index_dir)
     # value (not identity) comparison: callers constructing a fresh-but-
     # equal AnalyzerConfig per query must hit the cached engine, or every
     # request pays the full segment-footer sweep the engine exists to
-    # amortize (AnalyzerConfig is a frozen dataclass — != is well-defined)
-    if eng is None or eng.cfg != cfg or eng.version() != _current_version(index_dir):
-        if eng is not None:
-            eng.close()  # release the stale engine's pools + fds
-        eng = SearchEngine(spark, index_dir, cfg)
-        _ENGINES[index_dir] = eng
-    return eng
+    # amortize (AnalyzerConfig is a frozen dataclass — != is well-defined).
+    # The whole check-and-replace is locked: two serving threads racing a
+    # snapshot advance would otherwise both build engines, and the loser's
+    # (replaced, never closed) engine leaks its pools + file handles.
+    with _ENGINES_LOCK:
+        eng = _ENGINES.get(index_dir)
+        if eng is None or eng.cfg != cfg or \
+                eng.version() != _current_version(index_dir):
+            if eng is not None:
+                eng.close()  # release the stale engine's pools + fds
+            eng = SearchEngine(spark, index_dir, cfg)
+            _ENGINES[index_dir] = eng
+        return eng
 
 
 def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,

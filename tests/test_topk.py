@@ -150,3 +150,48 @@ def test_conjunctive_empty_when_term_absent(spark, tiny_index):
     eng = get_engine(spark, tiny_index)
     for kw in ({"use_wand": True}, {"use_segments": True}):
         assert len(eng.topk_wand(q, 10, mode="and", **kw)) == 0
+
+
+def test_concurrent_queries_thread_safe(spark, tiny_index, tiny_queries):
+    """A serving process answers queries from many threads against ONE
+    cached engine: the LRU caches mutate on every hit and must be locked.
+    8 threads × the whole query mix (or/and/suggest) on a COLD engine —
+    every result must equal the single-threaded answer, no exceptions."""
+    import threading
+
+    from mongoesindexer_spark.operators import topk as topk_mod
+    from mongoesindexer_spark.operators.topk import get_engine
+
+    # force a cold engine so threads race the cache-fill paths
+    topk_mod._ENGINES.pop(tiny_index, None)
+    eng = get_engine(spark, tiny_index)
+
+    jobs = [(r.query_text, int(r.k), mode)
+            for r in tiny_queries.itertuples() for mode in ("or", "and")]
+    want = {(q, k, m): [(int(d), round(float(s), 9)) for d, s in
+                        zip(*[eng.topk_wand(q, k, mode=m)[c]
+                              for c in ("doc_id", "score")])]
+            for q, k, m in jobs}
+    want_suggest = list(eng.suggest("th", 5)["term"])
+
+    topk_mod._ENGINES.pop(tiny_index, None)
+    eng = get_engine(spark, tiny_index)          # cold again
+    errors: list[BaseException] = []
+
+    def _worker(offset: int) -> None:
+        try:
+            for q, k, m in jobs[offset:] + jobs[:offset]:
+                got = [(int(d), round(float(s), 9)) for d, s in
+                       zip(*[eng.topk_wand(q, k, mode=m)[c]
+                             for c in ("doc_id", "score")])]
+                assert got == want[(q, k, m)], (q, m)
+            assert list(eng.suggest("th", 5)["term"]) == want_suggest
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=_worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[0]
