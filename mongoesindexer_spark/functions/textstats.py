@@ -86,7 +86,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (rolling k-gram hash, per-window
     minimum) — the classic local fingerprint for near-dup/plagiarism
-    detection; numpy kernel, Arrow-batched.
+    detection (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms
+    for Document Fingerprinting", SIGMOD 2003); numpy kernel, Arrow-batched.
 
     Output: (id, fingerprints array<long> — sorted distinct window minima).
     """

@@ -170,7 +170,10 @@ def cosine_topk_lsh(df: DataFrame, query_vec: list[float], k: int, dim: int,
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) coarse quantization — the other classic ANN scale path
+# IVF (inverted-file) coarse quantization — the other classic ANN scale
+# path (inverted-file indexes per Sivic & Zisserman "Video Google" ICCV
+# 2003 as popularized by FAISS, Johnson et al. 2017; random-hyperplane
+# LSH above per Charikar, STOC 2002)
 # ---------------------------------------------------------------------------
 
 

@@ -2,7 +2,10 @@
 
 The reference dedups during migration with a per-batch anti-join on _id
 (scripts/migrate-ltd-docs.js:59-66 — J5 in SURVEY §2.3); a web-scale corpus
-additionally needs content dedup.  All operators below are DataFrame-native
+additionally needs content dedup (MinHash/LSH per Broder, "On the
+resemblance and containment of documents", 1997, banding per Leskovec/
+Rajaraman/Ullman MMDS ch.3; SimHash per Charikar, STOC 2002, as deployed
+for web crawls in Manku et al., WWW 2007).  All operators below are DataFrame-native
 (JVM expressions; no Python in the hot path except the numpy SimHash
 kernel), shuffle once on the dedup key, and scale by construction: the
 grouping key is always a fixed-width hash/bucket, so skew is bounded by

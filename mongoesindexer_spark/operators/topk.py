@@ -7,7 +7,9 @@ term/bool filters with sort+top-k (the reference's own resume-token lookup,
 load.service.ts:148-174, is exactly sort-desc + size 1).  ES internally
 prunes with block-max WAND; we implement both an exhaustive DataFrame
 scorer (the correctness spine, oracle-checkable in SQL) and a native WAND
-over the encoded block segments.
+over the encoded block segments (block-max WAND per Ding & Suel, "Faster
+Top-k Document Retrieval Using Block-Max Indexes", SIGIR 2011; WAND per
+Broder et al., CIKM 2003).
 
 Determinism: ties broken by doc_id asc everywhere; float64 end-to-end.
 """
