@@ -255,6 +255,12 @@ def main() -> None:
         t0 = time.perf_counter()
         bm25_topk_wand(spark, idx_dir, q, k)
         lat_ms.append((time.perf_counter() - t0) * 1000)
+    # conjunctive (AND) block-kernel path over the warm caches — the
+    # zig-zag intersection's serving latency, reported as suite seconds
+    and_t0 = time.perf_counter()
+    for q, k in [(q, k) for q, k in BM25_QUERIES if len(q.split()) >= 2] * 2:
+        bm25_topk_wand(spark, idx_dir, q, k, mode="and")
+    results["bm25_and_suite"] = round(time.perf_counter() - and_t0, 3)
     p95 = statistics.quantiles(lat_ms, n=20)[-1] if len(lat_ms) >= 2 else lat_ms[0]
     p95_cold = statistics.quantiles(cold_ms, n=20)[-1] if len(cold_ms) >= 2 else cold_ms[0]
     results["bm25_wand_cold_suite"] = round(sum(cold_ms) / 1000, 3)

@@ -195,3 +195,35 @@ def test_concurrent_queries_thread_safe(spark, tiny_index, tiny_queries):
     for t in threads:
         t.join()
     assert not errors, errors[0]
+
+
+def test_conjunctive_with_delta_segments(spark, tiny_dir, tmp_path):
+    """mode="and" across all execution paths on an index that has BOTH
+    base and delta segments (a doc's terms span one group; intersections
+    partition across doc-disjoint groups even with deltas present)."""
+    import os
+    import datetime as dt
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.topk import bm25_topk_df, get_engine
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    idx = str(tmp_path / "idx")
+    pages = spark.read.parquet(os.path.join(tiny_dir, "pages.parquet"))
+    IndexBuilder(idx, n_buckets=8, block_size=32).build(spark, pages)
+    ups = spark.createDataFrame(
+        [("insert", "https://new.example/a", dt.datetime(2026, 1, 1), None,
+          "quick brown data flows through the new spark engine quick data",
+          "en")],
+        "op string, url string, warc_ts timestamp, html binary, "
+        "text string, lang string")
+    IncrementalIndexer(idx).apply_updates(spark, ups)
+    eng = get_engine(spark, idx)
+    for q, k in [("quick data", 10), ("the data", 20), ("spark engine", 5)]:
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                bm25_topk_df(spark, idx, q, k, mode="and").collect()]
+        for kw in ({"use_wand": True}, {"use_wand": False},
+                   {"use_segments": True}):
+            pdf = eng.topk_wand(q, k, mode="and", **kw)
+            got = [(int(d), round(float(s), 9))
+                   for d, s in zip(pdf["doc_id"], pdf["score"])]
+            assert got == want, (q, kw)
