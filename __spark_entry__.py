@@ -161,6 +161,19 @@ def q_ft_keyword_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_match(spark, idx, "lang", "EN", normalized=True)
 
 
+def q_ft_keyword_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 SERVING path: the same ES term query served by
+    SearchEngine.keyword_term — a row-group-pruned point read over the
+    value-sorted fields_by_<subcol> sidecar, NO Spark job (the ES analog
+    reads the keyword field's inverted index; it never scans).  Bounded
+    by size (ES `size`), doc_id asc."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).keyword_term("source", "src7", size=20)
+    return spark.createDataFrame(pdf[["doc_id", "url"]],
+                                 schema="doc_id long, url string")
+
+
 def q_ft_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms aggregation on the source keyword sub-field (fielddata
     analog): top-10 values by live-doc count, count desc / value asc."""
@@ -557,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
         "ft_keyword_match": q_ft_keyword_match,
         "ft_keyword_normalized": q_ft_keyword_normalized,
+        "ft_keyword_point": q_ft_keyword_point,
         "ft_terms_agg": q_ft_terms_agg,
         "ft_keyword_sort": q_ft_keyword_sort,
         "ft_prefix_search": q_ft_prefix_search,
@@ -721,6 +735,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_keyword_normalized": """
             SELECT doc_id, CAST(doc_id AS VARCHAR) AS url
             FROM documents WHERE lower(strip_accents(lang)) = 'en'
+        """,
+        "ft_keyword_point": """
+            SELECT doc_id, CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE source = 'src7'
+            ORDER BY doc_id ASC LIMIT 20
         """,
         "ft_prefix_search": f"""
             SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq

@@ -266,6 +266,28 @@ def main() -> None:
     results["bm25_wand_cold_suite"] = round(sum(cold_ms) / 1000, 3)
     results["bm25_wand_suite"] = round(sum(lat_ms) / 1000, 3)
 
+    # 2c) keyword term-query serving latency (point-read sidecars).  The
+    # fields stage is added INCREMENTALLY to the already-built index
+    # (lineage skips every completed stage) so the timed index_build above
+    # stays comparable across rounds; its own cost is reported separately.
+    t0 = time.perf_counter()
+    IndexBuilder(idx_dir, n_buckets=CPUS, key_col="doc_id", id_col="doc_id",
+                 keyword_fields=("source", "lang")).build(spark, docs)
+    results["fields_sidecar_stage"] = round(time.perf_counter() - t0, 3)
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, idx_dir)
+    kw_vals = [f"src{i}" for i in range(8)]
+    for v in kw_vals:  # cold pass: rg directory + first row-group reads
+        eng.keyword_term("source", v, size=20)
+    kw_ms = []
+    for v in kw_vals * 2:
+        t0 = time.perf_counter()
+        eng.keyword_term("source", v, size=20)
+        kw_ms.append((time.perf_counter() - t0) * 1000)
+    kw_p95 = statistics.quantiles(kw_ms, n=20)[-1] if len(kw_ms) >= 2 \
+        else kw_ms[0]
+    results["keyword_point_suite"] = round(sum(kw_ms) / 1000, 3)
+
     # 3) operator suite (the driver-facing queries at this sf)
     suite = [
         "ft_term_stats", "lookup_join", "nested_lookup", "dedup_exact",
@@ -389,7 +411,8 @@ def main() -> None:
                                     rep, repeats)
             prov["provisional"] = True
             print(json.dumps(_result(results, total_t0, docs_per_sec,
-                                     p95, p95_cold, prov)), flush=True)
+                                     p95, p95_cold, kw_p95, prov)),
+                  flush=True)
         scaling = _scaling_summary(legs, round_pairs, leg_errors,
                                    rep, repeats)
         # host calibration: the SAME tokenize kernel in plain
@@ -407,7 +430,7 @@ def main() -> None:
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     print(json.dumps(_result(results, total_t0, docs_per_sec,
-                             p95, p95_cold, scaling)), flush=True)
+                             p95, p95_cold, kw_p95, scaling)), flush=True)
 
 
 def _scaling_summary(legs: dict, round_pairs: list, leg_errors: list,
@@ -450,7 +473,8 @@ def _scaling_summary(legs: dict, round_pairs: list, leg_errors: list,
 
 
 def _result(results: dict, total_t0: float, docs_per_sec: float,
-            p95: float, p95_cold: float, scaling: dict) -> dict:
+            p95: float, p95_cold: float, kw_p95: float,
+            scaling: dict) -> dict:
     return {
         "metric": "index docs/sec + BM25 top-k p95 + operator suite seconds",
         "value": round(time.perf_counter() - total_t0, 3),
@@ -460,6 +484,7 @@ def _result(results: dict, total_t0: float, docs_per_sec: float,
         "index_docs_per_sec": round(docs_per_sec, 1),
         "bm25_p95_ms": round(p95, 1),
         "bm25_p95_cold_ms": round(p95_cold, 1),
+        "keyword_point_p95_ms": round(kw_p95, 2),
         "scaling": scaling,
     }
 

@@ -65,10 +65,13 @@ DEFAULT_N_BUCKETS = 32
 #       resume across layouts would re-encode under new names while
 #       _register_blocks still reads the old partials — double-counted
 #       postings); doc_stats parts carry the rank offset in their name
+#   5 — value-sorted fields_by_<subcol> point-read sidecars (ES term-query
+#       serving path, SearchEngine.keyword_term); a v4 index has the
+#       fields table but no sidecars, so serving would KeyError
 # IndexBuilder refuses to RESUME across versions (it wipes and rebuilds);
 # SearchEngine/IncrementalIndexer fail loudly on mismatch — a silently
 # adopted stale index was round 1's single gate-killing bug.
-INDEX_FORMAT_VERSION = 4
+INDEX_FORMAT_VERSION = 5
 _FORMAT_FILE = "_FORMAT.json"
 
 # Completion-suggester table: prefixes up to this length are materialized
@@ -552,6 +555,36 @@ def read_fields(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
     return out
 
 
+def sidecar_table(subcol: str) -> str:
+    """Catalog table name of one sub-field's value-sorted point-read
+    sidecar (``fields_by_<col>_keyword`` / ``fields_by_<col>_normalized``)."""
+    return f"fields_by_{subcol}"
+
+
+def write_keyword_sidecars(cat: ParquetCatalog, fields_df: DataFrame,
+                           n_parts: int, append: bool = False) -> None:
+    """Value-sorted ``(subcol, doc_id)`` sidecar per keyword sub-field —
+    the point-read serving layout behind ``SearchEngine.keyword_term``
+    (the ES term-query serving path; the Spark path over ``fields`` stays
+    for aggregations/sorts).  Same layout trick as the completion table
+    (:func:`completion_from_term_dict`): hash exchange on the value's
+    first character + in-partition (value, doc_id) sort ⇒ every value's
+    rows land contiguous inside one file, which is all pyarrow
+    row-group-stat pruning needs.  ``append=True`` adds one delta
+    generation per sidecar (incremental sync: delta doc ranges sit above
+    all earlier ids, and _RowGroupIndex prunes per file, so base + delta
+    generations serve together without a merge)."""
+    for sub in [c for c in fields_df.columns if c != "doc_id"]:
+        side = (fields_df.select(sub, "doc_id")
+                .filter(F.col(sub).isNotNull())
+                .repartition(max(1, n_parts), F.substring(sub, 1, 1))
+                .sortWithinPartitions(sub, "doc_id"))
+        if append:
+            cat.append(side, sidecar_table(sub))
+        else:
+            cat.overwrite(side, sidecar_table(sub))
+
+
 # ---------------------------------------------------------------------------
 # stage "encode"
 # ---------------------------------------------------------------------------
@@ -712,7 +745,8 @@ class IndexBuilder:
                  id_col: str | None = None,
                  keyword_fields: tuple[str, ...] = (),
                  pre_sorted: bool = False,
-                 filesystem=None):
+                 filesystem=None,
+                 catalog=None):
         """``key_col``: unique string document key (stored as ``url`` in
         doc_stats).  ``id_col``: optional pre-assigned integer doc id — when
         given, the deterministic rank assignment is skipped and the source
@@ -724,11 +758,13 @@ class IndexBuilder:
         :func:`source_files_presorted`).  ``filesystem``: optional pyarrow
         FileSystem for the per-file kernels' reads/writes (S3/HDFS paths;
         sources.fsio seam — pyarrow filesystems pickle into task
-        closures).  Control-plane files (format marker, ParquetCatalog
-        log) stay driver-side by default: ParquetCatalog mode assumes the
-        index root on a shared POSIX FS; object-store deployments swap in
-        IcebergCatalog.  (The format-marker helpers accept a filesystem
-        for remote control planes; the default is unchanged.)"""
+        closures); the default catalog and the control-plane files
+        (format marker, lineage, snapshot log) go through the SAME
+        filesystem, so a remote index root is remote end-to-end.
+        ``catalog``: the table-commit seam — default is a
+        ``ParquetCatalog(index_dir, filesystem)``; pass an
+        ``IcebergCatalog`` (or any object with the same surface) on a
+        cluster with a real catalog."""
         self.index_dir = index_dir
         self.cfg = cfg
         self.pre_sorted = pre_sorted
@@ -743,7 +779,9 @@ class IndexBuilder:
         self.text_col = text_col
         self.id_col = id_col
         self.keyword_fields = tuple(keyword_fields)
-        self.catalog = ParquetCatalog(index_dir)
+        self._injected_catalog = catalog is not None
+        self.catalog = catalog if catalog is not None else \
+            ParquetCatalog(index_dir, filesystem)
         self.lineage = Lineage(index_dir, filesystem)
 
     # -- stages --------------------------------------------------------------
@@ -1022,6 +1060,13 @@ class IndexBuilder:
             keyed = pages.withColumn(
                 "url", F.col(self.key_col).cast("string")).join(ds, "url")
         self.catalog.overwrite(fields_subfields(keyed, cols), "fields")
+        # point-read sidecars derive from the just-written table (one
+        # cheap parquet re-scan) rather than re-running the normalize
+        # kernel once per sidecar; the stage marker covers both writes,
+        # so a crash in between re-runs the whole (idempotent) stage
+        write_keyword_sidecars(
+            self.catalog, self.catalog.read(spark, "fields"),
+            max(1, spark.sparkContext.defaultParallelism))
         self.lineage.mark_stage("fields")
 
     def _stage_encode(self, spark: SparkSession,
@@ -1047,11 +1092,8 @@ class IndexBuilder:
         # disjoint units (WAND concatenates a term's blocks across segments
         # as one monotone stream); returns cumulative row offsets, which
         # double as unique block_id bases (≤1 block per row)
-        paths = []
-        for d in self.catalog._live_dirs("postings_flat"):
-            paths.extend(
-                os.path.join(d, f) for f in fsio.listdir(d, self.filesystem)
-                if f.startswith("part-") and f.endswith(".parquet"))
+        paths = [p for p in self.catalog.data_files("postings_flat")
+                 if os.path.basename(p).startswith("part-")]
         files = source_files_presorted(paths, key="doc_id",
                                        filesystem=self.filesystem)
 
@@ -1116,11 +1158,18 @@ class IndexBuilder:
             print(f"[mongoesindexer] index at {self.index_dir} has format "
                   f"{v!r}, need {INDEX_FORMAT_VERSION}; wiping for full "
                   "rebuild", file=sys.stderr)
+            if self._injected_catalog:
+                # an injected catalog owns its tables (they may live
+                # outside index_dir, e.g. Iceberg warehouse): drop them
+                # through the seam, then wipe the segment/lineage side
+                for t in self.catalog.list_tables():
+                    self.catalog.drop_table(t)
             # through the fs seam: a remote-FS build's format wipe must
             # act on the remote index root, not the driver's local disk
             fsio.remove_dir(self.index_dir, fs)
             fsio.makedirs(self.index_dir, fs)
-            self.catalog = ParquetCatalog(self.index_dir, fs)
+            if not self._injected_catalog:
+                self.catalog = ParquetCatalog(self.index_dir, fs)
             self.lineage = Lineage(self.index_dir, fs)
         write_format_version(self.index_dir, fs)
 

@@ -11,6 +11,12 @@ Plan shape: one equality filter pushed into the parquet scan of the
 vocab-thin ``fields`` table, tombstone anti-join for merge-on-read
 freshness, then a doc_id equi-join to doc_stats for the url — no
 corpus-wide shuffle (AQE broadcasts the filtered side when small).
+
+This module is the ANALYTICS path (full match sets, aggregations,
+sorts).  The SERVING path — bounded ES-style term queries at
+point-read latency, no Spark job — is ``SearchEngine.keyword_term``
+over the value-sorted ``fields_by_<subcol>`` sidecars the build/sync/
+compact stages maintain.
 """
 
 from __future__ import annotations

@@ -35,7 +35,8 @@ from ..operators.build_index import (IndexBuilder, encode_flat_file,
 from ..sources.catalog import ParquetCatalog, read_table_arrow
 
 
-def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
+def compact(spark: SparkSession, index_dir: str, filesystem=None,
+            catalog=None) -> dict:
     """Rewrite postings_flat/doc_stats/postings_blocks without tombstoned
     docs; clear tombstones.  term_dict/global_stats are already exact
     (incremental sync maintains them by delta arithmetic) and are kept.
@@ -43,11 +44,17 @@ def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
     Commit order: new flat+segments are registered first, tombstones are
     cleared LAST — a crash in between leaves a consistent merge-on-read
     view (anti-joining already-removed ids is a no-op).
+
+    ``catalog``: the table-commit seam (default
+    ``ParquetCatalog(index_dir, filesystem)`` — control and data plane on
+    the same filesystem).
     """
     from ..operators.build_index import check_format_version
-    check_format_version(index_dir, "compaction target")
-    cat = ParquetCatalog(index_dir)
-    builder = IndexBuilder(index_dir, filesystem=filesystem)
+    check_format_version(index_dir, "compaction target",
+                         filesystem=filesystem)
+    cat = catalog if catalog is not None else \
+        ParquetCatalog(index_dir, filesystem)
+    builder = IndexBuilder(index_dir, filesystem=filesystem, catalog=cat)
     if not cat.table_exists("tombstones"):
         return {"compacted": False, "reason": "no tombstones"}
     # tombstones are bounded by churn-since-last-compaction (cleared on
@@ -63,11 +70,8 @@ def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
     bs = builder.block_size
 
     from ..sources import fsio
-    paths = []
-    for d in cat._live_dirs("postings_flat"):
-        paths.extend(
-            os.path.join(d, f) for f in fsio.listdir(d, filesystem)
-            if f.startswith("part-") and f.endswith(".parquet"))
+    paths = [p for p in cat.data_files("postings_flat")
+             if os.path.basename(p).startswith("part-")]
     # doc-range disjointness validated from footer stats; offsets double
     # as block_id bases (unique within the new generation)
     files = source_files_presorted(paths, key="doc_id",
@@ -117,11 +121,7 @@ def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
     # groups and every post-compaction fetch_urls point read would decode
     # whole files for k winners, for the lifetime of the index.  Part
     # files are doc_id-ordered; the tombstone filter preserves that.
-    ds_paths = []
-    for d in cat._live_dirs("doc_stats"):
-        ds_paths.extend(
-            os.path.join(d, f) for f in fsio.listdir(d, filesystem)
-            if f.endswith(".parquet") and not f.startswith("."))
+    ds_paths = cat.data_files("doc_stats")
     new_ds = os.path.join(index_dir, "compacted", gen, "doc_stats")
     fsio.makedirs(new_ds, filesystem)
 
@@ -168,6 +168,14 @@ def compact(spark: SparkSession, index_dir: str, filesystem=None) -> dict:
                 cat.read(spark, "tombstones").select("doc_id"),
                 "doc_id", "left_anti"),
             "fields")
+        # fold the point-read sidecars to one generation each (their delta
+        # files still carry tombstoned docs; SearchEngine masks those via
+        # its tombstone set, which is cleared below — so the sidecars must
+        # be physically clean from here on)
+        from ..operators.build_index import write_keyword_sidecars
+        write_keyword_sidecars(
+            cat, cat.read(spark, "fields"),
+            max(1, spark.sparkContext.defaultParallelism))
     cat.write_small_arrow(
         pd.DataFrame({"doc_id": pd.Series([], dtype="int64")}), "tombstones")
     dead_bc.unpersist()

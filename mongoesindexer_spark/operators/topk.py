@@ -181,17 +181,23 @@ class SearchEngine:
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 cfg: AnalyzerConfig = LTD_DOC):
+                 cfg: AnalyzerConfig = LTD_DOC, catalog=None):
+        """``catalog``: the table seam (default ``ParquetCatalog(
+        index_dir)``) — all engine reads (snapshot listing, point reads,
+        Spark scans) go through it."""
         from .build_index import check_format_version
-        check_format_version(index_dir, "query-time index")
+        self.cat = catalog if catalog is not None else \
+            ParquetCatalog(index_dir)
+        check_format_version(index_dir, "query-time index",
+                             filesystem=getattr(self.cat, "filesystem",
+                                                None))
         self.spark = spark
         self.index_dir = index_dir
         self.cfg = cfg
-        self.cat = ParquetCatalog(index_dir)
         # freeze the snapshot version NOW: version() must report what this
         # engine was built from, not the live catalog state, or the
         # get_engine cache can never detect staleness after incremental sync
-        self._version = _current_version(index_dir)
+        self._version = _current_version(self.cat)
         # init reads go through pyarrow, not Spark jobs: engine warm-up is
         # on the query-serving path (first query after build/sync).  Only
         # O(1)/O(churn) state lives in the driver: global stats and
@@ -226,6 +232,21 @@ class SearchEngine:
                 read_table_arrow(self.cat, "tombstones")["doc_id"].tolist())
         else:
             self.tombstones = set()
+        # the tombstone set is driver-resident by design (bounded by churn
+        # since the last compaction, cleared by compact()) — but an
+        # operator who defers compaction indefinitely at 10^12 docs would
+        # grow it without bound; warn loudly before that becomes an OOM
+        if len(self.tombstones) > TOMBSTONE_WARN_COUNT:
+            import warnings
+            warnings.warn(
+                f"index at {index_dir!r} carries {len(self.tombstones):,} "
+                f"tombstones (> {TOMBSTONE_WARN_COUNT:,}); the set is "
+                "driver-resident and broadcast per fanned-out query — run "
+                "operators.merge.compact() to fold deletes into the "
+                "segments and clear it", RuntimeWarning)
+        # live segment-file list for the fan-out path, computed lazily
+        # once per engine (the segment set is frozen per snapshot)
+        self._seg_files: list[tuple[str, int]] | None = None
         # open the segment readers NOW (Lucene opens per-segment readers
         # at IndexReader construction): the footer sweep happens once at
         # engine warm-up instead of inflating the first query's latency
@@ -251,13 +272,8 @@ class SearchEngine:
         return idx
 
     def _build_rg_index(self, key, table: str, col: str) -> _RowGroupIndex:
-        paths = []
-        for d in self.cat._live_dirs(table):
-            paths.extend(
-                os.path.join(d, f)
-                for f in sorted(fsio.listdir(d, self.cat.filesystem))
-                if f.endswith(".parquet") and not f.startswith("."))
-        idx = _RowGroupIndex(paths, col, self.cat.filesystem)
+        idx = _RowGroupIndex(self.cat.data_files(table), col,
+                             self.cat.filesystem)
         self._rg_cache[key] = idx
         return idx
 
@@ -287,6 +303,7 @@ class SearchEngine:
     # -- exhaustive DataFrame path ------------------------------------------
     def topk_df(self, query_text: str, k: int, mode: str = "or") -> DataFrame:
         from .build_index import read_flat
+        _check_k(k)
         terms = _query_terms(query_text, self.cfg)
         flat = read_flat(self.cat, self.spark).filter(F.col("term").isin(terms))
         if self.tombstones:
@@ -348,6 +365,35 @@ class SearchEngine:
             pdf = pdf.rename(columns={"df": "weight"})
         pdf = pdf.sort_values(["weight", "term"], ascending=[False, True])
         return pdf.head(k).reset_index(drop=True)
+
+    def keyword_term(self, field: str, value: str, normalized: bool = False,
+                     size: int = 10) -> pd.DataFrame:
+        """ES term-query SERVING path over a keyword sub-field (T8) —
+        point-read, NO Spark job: the value-sorted ``fields_by_<subcol>``
+        sidecar (build/sync/compact maintain it) is row-group-pruned by
+        the same resident footer directory the BM25 path uses, exactly as
+        ES serves a term filter from the keyword field's inverted index
+        rather than a scan.  Returns (doc_id, url), doc_id asc, bounded
+        by ``size`` (ES ``size`` — the analytics path over the full match
+        set stays ``operators.keyword.keyword_match``).  Merge-on-read:
+        tombstoned docs are masked by the engine's tombstone set; compact
+        folds the sidecar clean before clearing that set."""
+        from ..functions.analysis import normalize
+        from .build_index import sidecar_table
+        _check_k(size)
+        sub = f"{field}_normalized" if normalized else f"{field}_keyword"
+        table = sidecar_table(sub)
+        if not self.cat.table_exists(table):
+            raise KeyError(
+                f"no point-read sidecar {table!r} — was the index built "
+                f"with keyword_fields=({field!r},)?")
+        v = normalize(value) if normalized else value
+        pdf = self._rg_index(table, sub).read_isin([v], ["doc_id"])
+        ids = sorted(int(d) for d in pdf["doc_id"].values
+                     if int(d) not in self.tombstones)[:size]
+        urls = self.fetch_urls(ids)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "url": [urls.get(i) for i in ids]})
 
     def _term_meta(self, terms: list[str]) -> dict:
         """term → (idf, df) | None via a bounded LRU over term_dict point
@@ -432,6 +478,7 @@ class SearchEngine:
         term queries, J6): only docs containing EVERY analyzed query term,
         scored by the same BM25 sum — rank-identical to
         ``topk_df(..., mode="and")``."""
+        _check_k(k)
         analyzed = _query_terms(query_text, self.cfg)
         if not analyzed:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
@@ -485,28 +532,55 @@ class SearchEngine:
         )
 
     # -- segment-parallel (distributed) path --------------------------------
-    def _segment_groups(self) -> list[list[str]]:
-        """Doc-disjoint work groups over the live postings_blocks dirs.
+    def _segment_files(self) -> list[tuple[str, int]]:
+        """(path, bytes) of every live postings_blocks segment file, in
+        doc-range order (live-dir commit order × name order — base seg-f*,
+        delta seg-d* and compacted seg-c* files are all written in
+        ascending doc-range order within their generation, and each delta
+        generation's doc range sits above every earlier one).  Listed once
+        per engine under the cache lock; the engine is replaced on any
+        snapshot advance, so the list can never go stale."""
+        with self._cache_lock:
+            if self._seg_files is None:
+                files: list[tuple[str, int]] = []
+                for p in self.cat.data_files("postings_blocks"):
+                    if not os.path.basename(p).startswith("seg-"):
+                        # every writer of this table (build encode, delta
+                        # encode, compaction) emits doc-disjoint seg-*
+                        # files; a foreign file would silently break the
+                        # fan-out's doc-disjointness contract
+                        raise ValueError(
+                            f"non-segment parquet file {p!r} in "
+                            "postings_blocks — refusing to fan out over "
+                            "an unrecognized layout")
+                    files.append((p, fsio.file_size(p, self.cat.filesystem)))
+                self._seg_files = files
+            return self._seg_files
 
-        Base segments (``seg-f*.parquet``) each hold ALL terms for one doc
-        range → one group per file.  Delta snapshot dirs (incremental
-        sync) are term-bucketed INSIDE one doc-disjoint batch → the whole
-        dir is one group; splitting it per file would split a doc's terms
-        across tasks and mis-score it.
+    def _segment_groups(self, max_groups: int | None = None
+                        ) -> list[list[str]]:
+        """BOUNDED doc-disjoint work groups over the live segment files.
+
+        Every segment file holds ALL terms for one doc range, and the
+        ranges are pairwise disjoint across generations (validated at
+        write time by source_files_presorted in each writer) — so any
+        partition of the file list into groups keeps each doc's postings
+        for every query term inside exactly one group, the precondition
+        for rank-identical per-group top-k + driver merge.
+
+        Fan-out is capped: consecutive (doc-range-ordered) files are
+        bin-packed into at most ``max_groups`` byte-balanced groups
+        (default 2 × defaultParallelism), so a head-term query over a
+        10^12-doc index with millions of segment files launches O(cluster
+        cores) tasks and merges groups×k ≈ cores×k rows — the ES analog
+        fans out to a fixed shard count, not one request per Lucene
+        segment (reference configs/ltd_doc.settings.json:244).
         """
-        groups: list[list[str]] = []
-        for d in self.cat._live_dirs("postings_blocks"):
-            files = sorted(
-                os.path.join(d, f)
-                for f in fsio.listdir(d, self.cat.filesystem)
-                if f.endswith(".parquet") and not f.startswith("."))
-            if not files:
-                continue
-            if all(os.path.basename(f).startswith("seg-") for f in files):
-                groups.extend([f] for f in files)
-            else:
-                groups.append(files)
-        return groups
+        files = self._segment_files()
+        if max_groups is None:
+            max_groups = SEGMENT_MAX_GROUPS if SEGMENT_MAX_GROUPS else \
+                2 * self.spark.sparkContext.defaultParallelism
+        return pack_segment_groups(files, max(1, int(max_groups)))
 
     def topk_segments(self, terms: list[str], idf_by_term: dict[str, float],
                       k: int, mode: str = "or") -> pd.DataFrame:
@@ -525,6 +599,7 @@ class SearchEngine:
         postings for ALL terms live in exactly one doc-disjoint group, so
         per-group intersections partition the global intersection.
         """
+        _check_k(k)
         # only terms with a dictionary row are scorable (a fully-
         # tombstoned term keeps blocks until compaction but has no idf)
         terms = [t for t in terms if t in idf_by_term]
@@ -599,15 +674,15 @@ _ENGINES: dict[str, SearchEngine] = {}
 _ENGINES_LOCK = __import__("threading").Lock()
 
 
-def _current_version(index_dir: str) -> tuple:
-    cat = ParquetCatalog(index_dir)
+def _current_version(cat) -> tuple:
     return tuple(cat.current_snapshot(t) for t in
                  ("postings_flat", "postings_blocks", "doc_stats",
                   "global_stats", "term_dict", "tombstones"))
 
 
 def get_engine(spark: SparkSession, index_dir: str,
-               cfg: AnalyzerConfig = LTD_DOC) -> SearchEngine:
+               cfg: AnalyzerConfig = LTD_DOC,
+               catalog=None) -> SearchEngine:
     # value (not identity) comparison: callers constructing a fresh-but-
     # equal AnalyzerConfig per query must hit the cached engine, or every
     # request pays the full segment-footer sweep the engine exists to
@@ -616,12 +691,13 @@ def get_engine(spark: SparkSession, index_dir: str,
     # snapshot advance would otherwise both build engines, and the loser's
     # (replaced, never closed) engine leaks its pools + file handles.
     with _ENGINES_LOCK:
+        cat = catalog if catalog is not None else ParquetCatalog(index_dir)
         eng = _ENGINES.get(index_dir)
         if eng is None or eng.cfg != cfg or \
-                eng.version() != _current_version(index_dir):
+                eng.version() != _current_version(cat):
             if eng is not None:
                 eng.close()  # release the stale engine's pools + fds
-            eng = SearchEngine(spark, index_dir, cfg)
+            eng = SearchEngine(spark, index_dir, cfg, catalog=cat)
             _ENGINES[index_dir] = eng
         return eng
 
@@ -755,6 +831,54 @@ BLOCK_CACHE_MAX_POSTINGS = 1 << 20
 # bounded merge traffic.  ~64 MB of decoded postings is where the driver
 # fetch stops being obviously cheap.
 SEGMENT_FANOUT_CUTOFF = 1 << 22
+
+# hard cap on fanned-out task count per query: None → 2 × the session's
+# defaultParallelism (ES analog: a fixed shard count, never one request
+# per Lucene segment).  Settable for tests / tuning.
+SEGMENT_MAX_GROUPS: int | None = None
+
+# driver-resident tombstone set size above which SearchEngine warns to
+# compact (the set is bounded by churn-since-compaction BY POLICY, not by
+# construction — ~8 B/id, 5M ≈ 40 MB driver RAM + per-query broadcast)
+TOMBSTONE_WARN_COUNT = 5_000_000
+
+# ES serving parity: index.max_result_window (reference
+# configs/ltd_doc.settings.json:246) — a top-k request beyond this is a
+# loud error, not a silent giant collect (k rows × groups reach the
+# driver on the fan-out path; deep paging wants search_after, not k=10^9)
+MAX_RESULT_WINDOW = 250_000
+
+
+def _check_k(k: int) -> None:
+    if k > MAX_RESULT_WINDOW:
+        raise ValueError(
+            f"k={k} exceeds max_result_window={MAX_RESULT_WINDOW} (the ES "
+            "serving cap, reference configs/ltd_doc.settings.json:246); "
+            "page with successive bounded queries instead")
+
+
+def pack_segment_groups(files: list[tuple[str, int]], max_groups: int
+                        ) -> list[list[str]]:
+    """Bin-pack doc-range-ordered (path, bytes) files into ≤ ``max_groups``
+    contiguous, byte-balanced groups.  Contiguity keeps each group one
+    doc range (locality for the in-group block concat); balance splits at
+    cumulative byte quantiles so no task owns a disproportionate share."""
+    if len(files) <= max_groups:
+        return [[p] for p, _ in files]
+    total = float(sum(sz for _, sz in files))
+    per = total / max_groups
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0.0
+    for p, sz in files:
+        cur.append(p)
+        acc += sz
+        if acc >= per * (len(groups) + 1) and len(groups) < max_groups - 1:
+            groups.append(cur)
+            cur = []
+    if cur:
+        groups.append(cur)
+    return groups
 
 
 def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],

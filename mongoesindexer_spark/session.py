@@ -38,7 +38,7 @@ def get_spark(app: str = "mongoesindexer-spark", master: str | None = None,
     # defaults every one is a fresh mmap + munmap, so each concurrent
     # worker spends most of its time in page-fault/zeroing/TLB-shootdown
     # kernel paths that serialize across processes — measured on this host
-    # as a 15-22x per-task slowdown at 8 workers (tools/encode_kernel_probe
+    # as a 15-22x per-task slowdown at 8 workers (encode-kernel probe, findings in BASELINE.md
     # .py) and the dominant loss of N->4N scaling efficiency.  Serving
     # large blocks from the (never-trimmed) heap makes workers reuse
     # already-faulted pages: same probe drops to ~1.5x, i.e. plain DRAM
@@ -89,7 +89,7 @@ def warm_python_workers(spark: SparkSession, n: int | None = None,
     ONCE per worker lifetime; without warming, the first big task per
     worker pays the whole fault storm — concurrently across workers,
     which serializes in the kernel and was measured as a ~6x slowdown of
-    exactly one task per worker (tools/task_secs_probe.py).
+    exactly one task per worker (per-task-seconds probe, findings in BASELINE.md).
     """
     import numpy as np
     import pandas as pd

@@ -192,6 +192,18 @@ class ParquetCatalog:
                         else os.path.join(self.root, table, e["dir"]))
         raise KeyError(f"table {table!r} has no snapshot {snap_id}")
 
+    def data_files(self, table: str) -> list[str]:
+        """Live data-file paths in (snapshot commit, name) order — the
+        per-file kernels' work list (IcebergCatalog serves the same
+        surface from its ``.files`` metadata table)."""
+        out: list[str] = []
+        for d in self._live_dirs(table):
+            out.extend(
+                os.path.join(d, f)
+                for f in sorted(fsio.listdir(d, self.filesystem))
+                if f.endswith(".parquet") and not f.startswith("."))
+        return out
+
 
 class IcebergCatalog:
     """Iceberg-backed implementation of the catalog seam (same surface as
@@ -209,9 +221,13 @@ class IcebergCatalog:
     (tests/test_iceberg_catalog.py) rather than an integration run.
     """
 
-    def __init__(self, spark: SparkSession, namespace: str):
+    def __init__(self, spark: SparkSession, namespace: str, filesystem=None):
+        """``filesystem``: optional pyarrow FileSystem matching the
+        warehouse location (S3/HDFS) — consumers that point-read the data
+        files this catalog lists (`data_files`) open them through it."""
         self.spark = spark
         self.namespace = namespace
+        self.filesystem = filesystem
 
     def _tbl(self, table: str) -> str:
         return f"{self.namespace}.{table}"
@@ -312,19 +328,18 @@ def read_table_arrow(cat: ParquetCatalog, table: str,
     tables stay on the Spark read path.  Returns a pandas DataFrame.
     """
     import pandas as pd
-    import pyarrow.dataset as _ds
 
-    frames = []
-    schema_cols: list[str] | None = None
-    for d in cat._live_dirs(table):
-        dataset = _ds.dataset(d, format="parquet")
-        if schema_cols is None:
-            schema_cols = columns or dataset.schema.names
-        t = dataset.to_table(columns=columns, filter=filter)
-        if t.num_rows:
-            frames.append(t.to_pandas())
-    if not frames:
+    # through the seam only (data_files + filesystem — both served by
+    # IcebergCatalog too), and through the catalog's filesystem: a remote
+    # index root's driver-side reads must not hit the driver's local disk
+    files = cat.data_files(table)
+    if not files:
+        return pd.DataFrame(columns=columns or [])
+    dataset = fsio.dataset(files, getattr(cat, "filesystem", None))
+    schema_cols = columns or dataset.schema.names
+    t = dataset.to_table(columns=columns, filter=filter)
+    if not t.num_rows:
         # preserve the table's column schema even when every snapshot is
         # empty (e.g. tombstones cleared by compaction)
-        return pd.DataFrame(columns=schema_cols or columns or [])
-    return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(columns=schema_cols)
+    return t.to_pandas()

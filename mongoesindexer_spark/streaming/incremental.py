@@ -144,12 +144,15 @@ class IncrementalIndexer:
     def __init__(self, index_dir: str, cfg: AnalyzerConfig = LTD_DOC,
                  block_size: int | None = None,
                  exclude_fields: tuple[str, ...] = (),
-                 filesystem=None):
+                 filesystem=None, catalog=None):
+        """``catalog``: the table-commit seam (default
+        ``ParquetCatalog(index_dir, filesystem)`` via IndexBuilder)."""
         self.index_dir = index_dir
         self.cfg = cfg
         self.exclude_fields = tuple(exclude_fields)
         self.filesystem = filesystem
-        self.builder = IndexBuilder(index_dir, cfg=cfg, filesystem=filesystem)
+        self.builder = IndexBuilder(index_dir, cfg=cfg, filesystem=filesystem,
+                                    catalog=catalog)
         self.cat = self.builder.catalog
 
     # every table a sync batch may touch, in no particular order — the
@@ -157,6 +160,14 @@ class IncrementalIndexer:
     _SYNC_TABLES = ("postings_flat", "postings_blocks", "doc_stats",
                     "tombstones", "term_dict", "completion", "global_stats",
                     "fields", "sync_log")
+
+    def _sync_tables(self) -> tuple[str, ...]:
+        """The static set plus the dynamically-named point-read sidecars
+        (``fields_by_<subcol>``) this index carries — the sidecar delta
+        append is a batch commit like any other, so recovery must roll it
+        back too or a replayed batch would double-serve its docs."""
+        return self._SYNC_TABLES + tuple(
+            t for t in self.cat.list_tables() if t.startswith("fields_by_"))
 
     def _journal_path(self) -> str:
         import os
@@ -208,7 +219,8 @@ class IncrementalIndexer:
         delete), url, warc_ts, html, text, lang [, changed_fields]."""
         # syncing a stale-format index would append mixed-schema blocks;
         # fail loudly instead (rebuild via IndexBuilder.build)
-        check_format_version(self.index_dir, "incremental-sync target")
+        check_format_version(self.index_dir, "incremental-sync target",
+                             filesystem=self.filesystem)
         # heal a previous batch that crashed between table commits BEFORE
         # reading any stats (see recover()) — replay must not observe
         # partial state
@@ -258,7 +270,7 @@ class IncrementalIndexer:
         fsio.write_text_atomic(
             _json.dumps({"batch_id": batch_id,
                          "pre": {t: self.cat.current_snapshot(t)
-                                 for t in self._SYNC_TABLES}}),
+                                 for t in self._sync_tables()}}),
             self._journal_path(), self.filesystem)
 
         stats = self.cat.read(spark, "doc_stats")
@@ -362,7 +374,8 @@ class IncrementalIndexer:
             # anti-join until compaction drops them physically.  Base
             # columns are recovered from the existing schema — a sub-field
             # column the sync payload lacks stays null for delta docs.
-            from ..operators.build_index import fields_subfields
+            from ..operators.build_index import (fields_subfields,
+                                                 write_keyword_sidecars)
             f_cols = sorted(c[:-len("_keyword")] for c in
                             self.cat.read(spark, "fields").columns
                             if c.endswith("_keyword"))
@@ -372,7 +385,13 @@ class IncrementalIndexer:
                     src = src.withColumn(c, F.lit(None).cast("string"))
             keyed = new_doc_stats.select("doc_id", "url") \
                 .join(src.select("url", *f_cols), "url")
-            self.cat.append(fields_subfields(keyed, f_cols), "fields")
+            fdf = fields_subfields(keyed, f_cols)
+            self.cat.append(fdf, "fields")
+            # keep the point-read sidecars fresh too: one value-sorted
+            # delta generation each (delta doc ranges sit above all
+            # earlier ids; _RowGroupIndex prunes per file, so base +
+            # delta files serve together with no merge)
+            write_keyword_sidecars(self.cat, fdf, 1, append=True)
         if n_dead:
             self.cat.append(dead.select("doc_id"), "tombstones")
         self.cat.overwrite(td2, "term_dict")
