@@ -573,8 +573,15 @@ def write_keyword_sidecars(cat: ParquetCatalog, fields_df: DataFrame,
     row-group-stat pruning needs.  ``append=True`` adds one delta
     generation per sidecar (incremental sync: delta doc ranges sit above
     all earlier ids, and _RowGroupIndex prunes per file, so base + delta
-    generations serve together without a merge)."""
-    for sub in [c for c in fields_df.columns if c != "doc_id"]:
+    generations serve together without a merge).
+
+    The per-sidecar writes are independent Spark jobs on independent
+    catalog tables, so they run CONCURRENTLY (thread-per-sidecar, the
+    supported Spark concurrent-job pattern) — sequential writes would
+    pay one full job latency per configured sub-field."""
+    subs = [c for c in fields_df.columns if c != "doc_id"]
+
+    def _write(sub: str) -> None:
         side = (fields_df.select(sub, "doc_id")
                 .filter(F.col(sub).isNotNull())
                 .repartition(max(1, n_parts), F.substring(sub, 1, 1))
@@ -583,6 +590,15 @@ def write_keyword_sidecars(cat: ParquetCatalog, fields_df: DataFrame,
             cat.append(side, sidecar_table(sub))
         else:
             cat.overwrite(side, sidecar_table(sub))
+
+    if len(subs) <= 1:
+        for sub in subs:
+            _write(sub)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(min(len(subs), 8)) as pool:
+        # list() re-raises the first worker failure
+        list(pool.map(_write, subs))
 
 
 # ---------------------------------------------------------------------------
