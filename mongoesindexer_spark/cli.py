@@ -6,6 +6,7 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
       --pages /path/pages_parquet --index /path/index [--config cfg.json]
   ... query  --index /path/index --q "terms here" --k 10 [--wand]
   ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
+  ... keyword --index /path/index --field lang --value EN [--normalized]  # term query (T8)
   ... sync   --index /path/index --updates /path/updates_parquet --batch-id b1
   ... compact --index /path/index
   ... vacuum --index /path/index        # expire snapshots + orphan sweep
@@ -50,6 +51,18 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--index", required=True)
     sg.add_argument("--prefix", required=True)
     sg.add_argument("--k", type=int, default=10)
+
+    kw = sub.add_parser("keyword",
+                        help="ES term query on a keyword sub-field (T8), "
+                             "served by point read — no Spark scan job")
+    kw.add_argument("--index", required=True)
+    kw.add_argument("--field", required=True)
+    kw.add_argument("--value", required=True)
+    kw.add_argument("--normalized", action="store_true",
+                    help="match on <field>.normalized (query value folded "
+                         "through the same keyword/lowercase/asciifold "
+                         "analyzer)")
+    kw.add_argument("--size", type=int, default=10)
 
     s = sub.add_parser("sync")
     s.add_argument("--index", required=True)
@@ -114,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "suggest":
         from .operators.topk import get_engine
         pdf = get_engine(spark, args.index).suggest(args.prefix, args.k)
+        print(pdf.to_string(index=False))
+    elif args.cmd == "keyword":
+        from .operators.topk import get_engine
+        pdf = get_engine(spark, args.index).keyword_term(
+            args.field, args.value, normalized=args.normalized,
+            size=args.size)
         print(pdf.to_string(index=False))
     elif args.cmd == "sync":
         from .functions.analysis import LTD_DOC
