@@ -137,6 +137,24 @@ def q_ft_bm25_segments_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+def q_ft_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after deep paging: page 2 of the flagship BM25 query —
+    run page 1 (top 20), feed its last (score, doc_id) back as the
+    cursor, return the next 20.  Oracle: the same ranking with OFFSET 20
+    (a cursor equal to row 20 selects exactly rows 21-40 of the total
+    order).  The paired remedy for the max_result_window serving cap."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    eng = get_engine(spark, idx)
+    p1 = eng.topk_wand(BM25_QUERY, BM25_K)
+    cursor = (float(p1.iloc[-1]["score"]), int(p1.iloc[-1]["doc_id"]))
+    p2 = eng.topk_wand(BM25_QUERY, BM25_K, search_after=cursor)
+    out = spark.createDataFrame(
+        p2[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 def q_ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongoesindexer_spark.operators.topk import bm25_topk_df
     idx = _docs_index(spark, sf_dir)
@@ -565,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_global_stats": q_ft_global_stats,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_bm25_wand_topk": q_ft_bm25_wand_topk,
+        "ft_bm25_search_after": q_ft_bm25_search_after,
         "ft_bm25_segments_topk": q_ft_bm25_segments_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
@@ -703,6 +722,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_wand_topk": bm25_scores.format(terms=terms) + f"""
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        "ft_bm25_search_after": bm25_scores.format(terms=terms) + f"""
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores ORDER BY score DESC, doc_id ASC
+            LIMIT {BM25_K} OFFSET {BM25_K}
         """,
         "ft_bm25_segments_topk": bm25_scores.format(terms=terms) + f"""
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4

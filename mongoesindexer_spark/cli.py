@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--wand", action="store_true")
     q.add_argument("--mode", default="or", choices=["or", "and"])
+    q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                   help="search_after cursor: the previous page's last "
+                        "score,doc_id — returns the next k (deep paging)")
 
     sg = sub.add_parser("suggest",
                         help="completion suggester (T7): top-k terms for "
@@ -117,13 +120,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(res))
     elif args.cmd == "query":
         from .operators.topk import bm25_topk_df, bm25_topk_wand
+        after = None
+        if args.after:
+            s, d = args.after.split(",")
+            after = (float(s), int(d))
         if args.wand:
             pdf = bm25_topk_wand(spark, args.index, args.q, args.k,
-                                 mode=args.mode)
-            print(pdf.to_string(index=False))
+                                 mode=args.mode, search_after=after)
+            # full-precision scores: --after round-trips the printed value,
+            # and a rounded cursor re-admits the boundary doc
+            print(pdf.to_string(index=False,
+                                float_format=lambda v: f"{v:.17g}"))
         else:
-            bm25_topk_df(spark, args.index, args.q, args.k, mode=args.mode).show(
-                args.k, truncate=False)
+            bm25_topk_df(spark, args.index, args.q, args.k, mode=args.mode,
+                         search_after=after).show(args.k, truncate=False)
     elif args.cmd == "suggest":
         from .operators.topk import get_engine
         pdf = get_engine(spark, args.index).suggest(args.prefix, args.k)

@@ -301,7 +301,12 @@ class SearchEngine:
         self._block_cache.clear()
 
     # -- exhaustive DataFrame path ------------------------------------------
-    def topk_df(self, query_text: str, k: int, mode: str = "or") -> DataFrame:
+    def topk_df(self, query_text: str, k: int, mode: str = "or",
+                search_after: tuple[float, int] | None = None) -> DataFrame:
+        """``search_after``: deep-paging cursor (see :meth:`topk_wand`).
+        On this analytics path the cursor's score equality is only exact
+        against scores from the SAME path (Spark float aggregation order
+        is plan-dependent) — the same-path contract ES documents."""
         from .build_index import read_flat
         _check_k(k)
         terms = _query_terms(query_text, self.cfg)
@@ -323,6 +328,11 @@ class SearchEngine:
         )
         if mode == "and":
             scored = scored.filter(F.col("n_terms") == len(terms))
+        if search_after is not None:
+            s0, d0 = float(search_after[0]), int(search_after[1])
+            scored = scored.filter(
+                (F.col("score") < F.lit(s0))
+                | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > d0)))
         topk = (
             scored.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -366,18 +376,20 @@ class SearchEngine:
         pdf = pdf.sort_values(["weight", "term"], ascending=[False, True])
         return pdf.head(k).reset_index(drop=True)
 
-    def keyword_term(self, field: str, value: str, normalized: bool = False,
+    def keyword_term(self, field: str, value, normalized: bool = False,
                      size: int = 10) -> pd.DataFrame:
-        """ES term-query SERVING path over a keyword sub-field (T8) —
-        point-read, NO Spark job: the value-sorted ``fields_by_<subcol>``
+        """ES term/terms-query SERVING path over a keyword sub-field (T8)
+        — point-read, NO Spark job: the value-sorted ``fields_by_<subcol>``
         sidecar (build/sync/compact maintain it) is row-group-pruned by
         the same resident footer directory the BM25 path uses, exactly as
         ES serves a term filter from the keyword field's inverted index
-        rather than a scan.  Returns (doc_id, url), doc_id asc, bounded
-        by ``size`` (ES ``size`` — the analytics path over the full match
-        set stays ``operators.keyword.keyword_match``).  Merge-on-read:
-        tombstoned docs are masked by the engine's tombstone set; compact
-        folds the sidecar clean before clearing that set."""
+        rather than a scan.  ``value``: one string (ES ``term``) or a
+        list of strings (ES ``terms`` — docs matching ANY value).
+        Returns (doc_id, url), doc_id asc, bounded by ``size`` (ES
+        ``size`` — the analytics path over the full match set stays
+        ``operators.keyword.keyword_match``).  Merge-on-read: tombstoned
+        docs are masked by the engine's tombstone set; compact folds the
+        sidecar clean before clearing that set."""
         from ..functions.analysis import normalize
         from .build_index import sidecar_table
         _check_k(size)
@@ -387,8 +399,13 @@ class SearchEngine:
             raise KeyError(
                 f"no point-read sidecar {table!r} — was the index built "
                 f"with keyword_fields=({field!r},)?")
-        v = normalize(value) if normalized else value
-        pdf = self._rg_index(table, sub).read_isin([v], ["doc_id"])
+        values = [value] if isinstance(value, str) else list(value)
+        if normalized:
+            values = [normalize(v) for v in values]
+        # each doc carries exactly one value per sub-field, so the OR over
+        # deduped query values can never emit a doc twice
+        pdf = self._rg_index(table, sub).read_isin(sorted(set(values)),
+                                                   ["doc_id"])
         ids = sorted(int(d) for d in pdf["doc_id"].values
                      if int(d) not in self.tombstones)[:size]
         urls = self.fetch_urls(ids)
@@ -457,7 +474,9 @@ class SearchEngine:
     def topk_wand(self, query_text: str, k: int,
                   use_wand: bool | None = None,
                   use_segments: bool | None = None,
-                  mode: str = "or") -> pd.DataFrame:
+                  mode: str = "or",
+                  search_after: tuple[float, int] | None = None
+                  ) -> pd.DataFrame:
         """Top-k over the encoded blocks, cost-based (Lucene-style): when
         the candidate postings are few (< EXHAUSTIVE_CUTOFF), decode them
         all and score vectorized — the doc-at-a-time WAND loop's per-doc
@@ -477,7 +496,16 @@ class SearchEngine:
         ``mode="and"`` gives conjunctive semantics (ES ``bool.filter`` of
         term queries, J6): only docs containing EVERY analyzed query term,
         scored by the same BM25 sum — rank-identical to
-        ``topk_df(..., mode="and")``."""
+        ``topk_df(..., mode="and")``.
+
+        ``search_after``: ES deep-paging cursor — the previous page's
+        last ``(score, doc_id)``; this page returns the next ``k`` docs
+        strictly after it in (score desc, doc_id asc) order.  The paired
+        remedy for the ``max_result_window`` cap (``_check_k``): page
+        with bounded k instead of one giant request.  Contract: feed a
+        cursor back into the SAME serving path it came from (scores are
+        deterministic per path; last-bit accumulation order may differ
+        across paths, exactly ES's same-shard-setup caveat)."""
         _check_k(k)
         analyzed = _query_terms(query_text, self.cfg)
         if not analyzed:
@@ -498,7 +526,8 @@ class SearchEngine:
             total_df = sum(m[1] for m in meta.values() if m is not None)
             use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
         if use_segments:
-            return self.topk_segments(terms, td, k, mode=mode)
+            return self.topk_segments(terms, td, k, mode=mode,
+                                      search_after=search_after)
         by_term = self._term_blocks(terms)
         if mode == "and" and len(by_term) < len(terms):
             return pd.DataFrame(columns=["doc_id", "url", "score"])
@@ -516,15 +545,17 @@ class SearchEngine:
                 hits = []
             elif mode == "and":
                 hits = conjunctive_topk_arrays(cursors, self.avgdl, k,
-                                               self.tombstones)
+                                               self.tombstones,
+                                               after=search_after)
             else:
                 hits = wand_topk_arrays(cursors, self.avgdl, k,
-                                        self.tombstones)
+                                        self.tombstones,
+                                        after=search_after)
         else:
             hits = exhaustive_topk_arrays(
                 {t: (td[t], by_term[t]) for t in terms if t in by_term},
                 self.avgdl, k, self.tombstones,
-                require_all=(mode == "and"))
+                require_all=(mode == "and"), after=search_after)
         urls = self.fetch_urls([d for _, d in hits])
         return pd.DataFrame(
             [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
@@ -583,7 +614,9 @@ class SearchEngine:
         return pack_segment_groups(files, max(1, int(max_groups)))
 
     def topk_segments(self, terms: list[str], idf_by_term: dict[str, float],
-                      k: int, mode: str = "or") -> pd.DataFrame:
+                      k: int, mode: str = "or",
+                      search_after: tuple[float, int] | None = None
+                      ) -> pd.DataFrame:
         """ES-shard-style fan-out: per doc-disjoint segment group, score
         top-k locally (same cost-based exhaustive/WAND kernel) inside a
         Spark task; merge the ≤ groups×k (score, doc_id) rows driver-side.
@@ -636,16 +669,19 @@ class SearchEngine:
                             hits = []
                         elif mode == "and":
                             hits = conjunctive_topk_arrays(
-                                cursors, avgdl, k, ts_bc.value)
+                                cursors, avgdl, k, ts_bc.value,
+                                after=search_after)
                         else:
                             hits = wand_topk_arrays(cursors, avgdl, k,
-                                                    ts_bc.value)
+                                                    ts_bc.value,
+                                                    after=search_after)
                     else:
                         hits = exhaustive_topk_arrays(
                             {t: (idf_by_term[t], by_term[t])
                              for t in terms if t in by_term},
                             avgdl, k, ts_bc.value,
-                            require_all=(mode == "and"))
+                            require_all=(mode == "and"),
+                            after=search_after)
                     if hits:
                         yield pd.DataFrame(
                             {"score": [s for s, _ in hits],
@@ -703,7 +739,8 @@ def get_engine(spark: SparkSession, index_dir: str,
 
 
 def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
-                 cfg: AnalyzerConfig = LTD_DOC, mode: str = "or") -> DataFrame:
+                 cfg: AnalyzerConfig = LTD_DOC, mode: str = "or",
+                 search_after: tuple[float, int] | None = None) -> DataFrame:
     """Score with pure DataFrame ops over ``postings_flat``.
 
     The term filter is an ``isin`` over ≤|q| terms → pushed into the
@@ -713,7 +750,8 @@ def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
     ``mode="and"`` gives conjunctive semantics (ES ``bool.filter`` of term
     queries, J6 in SURVEY §2.3): only docs containing every term.
     """
-    return get_engine(spark, index_dir, cfg).topk_df(query_text, k, mode)
+    return get_engine(spark, index_dir, cfg).topk_df(
+        query_text, k, mode, search_after=search_after)
 
 
 # ---------------------------------------------------------------------------
@@ -884,7 +922,8 @@ def pack_segment_groups(files: list[tuple[str, int]], max_groups: int
 def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
                            avgdl: float, k: int,
                            tombstones: set[int] | None = None,
-                           require_all: bool = False
+                           require_all: bool = False,
+                           after: tuple[float, int] | None = None
                            ) -> list[tuple[float, int]]:
     """Decode every candidate block and score all postings vectorized —
     rank-identical to :func:`wand_topk_arrays` (ties doc_id asc), used
@@ -893,7 +932,11 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
     ``require_all``: conjunctive semantics — keep only docs matched by
     every term in ``term_blocks`` (each term contributes a doc at most
     once: posting lists are per-term unique and segments doc-disjoint, so
-    a doc's occurrence count IS its matched-term count)."""
+    a doc's occurrence count IS its matched-term count).
+
+    ``after``: search_after cursor ``(score, doc_id)`` — keep only docs
+    STRICTLY after it in (score desc, doc_id asc) order (deep paging,
+    see :meth:`SearchEngine.topk_wand`)."""
     all_docs: list[np.ndarray] = []
     all_scores: list[np.ndarray] = []
     for idf, blocks in term_blocks.values():
@@ -917,6 +960,10 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
     if tombstones:
         keep = ~np.isin(uniq, np.fromiter(tombstones, dtype=np.int64))
         uniq, agg = uniq[keep], agg[keep]
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        keep = (agg < s0) | ((agg == s0) & (uniq > d0))
+        uniq, agg = uniq[keep], agg[keep]
     if uniq.size == 0:
         return []
     order = np.lexsort((uniq, -agg))[:k]
@@ -924,7 +971,8 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
 
 
 def conjunctive_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
-                            tombstones: set[int] | None = None
+                            tombstones: set[int] | None = None,
+                            after: tuple[float, int] | None = None
                             ) -> list[tuple[float, int]]:
     """Top-k over the INTERSECTION of the cursors' posting lists (ES
     ``bool.filter`` conjunctive, J6) — doc-at-a-time zig-zag join with
@@ -936,6 +984,9 @@ def conjunctive_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
     tombstones = tombstones or set()
     if not cursors:
         return []
+    # search_after in heap-key space: acceptable ⇔ (score, -doc) < after_key
+    after_key = (float(after[0]), -int(after[1])) if after is not None \
+        else None
     by_ord = sorted(cursors, key=lambda c: c.ord)
     heap: list[tuple[float, int]] = []   # min-heap of (score, -doc_id)
     while True:
@@ -963,10 +1014,11 @@ def conjunctive_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                     norm = K1 * (1.0 - B + B * float(c.dl) / avgdl)
                 tf = float(c.tf)
                 score += c.idf * tf * (K1 + 1.0) / (tf + norm)
-            if len(heap) < k:
-                heapq.heappush(heap, (score, -target))
-            elif (score, -target) > heap[0]:
-                heapq.heapreplace(heap, (score, -target))
+            if after_key is None or (score, -target) < after_key:
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -target))
+                elif (score, -target) > heap[0]:
+                    heapq.heapreplace(heap, (score, -target))
         for c in cursors:
             c.next()
     out = sorted(heap, key=lambda t: (-t[0], -t[1]))
@@ -985,14 +1037,26 @@ def _block_arrays(b: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
-                     tombstones: set[int] | None = None) -> list[tuple[float, int]]:
+                     tombstones: set[int] | None = None,
+                     after: tuple[float, int] | None = None
+                     ) -> list[tuple[float, int]]:
     """Block-max WAND over term cursors → [(score, doc_id)] best-first.
 
     Doc lengths come from the cursors themselves (``dls_vb`` travels in
     every block), so no corpus-sized doc→len lookup is needed.  Docs in
     ``tombstones`` (deleted/superseded by incremental updates) are skipped.
+
+    ``after``: search_after cursor — only docs strictly after
+    ``(score, doc_id)`` in (score desc, doc_id asc) order are accepted.
+    Block-max pruning stays correct: the threshold only ever rises from
+    ACCEPTED candidates, and a pruned block (upper bound < threshold)
+    cannot hold an acceptable doc that would beat the accepted floor.
+    Pruning is weaker on deep pages (high scorers are scored then
+    rejected) — exactly ES's search_after cost profile.
     """
     tombstones = tombstones or set()
+    after_key = (float(after[0]), -int(after[1])) if after is not None \
+        else None
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
     threshold = 0.0
     cursors = [c for c in cursors if not c.exhausted]
@@ -1043,7 +1107,9 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                         norm = K1 * (1.0 - B + B * float(c.dl) / avgdl)
                     tf = float(c.tf)
                     score += c.idf * tf * (K1 + 1.0) / (tf + norm)
-                if len(heap) < k:
+                if after_key is not None and (score, -pivot_doc) >= after_key:
+                    pass    # at/above the page cursor: scored, rejected
+                elif len(heap) < k:
                     heapq.heappush(heap, (score, -pivot_doc))
                     if len(heap) == k:
                         threshold = heap[0][0]
@@ -1065,12 +1131,14 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
 
 def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
                    cfg: AnalyzerConfig = LTD_DOC,
-                   mode: str = "or") -> pd.DataFrame:
+                   mode: str = "or",
+                   search_after: tuple[float, int] | None = None
+                   ) -> pd.DataFrame:
     """Top-k via block-max WAND over the encoded ``postings_blocks``.
 
     The block fetch is a DataFrame scan with the term predicate pushed to
     parquet; the WAND loop itself runs driver-side in numpy (|q| cursors).
     ``mode="and"`` intersects via the zig-zag conjunctive kernel (J6).
     """
-    return get_engine(spark, index_dir, cfg).topk_wand(query_text, k,
-                                                       mode=mode)
+    return get_engine(spark, index_dir, cfg).topk_wand(
+        query_text, k, mode=mode, search_after=search_after)

@@ -229,6 +229,17 @@ class IncrementalIndexer:
         updates = filter_self_updates(updates, self.exclude_fields)
         if "changed_fields" in updates.columns:
             updates = updates.drop("changed_fields")
+        # an unrecognized op would fall through the insert/update filter
+        # below yet still retire the url via dead_urls — i.e. silently
+        # DELETE the document.  Fail loudly instead (one limit-1 job over
+        # the batch, not the corpus).
+        bad = updates.filter(
+            ~F.col("op").isin("insert", "update", "delete")) \
+            .select("op").limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"unknown change op {bad[0]['op']!r}: expected one of "
+                f"insert/update/delete (an upsert is op='update')")
         # within-batch upsert collapse: one micro-batch can carry several
         # events for the same url (stream_sync coalesces up to 8 files per
         # trigger).  The reference applies change events in stream order;

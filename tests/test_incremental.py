@@ -347,6 +347,26 @@ def test_unversioned_delete_wins_within_batch(spark, tiny_index, tiny_dir,
     assert victim["url"] not in set(eng.topk_wand("resurrect", 10)["url"])
 
 
+def test_unknown_op_rejected_loudly(spark, tiny_index, tmp_path_factory):
+    """An op outside insert/update/delete must raise, not fall through:
+    it would miss the insert filter yet still retire the url via
+    dead_urls — a silent delete."""
+    import datetime as dt
+
+    import pytest
+
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path_factory.mktemp("idx-badop")) + "/idx"
+    shutil.copytree(tiny_index, d)
+    upd = spark.createDataFrame(
+        [("upsert", "http://x/1", dt.datetime(2026, 3, 1), None, "x", "en")],
+        "op string, url string, warc_ts timestamp, html binary, "
+        "text string, lang string")
+    with pytest.raises(ValueError, match="unknown change op 'upsert'"):
+        IncrementalIndexer(d).apply_updates(spark, upd, batch_id="bad")
+
+
 def test_crash_after_full_commit_keeps_batch(spark, tiny_index, tiny_dir,
                                              tmp_path_factory):
     """If the crash lands AFTER every table commit (sync_log included) but

@@ -321,6 +321,63 @@ def test_lifecycle_through_explicit_filesystem(spark, tiny_dir, tiny_queries,
 
 
 # ---------------------------------------------------------------------------
+# search_after deep paging (the ES remedy the max_result_window cap names)
+# ---------------------------------------------------------------------------
+
+
+def test_search_after_pages_reconstruct_full_ranking(spark, tiny_index,
+                                                     tiny_queries):
+    """Paging with the previous page's last (score, doc_id) cursor must
+    walk the exact full ranking, page by page, on every serving path and
+    kernel (the ES search_after contract: strictly after the cursor in
+    (score desc, doc_id asc) order, no skips, no repeats)."""
+    import pandas as pd
+
+    from mongoesindexer_spark.operators.topk import get_engine
+
+    eng = get_engine(spark, tiny_index)
+    queries = list(tiny_queries["query_text"].head(4))
+    for q in queries:
+        for mode in ("or", "and"):
+            for force in (dict(use_wand=True), dict(use_wand=False),
+                          dict(use_segments=True)):
+                full = eng.topk_wand(q, 1000, mode=mode, **force)
+                pages, cursor = [], None
+                for _ in range(400):
+                    page = eng.topk_wand(q, 3, mode=mode,
+                                         search_after=cursor, **force)
+                    if not len(page):
+                        break
+                    pages.append(page)
+                    cursor = (float(page.iloc[-1]["score"]),
+                              int(page.iloc[-1]["doc_id"]))
+                got = (pd.concat(pages, ignore_index=True) if pages
+                       else full.iloc[:0])
+                assert list(got["doc_id"]) == list(full["doc_id"]), \
+                    (q, mode, force)
+                assert list(got["score"]) == list(full["score"]), \
+                    (q, mode, force)
+
+
+def test_search_after_df_path(spark, tiny_index):
+    """The analytics DataFrame path pages identically against its own
+    cursors (same-path contract)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+
+    eng = get_engine(spark, tiny_index)
+    q = "data"
+    full = [(r.doc_id, r.score) for r in eng.topk_df(q, 1000).collect()]
+    got, cursor = [], None
+    for _ in range(400):
+        rows = eng.topk_df(q, 4, search_after=cursor).collect()
+        if not rows:
+            break
+        got.extend((r.doc_id, r.score) for r in rows)
+        cursor = (float(rows[-1].score), int(rows[-1].doc_id))
+    assert got == full
+
+
+# ---------------------------------------------------------------------------
 # keyword term-query point-read serving (VERDICT r3 missing #3 / next #6)
 # ---------------------------------------------------------------------------
 
@@ -410,6 +467,32 @@ def test_keyword_term_point_read_lifecycle(spark, tmp_path):
     # missing sidecar → loud error, not a silent scan
     with pytest.raises(KeyError, match="sidecar"):
         eng.keyword_term("title", "x")
+
+
+def test_keyword_terms_multi_value(spark, tmp_path):
+    """ES `terms` query: a list of values is an OR over exact matches,
+    one hit per doc, doc_id asc — served by the same point read."""
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.topk import get_engine
+
+    page_ddl = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+    pages = spark.createDataFrame([
+        ("a", dt.datetime(2026, 1, 1), None, "alpha beta", "EN"),
+        ("b", dt.datetime(2026, 1, 1), None, "beta gamma", "fr"),
+        ("c", dt.datetime(2026, 1, 1), None, "gamma delta", "DÉ"),
+        ("d", dt.datetime(2026, 1, 1), None, "delta epsilon", "pt"),
+    ], page_ddl)
+    idx = str(tmp_path / "idx")
+    IndexBuilder(idx, n_buckets=2, keyword_fields=("lang",)).build(
+        spark, pages)
+    eng = get_engine(spark, idx)
+    hit = eng.keyword_term("lang", ["EN", "pt", "nope"], size=10)
+    assert sorted(hit["url"]) == ["a", "d"]
+    # normalized variant folds every query value; duplicates collapse
+    hit = eng.keyword_term("lang", ["DE", "dé", "FR"], normalized=True)
+    assert sorted(hit["url"]) == ["b", "c"]
+    assert list(hit["doc_id"]) == sorted(hit["doc_id"])
 
 
 def test_keyword_sidecar_rolled_back_with_crashed_batch(spark, tmp_path):
