@@ -100,6 +100,38 @@ def test_duplicate_batch_is_noop(spark, synced, tiny_dir):
     assert not res["applied"]
 
 
+def test_segment_fanout_rank_identical_after_sync(spark, synced,
+                                                  oracle_updated):
+    """The distributed segment fan-out locus must stay rank-identical to
+    the DataFrame path and the oracle on the MERGED view — base segments
+    + delta segments + tombstones, merge-on-read, before compaction
+    folds them (the round-3 gate only pinned segments on a base-only
+    index).  Runs before test_compaction_preserves_results so the delta
+    generation is still live."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    from mongoesindexer_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(synced)
+    # the premise: this index really is multi-generation right now
+    files = [f for d in cat._live_dirs("postings_blocks")
+             for f in os.listdir(d) if f.endswith(".parquet")]
+    assert any("seg-d" in f for f in files), files
+    assert cat.read(spark, "tombstones").count() > 0
+    eng = get_engine(spark, synced)
+    for q in QUERIES:
+        for mode in ("or", "and"):
+            pdf = eng.topk_wand(q, 10, use_segments=True, mode=mode)
+            got = sorted(zip(pdf["score"].round(6), pdf["url"]))
+            want = sorted(
+                (round(r["score"], 6), r["url"]) for r in
+                eng.topk_df(q, 10, mode=mode).collect())
+            assert got == want, (q, mode)
+        assert sorted(zip(
+            eng.topk_wand(q, 10, use_segments=True)["score"].round(6),
+            eng.topk_wand(q, 10, use_segments=True)["url"],
+        )) == _oracle_pairs(oracle_updated, q, 10), q
+
+
 def test_compaction_preserves_results(spark, synced, oracle_updated):
     from mongoesindexer_spark.operators.merge import compact
     from mongoesindexer_spark.sources.catalog import ParquetCatalog
