@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
                          "through the same keyword/lowercase/asciifold "
                          "analyzer)")
     kw.add_argument("--size", type=int, default=10)
+    kw.add_argument("--after", type=int, default=None, metavar="DOC_ID",
+                    help="paging cursor: return only doc_ids strictly "
+                         "greater (the search_after analog for term "
+                         "queries; doc_id asc is the total order)")
 
     s = sub.add_parser("sync")
     s.add_argument("--index", required=True)
@@ -142,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.topk import get_engine
         pdf = get_engine(spark, args.index).keyword_term(
             args.field, args.value, normalized=args.normalized,
-            size=args.size)
+            size=args.size, after_doc_id=args.after)
         print(pdf.to_string(index=False))
     elif args.cmd == "sync":
         from .functions.analysis import LTD_DOC

@@ -377,7 +377,8 @@ class SearchEngine:
         return pdf.head(k).reset_index(drop=True)
 
     def keyword_term(self, field: str, value, normalized: bool = False,
-                     size: int = 10) -> pd.DataFrame:
+                     size: int = 10,
+                     after_doc_id: int | None = None) -> pd.DataFrame:
         """ES term/terms-query SERVING path over a keyword sub-field (T8)
         — point-read, NO Spark job: the value-sorted ``fields_by_<subcol>``
         sidecar (build/sync/compact maintain it) is row-group-pruned by
@@ -387,9 +388,13 @@ class SearchEngine:
         list of strings (ES ``terms`` — docs matching ANY value).
         Returns (doc_id, url), doc_id asc, bounded by ``size`` (ES
         ``size`` — the analytics path over the full match set stays
-        ``operators.keyword.keyword_match``).  Merge-on-read: tombstoned
-        docs are masked by the engine's tombstone set; compact folds the
-        sidecar clean before clearing that set."""
+        ``operators.keyword.keyword_match``).  ``after_doc_id`` pages a
+        match set past the ``max_result_window`` cap: only doc_ids
+        STRICTLY greater are returned — the search_after analog for term
+        queries, where doc_id asc is the total order (no score ties to
+        break).  Merge-on-read: tombstoned docs are masked by the
+        engine's tombstone set; compact folds the sidecar clean before
+        clearing that set."""
         from ..functions.analysis import normalize
         from .build_index import sidecar_table
         _check_k(size)
@@ -406,8 +411,10 @@ class SearchEngine:
         # deduped query values can never emit a doc twice
         pdf = self._rg_index(table, sub).read_isin(sorted(set(values)),
                                                    ["doc_id"])
+        floor = -1 if after_doc_id is None else int(after_doc_id)
         ids = sorted(int(d) for d in pdf["doc_id"].values
-                     if int(d) not in self.tombstones)[:size]
+                     if int(d) > floor
+                     and int(d) not in self.tombstones)[:size]
         urls = self.fetch_urls(ids)
         return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                              "url": [urls.get(i) for i in ids]})

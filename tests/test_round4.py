@@ -493,6 +493,18 @@ def test_keyword_terms_multi_value(spark, tmp_path):
     hit = eng.keyword_term("lang", ["DE", "dé", "FR"], normalized=True)
     assert sorted(hit["url"]) == ["b", "c"]
     assert list(hit["doc_id"]) == sorted(hit["doc_id"])
+    # after_doc_id pages the match set: size-1 pages chained on the last
+    # doc_id reconstruct the full doc_id-asc match set with no repeats
+    full = eng.keyword_term("lang", ["EN", "pt", "fr"], size=10)
+    got, cursor = [], None
+    for _ in range(10):
+        page = eng.keyword_term("lang", ["EN", "pt", "fr"], size=1,
+                                after_doc_id=cursor)
+        if not len(page):
+            break
+        got.extend(page["doc_id"])
+        cursor = int(page["doc_id"].iloc[-1])
+    assert got == list(full["doc_id"]) and len(got) == 3
 
 
 def test_keyword_sidecar_rolled_back_with_crashed_batch(spark, tmp_path):
