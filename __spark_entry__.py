@@ -137,6 +137,24 @@ def q_ft_bm25_segments_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+def q_ft_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bool: {must: match, filter: term}`` — the canonical ES query
+    shape (the reference's own resume-token lookup is a bool.filter,
+    load.service.ts:151-166): BM25 top-k restricted to docs whose
+    normalized lang sub-field equals 'en'.  Non-scoring filter context;
+    served through the WAND path with candidate-bounded filter
+    resolution (operators/topk.py SearchEngine._filter_allowed)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).topk_wand(
+        BM25_QUERY, BM25_K, filter_field="lang", filter_value="en",
+        filter_normalized=True)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 def q_ft_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search_after deep paging: page 2 of the flagship BM25 query —
     run page 1 (top 20), feed its last (score, doc_id) back as the
@@ -583,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_global_stats": q_ft_global_stats,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_bm25_wand_topk": q_ft_bm25_wand_topk,
+        "ft_bm25_filtered": q_ft_bm25_filtered,
         "ft_bm25_search_after": q_ft_bm25_search_after,
         "ft_bm25_segments_topk": q_ft_bm25_segments_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
@@ -727,6 +746,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores ORDER BY score DESC, doc_id ASC
             LIMIT {BM25_K} OFFSET {BM25_K}
+        """,
+        "ft_bm25_filtered": bm25_scores.format(terms=terms) + f"""
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores
+            WHERE doc_id IN (SELECT doc_id FROM documents
+                             WHERE lower(strip_accents(lang)) = 'en')
+            ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_bm25_segments_topk": bm25_scores.format(terms=terms) + f"""
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4

@@ -288,6 +288,14 @@ def main() -> None:
         else kw_ms[0]
     results["keyword_point_suite"] = round(sum(kw_ms) / 1000, 3)
 
+    # 2d) filtered BM25 (ES bool: must match + filter term) over the warm
+    # engine — the canonical combined query shape; reported as suite secs
+    flt_t0 = time.perf_counter()
+    for q, k in BM25_QUERIES * 2:
+        eng.topk_wand(q, k, filter_field="lang", filter_value="en",
+                      filter_normalized=True)
+    results["bm25_filtered_suite"] = round(time.perf_counter() - flt_t0, 3)
+
     # 3) operator suite (the driver-facing queries at this sf)
     suite = [
         "ft_term_stats", "lookup_join", "nested_lookup", "dedup_exact",

@@ -5,6 +5,7 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
   spark-submit --py-files engine.zip -m mongoesindexer_spark.cli build \
       --pages /path/pages_parquet --index /path/index [--config cfg.json]
   ... query  --index /path/index --q "terms here" --k 10 [--wand]
+             [--filter lang:en --filter-normalized]  # ES bool must+filter
   ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
   ... keyword --index /path/index --field lang --value EN [--normalized]  # term query (T8)
   ... sync   --index /path/index --updates /path/updates_parquet --batch-id b1
@@ -47,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="search_after cursor: the previous page's last "
                         "score,doc_id — returns the next k (deep paging)")
+    q.add_argument("--filter", default=None, metavar="FIELD:VALUE[,VALUE…]",
+                   help="ES bool filter context: restrict to docs whose "
+                        "keyword sub-field equals one of the values "
+                        "(non-scoring)")
+    q.add_argument("--filter-normalized", action="store_true",
+                   help="match the filter on <field>.normalized (values "
+                        "folded through keyword/lowercase/asciifold)")
 
     sg = sub.add_parser("suggest",
                         help="completion suggester (T7): top-k terms for "
@@ -128,16 +136,27 @@ def main(argv: list[str] | None = None) -> int:
         if args.after:
             s, d = args.after.split(",")
             after = (float(s), int(d))
+        ff = fv = None
+        if args.filter:
+            ff, _, vals = args.filter.partition(":")
+            if not _ or not vals:
+                raise SystemExit("--filter wants FIELD:VALUE[,VALUE…]")
+            fv = vals.split(",")
         if args.wand:
             pdf = bm25_topk_wand(spark, args.index, args.q, args.k,
-                                 mode=args.mode, search_after=after)
+                                 mode=args.mode, search_after=after,
+                                 filter_field=ff, filter_value=fv,
+                                 filter_normalized=args.filter_normalized)
             # full-precision scores: --after round-trips the printed value,
             # and a rounded cursor re-admits the boundary doc
             print(pdf.to_string(index=False,
                                 float_format=lambda v: f"{v:.17g}"))
         else:
             bm25_topk_df(spark, args.index, args.q, args.k, mode=args.mode,
-                         search_after=after).show(args.k, truncate=False)
+                         search_after=after, filter_field=ff,
+                         filter_value=fv,
+                         filter_normalized=args.filter_normalized
+                         ).show(args.k, truncate=False)
     elif args.cmd == "suggest":
         from .operators.topk import get_engine
         pdf = get_engine(spark, args.index).suggest(args.prefix, args.k)

@@ -138,10 +138,19 @@ class _RowGroupIndex:
         groups, an in-memory mask finishes the job)."""
         import pyarrow as pa
         import pyarrow.compute as pc
+        from bisect import bisect_left
         vals = sorted(values)
         per_file: dict[int, list[int]] = {}
         for fi, rg, lo, hi in self.entries:
-            if lo is None or any(lo <= v <= hi for v in vals):
+            # binary search instead of a linear any(): filter-context
+            # reads pass candidate lists up to ~10^6 doc_ids, and an
+            # O(entries × |vals|) sweep would dominate the read itself
+            if lo is None:
+                hit = True
+            else:
+                i = bisect_left(vals, lo)
+                hit = i < len(vals) and vals[i] <= hi
+            if hit:
                 per_file.setdefault(fi, []).append(rg)
         tbl = self._gather(per_file, columns)
         vs = pa.array(vals).cast(tbl.schema.field(self.col).type)
@@ -302,15 +311,30 @@ class SearchEngine:
 
     # -- exhaustive DataFrame path ------------------------------------------
     def topk_df(self, query_text: str, k: int, mode: str = "or",
-                search_after: tuple[float, int] | None = None) -> DataFrame:
+                search_after: tuple[float, int] | None = None,
+                filter_field: str | None = None,
+                filter_value=None,
+                filter_normalized: bool = False) -> DataFrame:
         """``search_after``: deep-paging cursor (see :meth:`topk_wand`).
         On this analytics path the cursor's score equality is only exact
         against scores from the SAME path (Spark float aggregation order
-        is plan-dependent) — the same-path contract ES documents."""
-        from .build_index import read_flat
+        is plan-dependent) — the same-path contract ES documents.
+
+        ``filter_field``/``filter_value``/``filter_normalized``: ES
+        ``bool: {must, filter}`` (see :meth:`topk_wand`) — here a
+        doc_id semi-join against the merge-on-read ``fields`` view,
+        applied BEFORE aggregation so filtered-out postings never
+        shuffle; Catalyst broadcasts whichever side is small."""
+        from .build_index import read_fields, read_flat
         _check_k(k)
         terms = _query_terms(query_text, self.cfg)
         flat = read_flat(self.cat, self.spark).filter(F.col("term").isin(terms))
+        if filter_field is not None:
+            sub, values = self._resolve_filter(filter_field, filter_value,
+                                               filter_normalized)
+            keep = (read_fields(self.cat, self.spark)
+                    .filter(F.col(sub).isin(values)).select("doc_id"))
+            flat = flat.join(keep, "doc_id", "semi")
         if self.tombstones:
             ts = self.spark.createDataFrame(
                 [(int(d),) for d in self.tombstones], "doc_id long")
@@ -419,6 +443,51 @@ class SearchEngine:
         return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                              "url": [urls.get(i) for i in ids]})
 
+    def _resolve_filter(self, field: str, value,
+                        normalized: bool = False) -> tuple[str, list]:
+        """Validate an ES ``bool.filter`` term/terms clause against the
+        index layout and fold query values through the field's analyzer
+        (normalized sub-fields fold, keyword sub-fields match raw) —
+        shared by every serving path so the clause means the same thing
+        everywhere.  Returns ``(subcol, values)``."""
+        from ..functions.analysis import normalize
+        sub = f"{field}_normalized" if normalized else f"{field}_keyword"
+        if not self.cat.table_exists("fields"):
+            raise KeyError(
+                "no 'fields' table — filtered queries need an index built "
+                "with keyword_fields=(...)")
+        names = self._rg_index("fields", "doc_id").files
+        if names and sub not in names[0].schema_arrow.names:
+            raise KeyError(
+                f"fields table has no sub-field {sub!r} — was the index "
+                f"built with keyword_fields=({field!r},)?")
+        values = [value] if isinstance(value, str) else list(value)
+        if normalized:
+            values = [normalize(v) for v in values]
+        return sub, sorted(set(values))
+
+    def _filter_allowed(self, cand: "np.ndarray", sub: str,
+                        values: list) -> "np.ndarray":
+        """ES filter-context resolution, CANDIDATE-BOUNDED: the sorted
+        doc_ids among ``cand`` whose ``fields.<sub>`` equals one of
+        ``values``.
+
+        The membership check point-reads the doc-ordered ``fields`` table
+        for the candidate ids — cost ∝ |candidates| (itself bounded by
+        SEGMENT_FANOUT_CUTOFF on the driver path), NEVER ∝ the filter's
+        match count: a broad filter (lang='en' ≈ 60% of a 10^12-doc
+        corpus) must not materialize billions of ids driver-side the way
+        reading the value-sorted sidecar would.  ES resolves the same
+        clause per segment from the keyword field's index; our per-range
+        analog is the fan-out task's range-pruned read
+        (:meth:`topk_segments`)."""
+        if cand.size == 0:
+            return cand.astype(np.int64)
+        pdf = self._rg_index("fields", "doc_id").read_isin(
+            [int(d) for d in cand], ["doc_id", sub])
+        hit = pdf[pdf[sub].isin(values)]
+        return np.unique(hit["doc_id"].values.astype(np.int64))
+
     def _term_meta(self, terms: list[str]) -> dict:
         """term → (idf, df) | None via a bounded LRU over term_dict point
         reads (the resident term-dictionary front of a Lucene reader).
@@ -482,7 +551,10 @@ class SearchEngine:
                   use_wand: bool | None = None,
                   use_segments: bool | None = None,
                   mode: str = "or",
-                  search_after: tuple[float, int] | None = None
+                  search_after: tuple[float, int] | None = None,
+                  filter_field: str | None = None,
+                  filter_value=None,
+                  filter_normalized: bool = False
                   ) -> pd.DataFrame:
         """Top-k over the encoded blocks, cost-based (Lucene-style): when
         the candidate postings are few (< EXHAUSTIVE_CUTOFF), decode them
@@ -512,7 +584,17 @@ class SearchEngine:
         with bounded k instead of one giant request.  Contract: feed a
         cursor back into the SAME serving path it came from (scores are
         deterministic per path; last-bit accumulation order may differ
-        across paths, exactly ES's same-shard-setup caveat)."""
+        across paths, exactly ES's same-shard-setup caveat).
+
+        ``filter_field``/``filter_value``/``filter_normalized``: the ES
+        ``bool: {must: match, filter: term}`` shape (the reference's own
+        resume-token lookup is a bool.filter of term clauses,
+        load.service.ts:151-166) — restrict the scored result to docs
+        whose keyword sub-field equals ``filter_value`` (or ANY of a
+        list, ES ``terms``).  Non-scoring, like ES filter context.  The
+        filter resolves candidate-bounded (:meth:`_filter_allowed`) on
+        the driver path and range-pruned per task on the fan-out path —
+        never ∝ the filter's corpus-wide match count."""
         _check_k(k)
         analyzed = _query_terms(query_text, self.cfg)
         if not analyzed:
@@ -529,12 +611,16 @@ class SearchEngine:
         # never reach len(analyzed))
         if not terms or (mode == "and" and len(terms) < len(analyzed)):
             return pd.DataFrame(columns=["doc_id", "url", "score"])
+        flt = self._resolve_filter(filter_field, filter_value,
+                                   filter_normalized) \
+            if filter_field is not None else None
         if use_segments is None:
             total_df = sum(m[1] for m in meta.values() if m is not None)
             use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
         if use_segments:
             return self.topk_segments(terms, td, k, mode=mode,
-                                      search_after=search_after)
+                                      search_after=search_after,
+                                      filter_clause=flt)
         by_term = self._term_blocks(terms)
         if mode == "and" and len(by_term) < len(terms):
             return pd.DataFrame(columns=["doc_id", "url", "score"])
@@ -545,6 +631,15 @@ class SearchEngine:
         # passes (cached blocks keep their arrays across queries)
         decode_blocks_into([b for bl in by_term.values() for b in bl
                             if "_arrs" not in b])
+        allowed_arr = allowed_set = None
+        if flt is not None:
+            cand = [_block_arrays(b)[0] for bl in by_term.values() for b in bl]
+            allowed_arr = self._filter_allowed(
+                np.unique(np.concatenate(cand)) if cand
+                else np.empty(0, np.int64), *flt)
+            if allowed_arr.size == 0:
+                return pd.DataFrame(columns=["doc_id", "url", "score"])
+            allowed_set = frozenset(allowed_arr.tolist())
         if use_wand:
             cursors = [_TermCursor(td[t], by_term[t], self.avgdl)
                        for t in terms if t in by_term]
@@ -553,16 +648,19 @@ class SearchEngine:
             elif mode == "and":
                 hits = conjunctive_topk_arrays(cursors, self.avgdl, k,
                                                self.tombstones,
-                                               after=search_after)
+                                               after=search_after,
+                                               allowed=allowed_set)
             else:
                 hits = wand_topk_arrays(cursors, self.avgdl, k,
                                         self.tombstones,
-                                        after=search_after)
+                                        after=search_after,
+                                        allowed=allowed_set)
         else:
             hits = exhaustive_topk_arrays(
                 {t: (td[t], by_term[t]) for t in terms if t in by_term},
                 self.avgdl, k, self.tombstones,
-                require_all=(mode == "and"), after=search_after)
+                require_all=(mode == "and"), after=search_after,
+                allowed=allowed_arr)
         urls = self.fetch_urls([d for _, d in hits])
         return pd.DataFrame(
             [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
@@ -622,7 +720,8 @@ class SearchEngine:
 
     def topk_segments(self, terms: list[str], idf_by_term: dict[str, float],
                       k: int, mode: str = "or",
-                      search_after: tuple[float, int] | None = None
+                      search_after: tuple[float, int] | None = None,
+                      filter_clause: tuple[str, list] | None = None
                       ) -> pd.DataFrame:
         """ES-shard-style fan-out: per doc-disjoint segment group, score
         top-k locally (same cost-based exhaustive/WAND kernel) inside a
@@ -638,6 +737,14 @@ class SearchEngine:
         ``mode="and"``: conjunctive per group — valid because a doc's
         postings for ALL terms live in exactly one doc-disjoint group, so
         per-group intersections partition the global intersection.
+
+        ``filter_clause``: resolved ``(subcol, values)`` from
+        :meth:`_resolve_filter` — each task reads the ``fields`` rows for
+        ITS candidate doc range (doc_id range + value predicates pushed
+        to parquet), so per-task filter cost ∝ the group's range, never
+        the filter's corpus-wide match count; the driver still receives
+        only ≤ k rows per group.  Group allowed-sets partition the global
+        filter set exactly as the postings do, preserving rank identity.
         """
         _check_k(k)
         # only terms with a dictionary row are scorable (a fully-
@@ -647,6 +754,10 @@ class SearchEngine:
         if not groups:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
         avgdl = self.avgdl
+        filter_sub, filter_values = filter_clause if filter_clause \
+            else (None, None)
+        fields_paths = self.cat.data_files("fields") if filter_clause \
+            else []
         ts_bc = self.spark.sparkContext.broadcast(self.tombstones)
         payload = [("\n".join(g),) for g in groups]
         fdf = self.spark.createDataFrame(
@@ -669,6 +780,22 @@ class SearchEngine:
                     if mode == "and" and len(by_term) < len(terms):
                         continue        # some term absent ⇒ empty group
                     decode_blocks_into(recs)
+                    allowed = None
+                    if filter_sub is not None:
+                        # this group's candidate doc range: fields rows
+                        # outside it cannot matter, so the read is pruned
+                        # to the range AND the filter values
+                        lo = min(int(r["first_doc"]) for r in recs)
+                        hi = max(int(r["last_doc"]) for r in recs)
+                        fexpr = (_pds.field(filter_sub).isin(filter_values)
+                                 & (_pds.field("doc_id") >= lo)
+                                 & (_pds.field("doc_id") <= hi))
+                        ft = _pds.dataset(
+                            fields_paths, format="parquet").to_table(
+                            filter=fexpr, columns=["doc_id"])
+                        allowed = frozenset(ft["doc_id"].to_pylist())
+                        if not allowed:
+                            continue    # no doc in range passes the filter
                     if int(bl["n"].sum()) >= EXHAUSTIVE_CUTOFF:
                         cursors = [_TermCursor(idf_by_term[t], by_term[t], avgdl)
                                    for t in terms if t in by_term]
@@ -677,18 +804,21 @@ class SearchEngine:
                         elif mode == "and":
                             hits = conjunctive_topk_arrays(
                                 cursors, avgdl, k, ts_bc.value,
-                                after=search_after)
+                                after=search_after, allowed=allowed)
                         else:
                             hits = wand_topk_arrays(cursors, avgdl, k,
                                                     ts_bc.value,
-                                                    after=search_after)
+                                                    after=search_after,
+                                                    allowed=allowed)
                     else:
                         hits = exhaustive_topk_arrays(
                             {t: (idf_by_term[t], by_term[t])
                              for t in terms if t in by_term},
                             avgdl, k, ts_bc.value,
                             require_all=(mode == "and"),
-                            after=search_after)
+                            after=search_after,
+                            allowed=None if allowed is None else
+                            np.fromiter(allowed, dtype=np.int64))
                     if hits:
                         yield pd.DataFrame(
                             {"score": [s for s, _ in hits],
@@ -747,7 +877,10 @@ def get_engine(spark: SparkSession, index_dir: str,
 
 def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
                  cfg: AnalyzerConfig = LTD_DOC, mode: str = "or",
-                 search_after: tuple[float, int] | None = None) -> DataFrame:
+                 search_after: tuple[float, int] | None = None,
+                 filter_field: str | None = None,
+                 filter_value=None,
+                 filter_normalized: bool = False) -> DataFrame:
     """Score with pure DataFrame ops over ``postings_flat``.
 
     The term filter is an ``isin`` over ≤|q| terms → pushed into the
@@ -756,9 +889,13 @@ def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
 
     ``mode="and"`` gives conjunctive semantics (ES ``bool.filter`` of term
     queries, J6 in SURVEY §2.3): only docs containing every term.
+    ``filter_field``/``filter_value``: ES ``bool: {must, filter}`` — a
+    non-scoring keyword-sub-field restriction (see SearchEngine.topk_df).
     """
     return get_engine(spark, index_dir, cfg).topk_df(
-        query_text, k, mode, search_after=search_after)
+        query_text, k, mode, search_after=search_after,
+        filter_field=filter_field, filter_value=filter_value,
+        filter_normalized=filter_normalized)
 
 
 # ---------------------------------------------------------------------------
@@ -930,7 +1067,8 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
                            avgdl: float, k: int,
                            tombstones: set[int] | None = None,
                            require_all: bool = False,
-                           after: tuple[float, int] | None = None
+                           after: tuple[float, int] | None = None,
+                           allowed: "np.ndarray | None" = None
                            ) -> list[tuple[float, int]]:
     """Decode every candidate block and score all postings vectorized —
     rank-identical to :func:`wand_topk_arrays` (ties doc_id asc), used
@@ -943,7 +1081,12 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
 
     ``after``: search_after cursor ``(score, doc_id)`` — keep only docs
     STRICTLY after it in (score desc, doc_id asc) order (deep paging,
-    see :meth:`SearchEngine.topk_wand`)."""
+    see :meth:`SearchEngine.topk_wand`).
+
+    ``allowed``: ES filter context (``bool: {must, filter}``) — a sorted
+    int64 array of doc_ids that may appear in the result; everything
+    else is dropped BEFORE top-k selection (non-scoring, like ES filter
+    clauses).  None = no filter."""
     all_docs: list[np.ndarray] = []
     all_scores: list[np.ndarray] = []
     for idf, blocks in term_blocks.values():
@@ -964,6 +1107,9 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
         counts = np.bincount(inv)
         keep = counts == len(term_blocks)
         uniq, agg = uniq[keep], agg[keep]
+    if allowed is not None:
+        keep = np.isin(uniq, allowed, assume_unique=True)
+        uniq, agg = uniq[keep], agg[keep]
     if tombstones:
         keep = ~np.isin(uniq, np.fromiter(tombstones, dtype=np.int64))
         uniq, agg = uniq[keep], agg[keep]
@@ -979,7 +1125,8 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
 
 def conjunctive_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                             tombstones: set[int] | None = None,
-                            after: tuple[float, int] | None = None
+                            after: tuple[float, int] | None = None,
+                            allowed: "frozenset[int] | set[int] | None" = None
                             ) -> list[tuple[float, int]]:
     """Top-k over the INTERSECTION of the cursors' posting lists (ES
     ``bool.filter`` conjunctive, J6) — doc-at-a-time zig-zag join with
@@ -1009,7 +1156,7 @@ def conjunctive_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                     break
         if not aligned:
             continue
-        if target not in tombstones:
+        if target not in tombstones and (allowed is None or target in allowed):
             # accumulate in cursor-creation (term) order — float addition
             # order must match the vectorized scorer's term order, or the
             # last bit can flip near-tied ranks (same contract as
@@ -1045,7 +1192,8 @@ def _block_arrays(b: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                      tombstones: set[int] | None = None,
-                     after: tuple[float, int] | None = None
+                     after: tuple[float, int] | None = None,
+                     allowed: "frozenset[int] | set[int] | None" = None
                      ) -> list[tuple[float, int]]:
     """Block-max WAND over term cursors → [(score, doc_id)] best-first.
 
@@ -1060,6 +1208,11 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
     cannot hold an acceptable doc that would beat the accepted floor.
     Pruning is weaker on deep pages (high scorers are scored then
     rejected) — exactly ES's search_after cost profile.
+
+    ``allowed``: ES filter context — docs outside the set are skipped at
+    accept time without scoring, by the same argument that keeps
+    tombstone skipping safe under block-max pruning (removing candidates
+    can only lower what a pruned block could have contributed).
     """
     tombstones = tombstones or set()
     after_key = (float(after[0]), -int(after[1])) if after is not None \
@@ -1095,7 +1248,8 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                 if c.exhausted or c.doc > pivot_doc:
                     break
                 bm += c.block_max_score
-            if bm >= threshold and pivot_doc not in tombstones:
+            if bm >= threshold and pivot_doc not in tombstones \
+                    and (allowed is None or pivot_doc in allowed):
                 score = 0.0
                 norm = None
                 # accumulate in cursor-creation (term) order — the sorted
@@ -1139,13 +1293,20 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
 def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
                    cfg: AnalyzerConfig = LTD_DOC,
                    mode: str = "or",
-                   search_after: tuple[float, int] | None = None
+                   search_after: tuple[float, int] | None = None,
+                   filter_field: str | None = None,
+                   filter_value=None,
+                   filter_normalized: bool = False
                    ) -> pd.DataFrame:
     """Top-k via block-max WAND over the encoded ``postings_blocks``.
 
     The block fetch is a DataFrame scan with the term predicate pushed to
     parquet; the WAND loop itself runs driver-side in numpy (|q| cursors).
     ``mode="and"`` intersects via the zig-zag conjunctive kernel (J6).
+    ``filter_field``/``filter_value``: ES ``bool: {must, filter}`` — a
+    non-scoring keyword-sub-field restriction (see SearchEngine.topk_wand).
     """
     return get_engine(spark, index_dir, cfg).topk_wand(
-        query_text, k, mode=mode, search_after=search_after)
+        query_text, k, mode=mode, search_after=search_after,
+        filter_field=filter_field, filter_value=filter_value,
+        filter_normalized=filter_normalized)
