@@ -400,13 +400,26 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ONLY remaining rows-only entry: signatures are built from
-    Spark's xxhash64, which DuckDB does not implement, so an exact SQL
-    oracle is genuinely infeasible — recall/precision are pinned by
-    tests/test_ann_recall.py and the exact n-gram Jaccard twin instead."""
+    """The ONLY remaining rows-only entry: the PRODUCTION signatures are
+    built from Spark's xxhash64, which DuckDB does not implement, so an
+    exact SQL oracle for this exact hash family is infeasible —
+    recall/precision are pinned by tests/test_ann_recall.py, and the SAME
+    pipeline under a portable hash family is hash-exact-gated as
+    minhash_lsh_pairs_portable below."""
     from mongoesindexer_spark.operators.dedup import minhash_lsh_candidates
     return minhash_lsh_candidates(_read(spark, sf_dir, "documents"),
                                   num_hashes=32, bands=8)
+
+
+def q_minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identical MinHash+LSH pipeline (shingle → 32 minhashes → 8
+    banded buckets → bucket self-join) under the md5 hash family, which
+    Spark and DuckDB implement bit-identically — the EXACT cross-engine
+    oracle the xxhash64 production path cannot have (operators/dedup.py
+    minhash_signatures hash_fn='md5')."""
+    from mongoesindexer_spark.operators.dedup import minhash_lsh_candidates
+    return minhash_lsh_candidates(_read(spark, sf_dir, "documents"),
+                                  num_hashes=32, bands=8, hash_fn="md5")
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_portable": q_minhash_lsh_pairs_portable,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "neardup_clusters": q_neardup_clusters,
         "simhash": q_simhash,
@@ -934,6 +948,30 @@ def oracle_sql() -> dict[str, str]:
                         THEN 2 ELSE 1 END::INT AS n_changed
             FROM events
             WHERE json_extract_string(props, '$.k')::INT % 3 <> 0
+        """,
+        "minhash_lsh_pairs_portable": f"""
+            WITH sh AS (
+                SELECT id, CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                    ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM (SELECT doc_id AS id, {_TOK_DD} AS toks FROM documents)
+            ), sig AS (
+                SELECT id, list_transform(generate_series(0, 31),
+                    i -> list_aggregate(list_transform(sh,
+                         s -> md5(concat(CAST(i AS VARCHAR), '|', s))),
+                         'min')) AS sig
+                FROM sh
+            ), banded AS (
+                SELECT id, band,
+                       md5(concat(CAST(band AS VARCHAR), '|',
+                           array_to_string(sig[band*4+1 : band*4+4], ','))) AS bucket
+                FROM sig, (SELECT unnest(generate_series(0, 7)) AS band)
+            )
+            SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_bands
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            GROUP BY 1, 2
         """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (

@@ -72,12 +72,25 @@ def fingerprint_dedup_groups(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
-                       shingle_k: int = 3) -> DataFrame:
+                       shingle_k: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signatures over k-token shingles, fully JVM-side.
 
     hash_i(shingle) = xxhash64(i, shingle); minhash_i = min over shingles.
     Output: (id, sig: array<long> of length num_hashes).
+
+    ``hash_fn="md5"`` swaps the hash family for
+    hash_i(shingle) = md5(i || '|' || shingle) (lowercase hex string,
+    minhash = lexicographic min; sig becomes array<string>) — the SAME
+    algorithm with a hash both Spark and DuckDB implement bit-identically,
+    so the LSH pipeline gains an EXACT cross-engine oracle
+    (``minhash_lsh_pairs_portable``); xxhash64 stays the default — it is
+    several times cheaper per shingle and collision quality is equivalent
+    for banding purposes (Broder 1997 needs only a min-wise independent
+    family).
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     out = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
     out = out.withColumn(
         "shingles",
@@ -89,8 +102,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
             ),
         ).otherwise(F.array(F.concat_ws(" ", F.col("toks")))),
     )
+    if hash_fn == "md5":
+        hash_expr = "transform(shingles, s -> md5(concat('{i}', '|', s)))"
+    else:
+        hash_expr = "transform(shingles, s -> xxhash64({i}, s))"
     sig = F.array(*[
-        F.array_min(F.expr(f"transform(shingles, s -> xxhash64({i}, s))"))
+        F.array_min(F.expr(hash_expr.format(i=i)))
         for i in range(num_hashes)
     ]).alias("sig")
     return out.select("id", sig)
@@ -98,7 +115,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
-                           bands: int = 8, shingle_k: int = 3) -> DataFrame:
+                           bands: int = 8, shingle_k: int = 3,
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     shingle → minhash(num_hashes) → split into ``bands`` bands of
@@ -106,18 +124,25 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     bucket.  Output: (id_a, id_b, n_bands) with id_a < id_b.  The bucket
     join is the only shuffle; bucket sizes are bounded by true near-dup
     cluster size, not corpus size.
+
+    ``hash_fn="md5"``: portable hash family (see
+    :func:`minhash_signatures`) — band buckets become md5 hex strings and
+    the whole pipeline is reproducible verbatim in DuckDB SQL.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
+                              hash_fn=hash_fn)
+
+    def _bucket(b: int):
+        sl = f"concat_ws(',', slice(sig, {b * rows + 1}, {rows}))"
+        if hash_fn == "md5":
+            return F.expr(f"md5(concat('{b}', '|', {sl}))")
+        return F.xxhash64(F.lit(b), F.expr(sl))
+
     banded = sigs.select(
         "id",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.lit(b), F.expr(
-                    f"concat_ws(',', slice(sig, {b * rows + 1}, {rows}))"
-                )).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")

@@ -53,6 +53,19 @@ def test_minhash_lsh_finds_dups(spark):
     assert pairs.get((0, 1)) == 8          # identical docs collide in all bands
     assert (0, 2) in pairs                 # high-jaccard near-dup caught
     assert (0, 3) not in pairs             # unrelated docs don't collide
+    # portable (md5) hash family: same pipeline, same guarantees — this
+    # is the variant the DuckDB oracle reproduces bit-identically
+    # (minhash_lsh_pairs_portable); collision sets may differ only on
+    # borderline near-dups, never on exact dups or unrelated docs
+    md5_pairs = {(r["id_a"], r["id_b"]): r["n_bands"]
+                 for r in minhash_lsh_candidates(
+                     df, num_hashes=32, bands=8, hash_fn="md5").collect()}
+    assert md5_pairs.get((0, 1)) == 8
+    assert (0, 2) in md5_pairs
+    assert (0, 3) not in md5_pairs
+    import pytest
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_lsh_candidates(df, hash_fn="sha1")
 
 
 def test_ngram_jaccard_exact(spark, docs_df):
