@@ -53,6 +53,7 @@ class _RowGroupIndex:
     def __init__(self, paths: list[str], col: str, filesystem=None):
         import threading
         self.col = col
+        self.paths = list(paths)   # path per file_idx (fan-out pruning)
         self.files = []     # open pq.ParquetFile handles (footer cached)
         self.entries = []   # (file_idx, rg_idx, min, max) — min None = no stats
         self._pool = None   # lazy shared thread pool for multi-file reads
@@ -756,8 +757,24 @@ class SearchEngine:
         avgdl = self.avgdl
         filter_sub, filter_values = filter_clause if filter_clause \
             else (None, None)
-        fields_paths = self.cat.data_files("fields") if filter_clause \
-            else []
+        fields_paths: list[tuple[str, int, int]] = []
+        if filter_clause:
+            # per-file doc_id spans from the resident footer directory, so
+            # each fan-out task opens ONLY the fields files overlapping
+            # its doc range — at 10^12 docs the fields table is millions
+            # of files and a task must not touch every footer.  A file
+            # with any stats-less row group gets an unbounded span.
+            fidx = self._rg_index("fields", "doc_id")
+            spans: dict[int, list] = {}
+            for fi, _rg, lo, hi in fidx.entries:
+                cur = spans.setdefault(fi, [lo, hi])
+                if lo is None or cur[0] is None:
+                    cur[0] = cur[1] = None
+                else:
+                    cur[0] = min(cur[0], lo)
+                    cur[1] = max(cur[1], hi)
+            fields_paths = [(fidx.paths[fi], *span)
+                            for fi, span in spans.items()]
         ts_bc = self.spark.sparkContext.broadcast(self.tombstones)
         payload = [("\n".join(g),) for g in groups]
         fdf = self.spark.createDataFrame(
@@ -783,15 +800,19 @@ class SearchEngine:
                     allowed = None
                     if filter_sub is not None:
                         # this group's candidate doc range: fields rows
-                        # outside it cannot matter, so the read is pruned
-                        # to the range AND the filter values
+                        # outside it cannot matter, so the read opens only
+                        # the span-overlapping files (driver-computed
+                        # footer spans) and pushes range + value predicates
                         lo = min(int(r["first_doc"]) for r in recs)
                         hi = max(int(r["last_doc"]) for r in recs)
+                        sel = [p for p, flo, fhi in fields_paths
+                               if flo is None or not (fhi < lo or flo > hi)]
+                        if not sel:
+                            continue    # no fields rows in this doc range
                         fexpr = (_pds.field(filter_sub).isin(filter_values)
                                  & (_pds.field("doc_id") >= lo)
                                  & (_pds.field("doc_id") <= hi))
-                        ft = _pds.dataset(
-                            fields_paths, format="parquet").to_table(
+                        ft = _pds.dataset(sel, format="parquet").to_table(
                             filter=fexpr, columns=["doc_id"])
                         allowed = frozenset(ft["doc_id"].to_pylist())
                         if not allowed:
