@@ -121,3 +121,59 @@ def test_conjunctive_equals_exhaustive_require_all(data):
     got_ex = exhaustive_topk_arrays(term_blocks, avgdl, k, tombstones=tomb,
                                     require_all=True)
     assert [d for _, d in got_ex] == [d for _, d in want]
+
+
+@given(corpus(), st.integers(0, 10_000))
+@settings(max_examples=150, deadline=None)
+def test_filter_context_equals_restricted_exhaustive(data, fseed):
+    """ES filter context on the kernels: WAND / exhaustive / conjunctive
+    with a random ``allowed`` set == the reference scorer restricted to
+    that set, on random corpora with tombstones — including score
+    equality, doc_id-asc ties, and the empty-filter edge."""
+    from mongoesindexer_spark.operators.topk import conjunctive_topk_arrays
+
+    doc_lens, postings, terms, k = data
+    n_docs = doc_lens.size
+    avgdl = float(doc_lens.mean())
+    tomb = set(np.flatnonzero(np.arange(n_docs) % 7 == 3).tolist())
+    frng = np.random.RandomState(fseed)
+    allowed_mask = frng.rand(n_docs) < frng.choice([0.0, 0.2, 0.6, 1.0])
+    allowed_arr = np.flatnonzero(allowed_mask).astype(np.int64)
+    allowed_set = frozenset(allowed_arr.tolist())
+
+    scores = np.zeros(n_docs, dtype=np.float64)
+    n_matched = np.zeros(n_docs, dtype=np.int64)
+    for t in terms:
+        docs, tfs = postings[t]
+        idf = float(bm25_idf(docs.size, n_docs))
+        scores[docs] += idf * bm25_tf_norm(tfs, doc_lens[docs], avgdl)
+        n_matched[docs] += 1
+
+    def ref(require_all: bool):
+        need = len(terms) if require_all else 1
+        cand = [d for d in np.flatnonzero(n_matched >= need)
+                if d not in tomb and d in allowed_set]
+        return sorted(((scores[d], int(d)) for d in cand),
+                      key=lambda x: (-x[0], x[1]))[:k]
+
+    cursors, cursors2, term_blocks = [], [], {}
+    for t in terms:
+        docs, tfs = postings[t]
+        idf = float(bm25_idf(docs.size, n_docs))
+        blocks = encode_blocks(docs, tfs, doc_lens[docs], avgdl, block_size=8)
+        cursors.append(_TermCursor(idf, blocks, avgdl))
+        cursors2.append(_TermCursor(idf, blocks, avgdl))
+        term_blocks[t] = (idf, blocks)
+
+    def check(got, want):
+        assert len(got) == len(want)
+        for (gs, gd), (ws, wd) in zip(got, want):
+            assert gd == wd
+            assert abs(gs - ws) < 1e-9
+
+    check(wand_topk_arrays(cursors, avgdl, k, tombstones=tomb,
+                           allowed=allowed_set), ref(False))
+    check(exhaustive_topk_arrays(term_blocks, avgdl, k, tombstones=tomb,
+                                 allowed=allowed_arr), ref(False))
+    check(conjunctive_topk_arrays(cursors2, avgdl, k, tombstones=tomb,
+                                  allowed=allowed_set), ref(True))
