@@ -225,16 +225,32 @@ def main() -> None:
     total_t0 = time.perf_counter()
     results: dict[str, float] = {}
 
-    # 1) index build throughput over the sf documents table
+    # 1) index build throughput over the sf documents table.  Cold and
+    # warm are reported SEPARATELY (same rationale as the bm25 p95 split
+    # below): the first build is the session's first Spark job, so it
+    # pays JVM JIT + python-worker fork + cold page cache on top of the
+    # actual build — measured 11-20 s for an identical ~10.6 s warm
+    # build across otherwise-identical runs, which made the headline
+    # docs/sec whipsaw ±70% on first-job weather alone.  The steady-state
+    # number is what sustained 100 TB indexing throughput extrapolates
+    # from; the cold number stays visible for comparability with the
+    # r01-r03 records (whose index_build was a single cold draw).
     idx_dir = tempfile.mkdtemp(prefix="mei_bench_docs_idx_")
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     from mongoesindexer_spark.operators.build_index import IndexBuilder
     t0 = time.perf_counter()
     IndexBuilder(idx_dir, n_buckets=CPUS, key_col="doc_id", id_col="doc_id").build(spark, docs)
+    cold_build_secs = time.perf_counter() - t0
+    warm_dir = tempfile.mkdtemp(prefix="mei_bench_docs_idx_warm_")
+    t0 = time.perf_counter()
+    IndexBuilder(warm_dir, n_buckets=CPUS, key_col="doc_id", id_col="doc_id").build(spark, docs)
     build_secs = time.perf_counter() - t0
+    shutil.rmtree(warm_dir, ignore_errors=True)
     n_docs = docs.count()
+    results["index_build_cold"] = round(cold_build_secs, 3)
     results["index_build"] = round(build_secs, 3)
     docs_per_sec = n_docs / build_secs
+    docs_per_sec_cold = n_docs / cold_build_secs
 
     # 2) BM25 query latency (df path once each; WAND path for p95 stats).
     # Cold and warm are reported SEPARATELY: the first WAND pass pays
@@ -428,6 +444,7 @@ def main() -> None:
                                     rep, repeats)
             prov["provisional"] = True
             print(json.dumps(_result(results, total_t0, docs_per_sec,
+                                     docs_per_sec_cold,
                                      p95, p95_cold, kw_p95, prov)),
                   flush=True)
         scaling = _scaling_summary(legs, round_pairs, leg_errors,
@@ -447,6 +464,7 @@ def main() -> None:
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     print(json.dumps(_result(results, total_t0, docs_per_sec,
+                             docs_per_sec_cold,
                              p95, p95_cold, kw_p95, scaling)), flush=True)
 
 
@@ -490,8 +508,8 @@ def _scaling_summary(legs: dict, round_pairs: list, leg_errors: list,
 
 
 def _result(results: dict, total_t0: float, docs_per_sec: float,
-            p95: float, p95_cold: float, kw_p95: float,
-            scaling: dict) -> dict:
+            docs_per_sec_cold: float, p95: float, p95_cold: float,
+            kw_p95: float, scaling: dict) -> dict:
     return {
         "metric": "index docs/sec + BM25 top-k p95 + operator suite seconds",
         "value": round(time.perf_counter() - total_t0, 3),
@@ -499,6 +517,7 @@ def _result(results: dict, total_t0: float, docs_per_sec: float,
         "queries": dict(results),
         "sf": _sf_value(SF_DIR),
         "index_docs_per_sec": round(docs_per_sec, 1),
+        "index_docs_per_sec_cold": round(docs_per_sec_cold, 1),
         "bm25_p95_ms": round(p95, 1),
         "bm25_p95_cold_ms": round(p95_cold, 1),
         "keyword_point_p95_ms": round(kw_p95, 2),
