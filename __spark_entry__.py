@@ -30,6 +30,11 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 BM25_QUERY = "data query spark"
 BM25_K = 20
 CONJ_QUERY = "merge join"
+# exact-phrase query (ES match_phrase) — a bigram that occurs adjacently
+# in the synthetic corpus, with distinct terms so the oracle's idf sum is
+# a plain aggregate
+PHRASE_QUERY = "order fast"
+_PT = PHRASE_QUERY.split()
 PREFIX = "sca"
 
 # whitespace-regex split on both sides (engine tokenizers use str.split(),
@@ -61,14 +66,18 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     # must never adopt a stale dir built by older code (round-1 bug), and
     # IndexBuilder.build additionally wipes any version-mismatched dir
     tag = hashlib.md5(key.encode()).hexdigest()[:10]
-    # "f2" = feature tag: bumped when the build CALL here gains tables
-    # (keyword_fields) — a cached dir from an older call shape would lack
-    # them even at the same format version
+    # "f3" = feature tag: bumped when the build CALL here gains tables or
+    # flags (f2: keyword_fields; f3: index_positions) — a cached dir from
+    # an older call shape would lack them even at the same format version
     index_dir = os.path.join(
-        tempfile.gettempdir(), f"mei_idx_v{INDEX_FORMAT_VERSION}f2_{tag}")
+        tempfile.gettempdir(), f"mei_idx_v{INDEX_FORMAT_VERSION}f3_{tag}")
+    # positions ON: the gate index exercises the positional encode/serve
+    # path end-to-end (ES index_options=positions, the mapping default
+    # every reference text field inherits)
     builder = IndexBuilder(index_dir, n_buckets=8, key_col="doc_id",
                            id_col="doc_id",
-                           keyword_fields=("source", "lang"))
+                           keyword_fields=("source", "lang"),
+                           index_positions=True)
     builder.build(spark, _read(spark, sf_dir, "documents"))
     _IDX[key] = index_dir
     return index_dir
@@ -177,6 +186,22 @@ def q_ft_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongoesindexer_spark.operators.topk import bm25_topk_df
     idx = _docs_index(spark, sf_dir)
     return bm25_topk_df(spark, idx, CONJ_QUERY, 50, mode="and").select(
+        "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
+def q_ft_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase`` (slop=0) through the positional-postings
+    serving path (operators/topk.py phrase_topk): conjunctive candidate
+    intersection + position-adjacency verify, scored as Lucene's BM25
+    PhraseQuery (idf_sum × tfn(phrase_freq, dl)).  The oracle counts
+    phrase start positions per doc with a DuckDB list lambda and applies
+    the same formula."""
+    from mongoesindexer_spark.operators.topk import bm25_phrase_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = bm25_phrase_topk(spark, idx, PHRASE_QUERY, BM25_K)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select(
         "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
@@ -619,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_segments_topk": q_ft_bm25_segments_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
+        "ft_phrase_search": q_ft_phrase_search,
         "ft_keyword_match": q_ft_keyword_match,
         "ft_keyword_normalized": q_ft_keyword_normalized,
         "ft_keyword_point": q_ft_keyword_point,
@@ -781,6 +807,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores WHERE n_terms = 2
             ORDER BY score DESC, doc_id ASC LIMIT 50
+        """,
+        # ES match_phrase: phrase_freq = count of start positions i with
+        # t[i]='order' AND t[i+1]='fast'; score = idf_sum × BM25 tf-norm
+        # of the phrase freq (Lucene PhraseWeight under BM25Similarity —
+        # the phrase is one pseudo-term whose idf is the terms' idf sum)
+        "ft_phrase_search": f"""
+            WITH toksl AS (
+                SELECT doc_id, {_TOK_DD} AS t FROM documents
+            ), pf AS (
+                SELECT doc_id, len(t)::BIGINT AS doc_len,
+                       len(list_filter(range(1, len(t)),
+                           i -> t[i] = '{_PT[0]}' AND t[i+1] = '{_PT[1]}'
+                           ))::BIGINT AS ptf
+                FROM toksl
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS term FROM toksl
+            ), dfreq AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+                WHERE term IN ('{_PT[0]}', '{_PT[1]}') GROUP BY 1
+            ), g AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT sum(len(t)) FROM toksl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), idf AS (
+                SELECT sum(ln(1 + (g.n - df + 0.5) / (df + 0.5))) AS idf_sum
+                FROM dfreq CROSS JOIN g
+            ), scores AS (
+                SELECT doc_id,
+                       idf.idf_sum * ptf * 2.2
+                       / (ptf + 1.2 * (1 - 0.75 + 0.75 * doc_len / g.avgdl))
+                       AS score
+                FROM pf CROSS JOIN idf CROSS JOIN g WHERE ptf > 0
+            )
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_keyword_sort": """
             SELECT doc_id, lower(strip_accents(source)) AS sort_key

@@ -56,6 +56,13 @@ BM25_QUERIES = [
     ("scan", 10), ("hash table sort", 10), ("row line part", 10),
 ]
 
+# exact-phrase queries (ES match_phrase over positional postings) —
+# bigrams that occur adjacently in the synthetic corpus at every sf
+PHRASE_QUERIES = [
+    ("order fast", 10), ("stream column", 10), ("window join", 10),
+    ("data slow", 10),
+]
+
 
 def _sf_value(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -312,6 +319,34 @@ def main() -> None:
                       filter_normalized=True)
     results["bm25_filtered_suite"] = round(time.perf_counter() - flt_t0, 3)
 
+    # 2e) phrase queries (ES match_phrase) over a POSITIONAL build of the
+    # same corpus.  The positional build is timed separately — it is the
+    # honest cost of index_options=positions (the ES text-mapping
+    # default), kept out of index_build so the headline docs/sec and the
+    # scaling legs stay comparable with the r01-r03 records.  This is the
+    # session's third warm build, so the delta vs index_build IS the
+    # positions overhead.
+    pos_dir = tempfile.mkdtemp(prefix="mei_bench_docs_idx_pos_")
+    t0 = time.perf_counter()
+    IndexBuilder(pos_dir, n_buckets=CPUS, key_col="doc_id", id_col="doc_id",
+                 index_positions=True).build(spark, docs)
+    results["index_build_positions"] = round(time.perf_counter() - t0, 3)
+    peng = get_engine(spark, pos_dir)
+    ph_cold, ph_ms = [], []
+    for q, k in PHRASE_QUERIES:
+        t0 = time.perf_counter()
+        peng.phrase_topk(q, k)
+        ph_cold.append((time.perf_counter() - t0) * 1000)
+    for q, k in PHRASE_QUERIES * 5:    # 20 warm samples
+        t0 = time.perf_counter()
+        peng.phrase_topk(q, k)
+        ph_ms.append((time.perf_counter() - t0) * 1000)
+    phrase_p95 = statistics.quantiles(ph_ms, n=20)[-1] if len(ph_ms) >= 2 \
+        else ph_ms[0]
+    results["phrase_cold_suite"] = round(sum(ph_cold) / 1000, 3)
+    results["phrase_suite"] = round(sum(ph_ms) / 1000, 3)
+    shutil.rmtree(pos_dir, ignore_errors=True)
+
     # 3) operator suite (the driver-facing queries at this sf)
     suite = [
         "ft_term_stats", "lookup_join", "nested_lookup", "dedup_exact",
@@ -445,7 +480,8 @@ def main() -> None:
             prov["provisional"] = True
             print(json.dumps(_result(results, total_t0, docs_per_sec,
                                      docs_per_sec_cold,
-                                     p95, p95_cold, kw_p95, prov)),
+                                     p95, p95_cold, kw_p95, phrase_p95,
+                                     prov)),
                   flush=True)
         scaling = _scaling_summary(legs, round_pairs, leg_errors,
                                    rep, repeats)
@@ -465,7 +501,8 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     print(json.dumps(_result(results, total_t0, docs_per_sec,
                              docs_per_sec_cold,
-                             p95, p95_cold, kw_p95, scaling)), flush=True)
+                             p95, p95_cold, kw_p95, phrase_p95, scaling)),
+          flush=True)
 
 
 def _scaling_summary(legs: dict, round_pairs: list, leg_errors: list,
@@ -509,7 +546,7 @@ def _scaling_summary(legs: dict, round_pairs: list, leg_errors: list,
 
 def _result(results: dict, total_t0: float, docs_per_sec: float,
             docs_per_sec_cold: float, p95: float, p95_cold: float,
-            kw_p95: float, scaling: dict) -> dict:
+            kw_p95: float, phrase_p95: float, scaling: dict) -> dict:
     return {
         "metric": "index docs/sec + BM25 top-k p95 + operator suite seconds",
         "value": round(time.perf_counter() - total_t0, 3),
@@ -521,6 +558,7 @@ def _result(results: dict, total_t0: float, docs_per_sec: float,
         "bm25_p95_ms": round(p95, 1),
         "bm25_p95_cold_ms": round(p95_cold, 1),
         "keyword_point_p95_ms": round(kw_p95, 2),
+        "phrase_p95_ms": round(phrase_p95, 2),
         "scaling": scaling,
     }
 

@@ -5,6 +5,7 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
   spark-submit --py-files engine.zip -m mongoesindexer_spark.cli build \
       --pages /path/pages_parquet --index /path/index [--config cfg.json]
   ... query  --index /path/index --q "terms here" --k 10 [--wand]
+             [--phrase]                      # ES match_phrase (positional index)
              [--filter lang:en --filter-normalized]  # ES bool must+filter
   ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
   ... keyword --index /path/index --field lang --value EN [--normalized]  # term query (T8)
@@ -45,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--wand", action="store_true")
     q.add_argument("--mode", default="or", choices=["or", "and"])
+    q.add_argument("--phrase", action="store_true",
+                   help="ES match_phrase (slop=0): the query terms must "
+                        "occur contiguously; needs an index built with "
+                        "index_positions (config: index_positions true)")
     q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="search_after cursor: the previous page's last "
                         "score,doc_id — returns the next k (deep paging)")
@@ -126,7 +131,8 @@ def main(argv: list[str] | None = None) -> int:
             args.index, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
             block_size=cfg.block_size,
             key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
-            keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted)
+            keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted,
+            index_positions=cfg.index_positions)
         fail = frozenset({args.fail_after}) if args.fail_after else frozenset()
         res = builder.build(spark, spark.read.parquet(args.pages), fail_partitions=fail)
         print(json.dumps(res))
@@ -142,7 +148,15 @@ def main(argv: list[str] | None = None) -> int:
             if not _ or not vals:
                 raise SystemExit("--filter wants FIELD:VALUE[,VALUE…]")
             fv = vals.split(",")
-        if args.wand:
+        if args.phrase:
+            from .operators.topk import bm25_phrase_topk
+            pdf = bm25_phrase_topk(spark, args.index, args.q, args.k,
+                                   search_after=after,
+                                   filter_field=ff, filter_value=fv,
+                                   filter_normalized=args.filter_normalized)
+            print(pdf.to_string(index=False,
+                                float_format=lambda v: f"{v:.17g}"))
+        elif args.wand:
             pdf = bm25_topk_wand(spark, args.index, args.q, args.k,
                                  mode=args.mode, search_after=after,
                                  filter_field=ff, filter_value=fv,
@@ -241,7 +255,8 @@ def main(argv: list[str] | None = None) -> int:
                 idx, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
                 block_size=cfg.block_size,
                 key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
-                keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted)
+                keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted,
+                index_positions=cfg.index_positions)
             out[cfg.index_name] = builder.build(
                 spark, spark.read.parquet(cfg.source_table))
         print(json.dumps(out))

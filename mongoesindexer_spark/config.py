@@ -54,6 +54,9 @@ class IndexConfig:
     # text+keyword+normalize multi-field mappings,
     # ltd_doc.settings.json:292-310)
     keyword_fields: tuple[str, ...] = ()
+    # store within-doc term positions (ES index_options: positions — the
+    # Lucene text-mapping default) — enables match_phrase serving
+    index_positions: bool = False
 
     def analyzer_config(self) -> AnalyzerConfig:
         return KEYWORD if self.analyzer == "keywords" else LTD_DOC

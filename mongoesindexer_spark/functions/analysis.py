@@ -271,6 +271,38 @@ def analyze_index(text: str, cfg: AnalyzerConfig = LTD_DOC) -> list[str]:
     return out
 
 
+def analyze_index_pos(text: str, cfg: AnalyzerConfig = LTD_DOC
+                      ) -> tuple[list[str], list[int]]:
+    """Index-side chain WITH token positions (ES ``index_options:
+    positions`` — the Lucene default for text fields, which every
+    reference mapping inherits).
+
+    Position = the 0-based index of the emitted token's ORIGINATING
+    whitespace token: word_delimiter parts/catenations and edge-ngrams
+    all share their source token's position (Lucene emits expansion
+    tokens at positionIncrement 0), and a stop-filtered token emits
+    nothing at its index, leaving a gap (the positionIncrement analog) —
+    so phrase matching treats removed stopwords as holes, never as
+    adjacency.  Token stream is identical to :func:`analyze_index`
+    (property-tested); the shared memo cache serves both.
+    """
+    toks: list[str] = []
+    poss: list[int] = []
+    cache = _TOKEN_CACHE
+    name = "i:" + _cfg_namespace(cfg)
+    for i, raw in enumerate(text.split()):
+        t = raw.lower()
+        key = (name, t)
+        e = cache.get(key)
+        if e is None:
+            e = _analyze_index_token(t, cfg)
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[key] = e
+        toks.extend(e)
+        poss.extend([i] * len(e))
+    return toks, poss
+
+
 def _analyze_search_token(t: str, cfg: AnalyzerConfig) -> tuple[str, ...]:
     tokens = [t]
     if cfg.search_word_delimiter:

@@ -123,6 +123,68 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# positions (index_options=positions — phrase queries)
+# ---------------------------------------------------------------------------
+
+
+def encode_positions_rows(positions: np.ndarray,
+                          row_ends: np.ndarray) -> list[bytes]:
+    """Per-posting position streams: varbyte(delta(within-doc positions)).
+
+    ``positions``: the concatenated non-decreasing position runs of many
+    postings (one run per posting, run i = ``positions[row_ends[i-1]:
+    row_ends[i]]``); ``row_ends``: cumulative run ends (every run
+    non-empty — a posting's position count IS its tf).  Each run is
+    delta-encoded against -1, so every returned bytes object is a
+    SELF-CONTAINED stream: streams survive reordering, concatenation into
+    block streams, and re-slicing (compaction) with no side channel.
+    One vectorized varbyte pass over the whole batch — never one numpy
+    call per posting (most postings are tf=1).
+    """
+    positions = np.asarray(positions, dtype=np.int64)
+    if positions.size == 0:
+        return []
+    row_ends = np.asarray(row_ends, dtype=np.int64)
+    starts = np.concatenate(([np.int64(0)], row_ends[:-1]))
+    gaps = np.diff(positions, prepend=np.int64(-1))
+    gaps[starts] = positions[starts] + 1
+    payload, lens = varbyte_encode_lengths(gaps)
+    bends = np.cumsum(lens)
+    row_bend = bends[row_ends - 1]
+    row_bstart = row_bend - np.add.reduceat(lens, starts)
+    buf = payload.tobytes()
+    return [buf[a:b] for a, b in zip(row_bstart, row_bend)]
+
+
+def decode_positions_block(pos_vb: bytes, tfs: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block's concatenated per-posting position streams.
+
+    ``tfs``: the block's decoded term frequencies — posting i holds
+    exactly tf_i positions, so the value stream splits with no explicit
+    length sidecar.  Returns ``(flat_positions, row_ends)``: posting i's
+    positions are ``flat[row_ends[i-1]:row_ends[i]]``, sorted ascending
+    (non-strict: distinct word_delimiter/edge-ngram expansions of one
+    source token share its position).
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    deltas = varbyte_decode(pos_vb)
+    ends = np.cumsum(tfs)
+    total = int(ends[-1]) if ends.size else 0
+    if deltas.size != total:
+        raise ValueError(
+            f"corrupt position stream: decoded {deltas.size} positions, "
+            f"tfs say {total}")
+    if total == 0:
+        return np.empty(0, dtype=np.int64), ends
+    c = np.cumsum(deltas)
+    starts = ends - tfs
+    base = np.where(starts > 0, c[starts - 1], 0)
+    flat = c - np.repeat(base, tfs) - 1
+    return flat, ends
+
+
+# ---------------------------------------------------------------------------
 # BM25 components
 # ---------------------------------------------------------------------------
 
@@ -147,7 +209,8 @@ def bm25_tf_norm(tf: np.ndarray, doc_len: np.ndarray, avgdl: float,
 
 def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
                   avgdl: float, block_size: int = BLOCK_SIZE,
-                  block_id_base: int = 0) -> list[dict]:
+                  block_id_base: int = 0,
+                  pos: "np.ndarray | list | None" = None) -> list[dict]:
     """Encode one term's postings (sorted by doc_id) into block rows.
 
     Returns a list of dicts with keys: ``block_id, first_doc, last_doc, n,
@@ -159,12 +222,18 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
     ``min_dl`` allow recomputing a safe (slightly looser) upper bound
     ``tf_norm(max_tf, min_dl, avgdl')`` for any later ``avgdl'`` — needed
     because incremental updates shift avgdl without rewriting base blocks.
+
+    ``pos``: optional per-posting self-contained position streams
+    (:func:`encode_positions_rows`), aligned with the INPUT order; each
+    block row then carries ``pos_vb`` = its postings' streams concatenated
+    in block doc order (split back with the decoded tfs).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     doc_lens = np.asarray(doc_lens, dtype=np.int64)
     order = np.argsort(doc_ids, kind="stable")
     doc_ids, tfs, doc_lens = doc_ids[order], tfs[order], doc_lens[order]
+    pos_s = np.asarray(pos, dtype=object)[order] if pos is not None else None
     tfn = bm25_tf_norm(tfs, doc_lens, avgdl)
     rows: list[dict] = []
     for bi, start in enumerate(range(0, doc_ids.size, block_size)):
@@ -183,6 +252,8 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
             "max_tf": int(t.max()),
             "min_dl": int(dl.min()),
             "sum_tf": int(t.sum()),
+            "pos_vb": b"".join(pos_s[start:start + block_size])
+            if pos_s is not None else None,
         })
     return rows
 
@@ -236,7 +307,8 @@ def decode_blocks_into(blocks: list[dict]) -> None:
 def encode_groups(terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
                   doc_lens: np.ndarray, avgdl: float,
                   block_size: int = BLOCK_SIZE,
-                  block_id_base: int = 0):
+                  block_id_base: int = 0,
+                  pos: "np.ndarray | list | None" = None):
     """Vectorized block encode of MANY terms' postings in one pass.
 
     Input arrays must be sorted by (term, doc_id).  Per-term output is
@@ -257,7 +329,9 @@ def encode_groups(terms: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray,
     term_change[0] = True
     term_change[1:] = terms[1:] != terms[:-1]
     return _encode_groups_core(term_change, terms, doc_ids, tfs, doc_lens,
-                               avgdl, block_size, block_id_base)
+                               avgdl, block_size, block_id_base,
+                               pos=np.asarray(pos, dtype=object)
+                               if pos is not None else None)
 
 
 def _EMPTY_GROUPS() -> dict:
@@ -265,6 +339,7 @@ def _EMPTY_GROUPS() -> dict:
         "term": [], "block_id": [], "first_doc": [], "last_doc": [],
         "n": [], "docs_vb": [], "tfs_vb": [], "dls_vb": [],
         "block_max_tfn": [], "max_tf": [], "min_dl": [], "sum_tf": [],
+        "pos_vb": [],
     }
 
 
@@ -272,7 +347,8 @@ def encode_groups_coded(codes: np.ndarray, vocab: np.ndarray,
                         doc_ids: np.ndarray, tfs: np.ndarray,
                         doc_lens: np.ndarray, avgdl: float,
                         block_size: int = BLOCK_SIZE,
-                        block_id_base: int = 0):
+                        block_id_base: int = 0,
+                        pos: "np.ndarray | list | None" = None):
     """:func:`encode_groups` over a dictionary-coded term column.
 
     ``codes`` are UNSORTED int indices into ``vocab`` (object array of
@@ -313,7 +389,9 @@ def encode_groups_coded(codes: np.ndarray, vocab: np.ndarray,
         doc_arr[order],
         np.asarray(tfs, dtype=np.int64)[order],
         np.asarray(doc_lens, dtype=np.int64)[order],
-        avgdl, block_size, block_id_base)
+        avgdl, block_size, block_id_base,
+        pos=np.asarray(pos, dtype=object)[order] if pos is not None
+        else None)
 
 
 class _CodedTerms:
@@ -333,7 +411,8 @@ class _CodedTerms:
 def _encode_groups_core(term_change: np.ndarray, terms,
                         doc_ids: np.ndarray, tfs: np.ndarray,
                         doc_lens: np.ndarray, avgdl: float,
-                        block_size: int, block_id_base: int):
+                        block_size: int, block_id_base: int,
+                        pos: "np.ndarray | None" = None):
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     doc_lens = np.asarray(doc_lens, dtype=np.int64)
@@ -381,4 +460,8 @@ def _encode_groups_core(term_change: np.ndarray, terms,
         # METADATA (one row per block) instead of a second full-corpus
         # shuffle over postings_flat
         "sum_tf": np.add.reduceat(tfs, starts),
+        # per-posting position streams are self-contained, so the block's
+        # stream is a plain ordered concatenation — no re-encode pass
+        "pos_vb": [b"".join(pos[a:b]) for a, b in zip(starts, ends)]
+        if pos is not None else [None] * starts.size,
     }

@@ -68,10 +68,18 @@ DEFAULT_N_BUCKETS = 32
 #   5 — value-sorted fields_by_<subcol> point-read sidecars (ES term-query
 #       serving path, SearchEngine.keyword_term); a v4 index has the
 #       fields table but no sidecars, so serving would KeyError
+#   6 — nullable ``pos_vb`` column on postings_flat rows and
+#       postings_blocks rows (ES index_options=positions — phrase
+#       queries); all-null when the index is built without positions,
+#       so every generation writer emits one uniform schema.  The
+#       format file also records ``positions`` (whether the streams are
+#       real) — IndexBuilder treats a flag mismatch like a version
+#       mismatch (wipe + rebuild), and phrase serving fails loudly on a
+#       positions=false index.
 # IndexBuilder refuses to RESUME across versions (it wipes and rebuilds);
 # SearchEngine/IncrementalIndexer fail loudly on mismatch — a silently
 # adopted stale index was round 1's single gate-killing bug.
-INDEX_FORMAT_VERSION = 5
+INDEX_FORMAT_VERSION = 6
 _FORMAT_FILE = "_FORMAT.json"
 
 # Completion-suggester table: prefixes up to this length are materialized
@@ -80,20 +88,33 @@ _FORMAT_FILE = "_FORMAT.json"
 MAX_PREFIX_LEN = 16
 
 
-def read_format_version(index_dir: str, filesystem=None) -> int | None:
+def _read_format_meta(index_dir: str, filesystem=None) -> dict | None:
     import json
     p = os.path.join(index_dir, _FORMAT_FILE)
     if not fsio.exists(p, filesystem):
         return None
-    return int(json.loads(
-        fsio.read_text(p, filesystem)).get("format_version", 0))
+    return json.loads(fsio.read_text(p, filesystem))
 
 
-def write_format_version(index_dir: str, filesystem=None) -> None:
+def read_format_version(index_dir: str, filesystem=None) -> int | None:
+    meta = _read_format_meta(index_dir, filesystem)
+    return None if meta is None else int(meta.get("format_version", 0))
+
+
+def read_format_positions(index_dir: str, filesystem=None) -> bool:
+    """Whether the index at ``index_dir`` carries real position streams
+    (built with ``index_positions=True``)."""
+    meta = _read_format_meta(index_dir, filesystem)
+    return bool(meta and meta.get("positions", False))
+
+
+def write_format_version(index_dir: str, filesystem=None,
+                         positions: bool = False) -> None:
     import json
     fsio.makedirs(index_dir, filesystem)
     fsio.write_text_atomic(
-        json.dumps({"format_version": INDEX_FORMAT_VERSION}),
+        json.dumps({"format_version": INDEX_FORMAT_VERSION,
+                    "positions": bool(positions)}),
         os.path.join(index_dir, _FORMAT_FILE), filesystem)
 
 
@@ -189,7 +210,8 @@ def assign_doc_ids(df: DataFrame, key: str = "url",
     return ranged.mapInPandas(_number, schema=schema)
 
 
-def tokenize_flat(docs: DataFrame, cfg: AnalyzerConfig = LTD_DOC) -> DataFrame:
+def tokenize_flat(docs: DataFrame, cfg: AnalyzerConfig = LTD_DOC,
+                  positions: bool = False) -> DataFrame:
     """(doc_id, url, text) → postings rows + one doc-marker row per doc,
     in a single Arrow-batched pass.
 
@@ -199,18 +221,25 @@ def tokenize_flat(docs: DataFrame, cfg: AnalyzerConfig = LTD_DOC) -> DataFrame:
     (term=NULL, tf=0, doc_len, url) carry the per-doc stats so doc_stats
     needs no extra aggregate/join stage over the corpus.  Read postings
     through :func:`read_flat`, markers through :func:`read_doc_markers`.
+
+    ``positions=True``: postings rows additionally carry ``pos_vb`` —
+    the self-contained varbyte(delta) stream of the term's within-doc
+    positions (ES ``index_options: positions``); the column is all-null
+    otherwise, keeping one uniform flat schema across both modes.
     """
     def _tok(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield _tokenize_batch(pdf["doc_id"].values, pdf["url"].values,
-                                  pdf["text"].values, cfg)
+                                  pdf["text"].values, cfg,
+                                  positions=positions)
 
     return docs.select("doc_id", "url", "text").mapInPandas(
         _tok, schema=FLAT_DDL
     )
 
 
-FLAT_DDL = "term string, doc_id long, tf long, doc_len long, url string"
+FLAT_DDL = ("term string, doc_id long, tf long, doc_len long, url string, "
+            "pos_vb binary")
 # the pyarrow twin of FLAT_DDL — kernel-direct flat writers must pin the
 # exact column order and types so mixed-generation flat dirs (build /
 # delta / compaction writers) stay schema-identical
@@ -220,38 +249,79 @@ FLAT_SCHEMA = pa.schema([
     ("tf", pa.int64()),
     ("doc_len", pa.int64()),
     ("url", pa.string()),
+    ("pos_vb", pa.binary()),
 ])
 
 
 def _tokenize_batch(doc_id_vals, url_vals, text_vals,
-                    cfg: AnalyzerConfig) -> pd.DataFrame:
+                    cfg: AnalyzerConfig,
+                    positions: bool = False) -> pd.DataFrame:
     from collections import Counter
+
+    from ..functions.analysis import analyze_index_pos
+    from ..functions.encode import encode_positions_rows
 
     terms: list[str | None] = []
     doc_ids: list[int] = []
     tfs: list[int] = []
     dls: list[int] = []
     urls: list[str | None] = []
+    # per-ROW position run (None for marker rows / positions-off mode);
+    # runs are batch-encoded in ONE vectorized varbyte pass below
+    pos_runs: list[list[int] | None] = []
     for doc_id, url, text in zip(doc_id_vals, url_vals, text_vals):
-        toks = analyze_index(text or "", cfg)
+        if positions:
+            toks, poss = analyze_index_pos(text or "", cfg)
+        else:
+            toks = analyze_index(text or "", cfg)
         dl = len(toks)
         terms.append(None)
         doc_ids.append(doc_id)
         tfs.append(0)
         dls.append(dl)
         urls.append(url)
-        for term, tf in Counter(toks).items():
-            terms.append(term)
-            doc_ids.append(doc_id)
-            tfs.append(tf)
-            dls.append(dl)
-            urls.append(None)
+        pos_runs.append(None)
+        if positions:
+            by_term: dict[str, list[int]] = {}
+            for t, p in zip(toks, poss):
+                r = by_term.get(t)
+                if r is None:
+                    by_term[t] = [p]
+                else:
+                    r.append(p)
+            for term, run in by_term.items():
+                terms.append(term)
+                doc_ids.append(doc_id)
+                tfs.append(len(run))
+                dls.append(dl)
+                urls.append(None)
+                pos_runs.append(run)
+        else:
+            for term, tf in Counter(toks).items():
+                terms.append(term)
+                doc_ids.append(doc_id)
+                tfs.append(tf)
+                dls.append(dl)
+                urls.append(None)
+                pos_runs.append(None)
+    if positions:
+        runs = [r for r in pos_runs if r is not None]
+        total = sum(len(r) for r in runs)
+        flat = np.fromiter((x for r in runs for x in r),
+                           dtype=np.int64, count=total)
+        ends = np.cumsum(np.fromiter((len(r) for r in runs),
+                                     dtype=np.int64, count=len(runs)))
+        enc = iter(encode_positions_rows(flat, ends))
+        pos_vb = [next(enc) if r is not None else None for r in pos_runs]
+    else:
+        pos_vb = pos_runs  # all None
     return pd.DataFrame({
         "term": pd.Series(terms, dtype="object"),
         "doc_id": pd.Series(doc_ids, dtype="int64"),
         "tf": pd.Series(tfs, dtype="int64"),
         "doc_len": pd.Series(dls, dtype="int64"),
         "url": pd.Series(urls, dtype="object"),
+        "pos_vb": pd.Series(pos_vb, dtype="object"),
     })
 
 
@@ -360,7 +430,8 @@ def rank_and_tokenize_files(spark: SparkSession,
                             doc_stats_dir: str | None = None,
                             lineage_root: str | None = None,
                             filesystem=None,
-                            flat_dir: str | None = None) -> DataFrame:
+                            flat_dir: str | None = None,
+                            positions: bool = False) -> DataFrame:
     """Fused extraction + doc-id assignment + tokenization over sorted
     part-files.
 
@@ -420,7 +491,8 @@ def rank_and_tokenize_files(spark: SparkSession,
                                  for t, h in zip(texts, htmls)]
                     ids = np.arange(pos, pos + len(b), dtype=np.int64)
                     pos += len(b)
-                    out = _tokenize_batch(ids, b["url"].values, texts, cfg)
+                    out = _tokenize_batch(ids, b["url"].values, texts, cfg,
+                                          positions=positions)
                     if doc_stats_dir is not None:
                         m = out["term"].isna()
                         ds_ids.append(out.loc[m, "doc_id"].values)
@@ -618,10 +690,12 @@ _BLOCKS_SCHEMA = pa.schema([
     ("max_tf", pa.int64()),
     ("min_dl", pa.int64()),
     ("sum_tf", pa.int64()),
+    ("pos_vb", pa.binary()),
 ])
 BLOCKS_DDL = ("term string, block_id long, first_doc long, last_doc long, "
               "n int, docs_vb binary, tfs_vb binary, dls_vb binary, "
-              "block_max_tfn double, max_tf long, min_dl long, sum_tf long")
+              "block_max_tfn double, max_tf long, min_dl long, sum_tf long, "
+              "pos_vb binary")
 
 
 def encode_flat_file(path: str, seg_path: str, avgdl: float,
@@ -652,8 +726,14 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
     timings: dict[str, float] | None = kernel_timings
     t0 = time.perf_counter()
     ds = fsio.dataset(path, filesystem)
+    # positional flat part files (v6 flat always HAS the column; it is
+    # all-null when the index was built without positions — O(1) check
+    # against the column's null count, never a data pass)
+    has_pos = "pos_vb" in ds.schema.names
+    cols = ["term", "doc_id", "tf", "doc_len"] + \
+        (["pos_vb"] if has_pos else [])
     if drop_doc_ids is None and flat_out_path is None:
-        t = ds.to_table(columns=["term", "doc_id", "tf", "doc_len"],
+        t = ds.to_table(columns=cols,
                         filter=_pds.field("term").is_valid())
     else:
         full = ds.to_table()
@@ -665,7 +745,13 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
             fsio.write_parquet_atomic(full, flat_out_path, filesystem)
         t = full.filter(
             _pc.is_valid(full.column("term"))
-        ).select(["term", "doc_id", "tf", "doc_len"])
+        ).select(cols)
+    pos = None
+    if has_pos:
+        pcol = t.column("pos_vb")
+        if pcol.null_count < t.num_rows:
+            pos = pcol.to_numpy(zero_copy_only=False)
+        t = t.select(["term", "doc_id", "tf", "doc_len"])
     if timings is not None:
         timings["read"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
@@ -677,7 +763,7 @@ def encode_flat_file(path: str, seg_path: str, avgdl: float,
         np.asarray(denc.dictionary.to_pylist(), dtype=object),
         t.column("doc_id").to_numpy(), t.column("tf").to_numpy(),
         t.column("doc_len").to_numpy(), avgdl, block_size,
-        block_id_base)
+        block_id_base, pos=pos)
     n_blocks = len(g["term"])
     if timings is not None:
         timings["kernel"] = round(time.perf_counter() - t0, 3)
@@ -762,7 +848,8 @@ class IndexBuilder:
                  keyword_fields: tuple[str, ...] = (),
                  pre_sorted: bool = False,
                  filesystem=None,
-                 catalog=None):
+                 catalog=None,
+                 index_positions: bool = False):
         """``key_col``: unique string document key (stored as ``url`` in
         doc_stats).  ``id_col``: optional pre-assigned integer doc id — when
         given, the deterministic rank assignment is skipped and the source
@@ -780,7 +867,12 @@ class IndexBuilder:
         ``catalog``: the table-commit seam — default is a
         ``ParquetCatalog(index_dir, filesystem)``; pass an
         ``IcebergCatalog`` (or any object with the same surface) on a
-        cluster with a real catalog."""
+        cluster with a real catalog.  ``index_positions``: also store
+        within-doc term positions (ES ``index_options: positions``, the
+        Lucene default for text fields) — enables phrase queries
+        (SearchEngine.phrase_topk) at the cost of a larger index; the
+        flag is part of the on-disk format (a resume under the other
+        flag wipes and rebuilds)."""
         self.index_dir = index_dir
         self.cfg = cfg
         self.pre_sorted = pre_sorted
@@ -795,6 +887,7 @@ class IndexBuilder:
         self.text_col = text_col
         self.id_col = id_col
         self.keyword_fields = tuple(keyword_fields)
+        self.index_positions = bool(index_positions)
         self._injected_catalog = catalog is not None
         self.catalog = catalog if catalog is not None else \
             ParquetCatalog(index_dir, filesystem)
@@ -829,7 +922,8 @@ class IndexBuilder:
             # disjoint units (shuffle-free per-file encoding); pre-assigned
             # ids carry no layout guarantee, so range-partition here — the
             # url path gets this for free from the sorted artifact
-            flat = tokenize_flat(docs, self.cfg) \
+            flat = tokenize_flat(docs, self.cfg,
+                                 positions=self.index_positions) \
                 .repartitionByRange(parallelism, "doc_id") \
                 .sortWithinPartitions("doc_id")
         else:
@@ -922,7 +1016,8 @@ class IndexBuilder:
                                               doc_stats_dir=ds_dir,
                                               lineage_root=self.index_dir,
                                               filesystem=self.filesystem,
-                                              flat_dir=flat_dir)
+                                              flat_dir=flat_dir,
+                                              positions=self.index_positions)
             metrics.collect()  # execute; parts land via the kernel
             if files:
                 self.catalog.register_external(flat_dir, "postings_flat")
@@ -1161,7 +1256,9 @@ class IndexBuilder:
         mismatch the whole index dir is wiped and rebuilt from scratch."""
         fs = self.filesystem
         v = read_format_version(self.index_dir, fs)
-        if v == INDEX_FORMAT_VERSION:
+        if v == INDEX_FORMAT_VERSION and \
+                read_format_positions(self.index_dir, fs) == \
+                self.index_positions:
             return
         lineage_dir = os.path.join(self.index_dir, "_lineage")
         has_state = (
@@ -1172,8 +1269,11 @@ class IndexBuilder:
         if has_state:
             import sys
             print(f"[mongoesindexer] index at {self.index_dir} has format "
-                  f"{v!r}, need {INDEX_FORMAT_VERSION}; wiping for full "
-                  "rebuild", file=sys.stderr)
+                  f"{v!r} (positions="
+                  f"{read_format_positions(self.index_dir, fs)}), need "
+                  f"{INDEX_FORMAT_VERSION} (positions="
+                  f"{self.index_positions}); wiping for full rebuild",
+                  file=sys.stderr)
             if self._injected_catalog:
                 # an injected catalog owns its tables (they may live
                 # outside index_dir, e.g. Iceberg warehouse): drop them
@@ -1187,7 +1287,8 @@ class IndexBuilder:
             if not self._injected_catalog:
                 self.catalog = ParquetCatalog(self.index_dir, fs)
             self.lineage = Lineage(self.index_dir, fs)
-        write_format_version(self.index_dir, fs)
+        write_format_version(self.index_dir, fs,
+                             positions=self.index_positions)
 
     def build(self, spark: SparkSession, pages: DataFrame,
               fail_partitions: frozenset[str] = frozenset()) -> dict:

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.analysis import LTD_DOC, AnalyzerConfig, analyze_search
 from ..functions.encode import (B, K1, decode_block, decode_blocks_into,
-                                decode_dls)
+                                decode_dls, decode_positions_block)
 from ..sources import fsio
 from ..sources.catalog import ParquetCatalog, read_table_arrow
 
@@ -195,12 +195,16 @@ class SearchEngine:
         """``catalog``: the table seam (default ``ParquetCatalog(
         index_dir)``) — all engine reads (snapshot listing, point reads,
         Spark scans) go through it."""
-        from .build_index import check_format_version
+        from .build_index import check_format_version, read_format_positions
         self.cat = catalog if catalog is not None else \
             ParquetCatalog(index_dir)
         check_format_version(index_dir, "query-time index",
                              filesystem=getattr(self.cat, "filesystem",
                                                 None))
+        # whether posting blocks carry real position streams (ES
+        # index_options=positions) — phrase queries refuse loudly otherwise
+        self.has_positions = read_format_positions(
+            index_dir, getattr(self.cat, "filesystem", None))
         self.spark = spark
         self.index_dir = index_dir
         self.cfg = cfg
@@ -668,6 +672,74 @@ class SearchEngine:
             columns=["doc_id", "url", "score"],
         )
 
+    def phrase_topk(self, phrase_text: str, k: int,
+                    use_segments: bool | None = None,
+                    search_after: tuple[float, int] | None = None,
+                    filter_field: str | None = None,
+                    filter_value=None,
+                    filter_normalized: bool = False) -> pd.DataFrame:
+        """ES ``match_phrase`` (slop=0) over positional postings.
+
+        Requires an index built with ``index_positions=True`` (ES
+        ``index_options: positions`` — the Lucene default every reference
+        text mapping inherits); refuses loudly otherwise.
+
+        Semantics (engine spec, oracle-checked): the SEARCH analyzer's
+        token sequence must occur contiguously by POSITION — consecutive
+        phrase tokens at consecutive source-token positions, so
+        stop-filtered gaps break adjacency and word_delimiter/edge-ngram
+        expansions match at their originating token's position.
+        Scoring is Lucene's BM25 PhraseQuery: ``idf_sum × tfn(phrase_freq,
+        dl)`` where idf_sum is the sum of the phrase terms' idfs (repeats
+        included) and phrase_freq counts DISTINCT start positions.
+
+        Execution is cost-based like :meth:`topk_wand`: the candidate set
+        is the conjunctive intersection (bounded by the rarest term's df),
+        but the driver path materializes every term's blocks, so fan-out
+        to doc-disjoint segment groups triggers on the same Σ df gate.
+        ``filter_field``/``search_after``: as in :meth:`topk_wand`.
+        """
+        _check_k(k)
+        empty = pd.DataFrame(columns=["doc_id", "url", "score"])
+        if not self.has_positions:
+            raise ValueError(
+                f"index at {self.index_dir!r} was built without positions "
+                "(index_positions=False) — phrase queries need position "
+                "streams; rebuild with IndexBuilder(index_positions=True)")
+        # ORDERED, duplicates kept: "to be or not to be" is six terms
+        terms = analyze_search(phrase_text, self.cfg)
+        if not terms:
+            return empty
+        uniq = list(dict.fromkeys(terms))
+        meta = self._term_meta(uniq)
+        if any(meta[t] is None for t in uniq):
+            return empty    # a term absent from the corpus ⇒ no phrase match
+        idf = {t: m[0] for t, m in meta.items()}
+        flt = self._resolve_filter(filter_field, filter_value,
+                                   filter_normalized) \
+            if filter_field is not None else None
+        if use_segments is None:
+            total_df = sum(m[1] for m in meta.values())
+            use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
+        if use_segments:
+            return self.topk_segments(uniq, idf, k, search_after=search_after,
+                                      filter_clause=flt, phrase_terms=terms)
+        by_term = self._term_blocks(uniq)
+        if len(by_term) < len(uniq):
+            return empty
+        allowed_fn = None
+        if flt is not None:
+            sub, values = flt
+            allowed_fn = lambda cand: self._filter_allowed(cand, sub, values)  # noqa: E731
+        hits = phrase_topk_arrays(terms, idf, by_term, self.avgdl, k,
+                                  self.tombstones, after=search_after,
+                                  allowed_fn=allowed_fn)
+        urls = self.fetch_urls([d for _, d in hits])
+        return pd.DataFrame(
+            [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
+            columns=["doc_id", "url", "score"],
+        )
+
     # -- segment-parallel (distributed) path --------------------------------
     def _segment_files(self) -> list[tuple[str, int]]:
         """(path, bytes) of every live postings_blocks segment file, in
@@ -722,7 +794,8 @@ class SearchEngine:
     def topk_segments(self, terms: list[str], idf_by_term: dict[str, float],
                       k: int, mode: str = "or",
                       search_after: tuple[float, int] | None = None,
-                      filter_clause: tuple[str, list] | None = None
+                      filter_clause: tuple[str, list] | None = None,
+                      phrase_terms: list[str] | None = None
                       ) -> pd.DataFrame:
         """ES-shard-style fan-out: per doc-disjoint segment group, score
         top-k locally (same cost-based exhaustive/WAND kernel) inside a
@@ -746,6 +819,13 @@ class SearchEngine:
         the filter's corpus-wide match count; the driver still receives
         only ≤ k rows per group.  Group allowed-sets partition the global
         filter set exactly as the postings do, preserving rank identity.
+
+        ``phrase_terms``: run the phrase kernel per group instead of the
+        WAND/conjunctive kernels (``terms`` is then the deduplicated term
+        set, ``phrase_terms`` the ordered sequence with repeats) — valid
+        for the same reason ``mode="and"`` is: a doc's postings (and
+        positions) for every phrase term live in exactly one doc-disjoint
+        group, so per-group phrase matches partition the global match set.
         """
         _check_k(k)
         # only terms with a dictionary row are scorable (a fully-
@@ -794,7 +874,8 @@ class SearchEngine:
                     recs = bl.to_dict("records")
                     for r in recs:
                         by_term.setdefault(r["term"], []).append(r)
-                    if mode == "and" and len(by_term) < len(terms):
+                    if (mode == "and" or phrase_terms is not None) \
+                            and len(by_term) < len(terms):
                         continue        # some term absent ⇒ empty group
                     decode_blocks_into(recs)
                     allowed = None
@@ -817,7 +898,19 @@ class SearchEngine:
                         allowed = frozenset(ft["doc_id"].to_pylist())
                         if not allowed:
                             continue    # no doc in range passes the filter
-                    if int(bl["n"].sum()) >= EXHAUSTIVE_CUTOFF:
+                    if phrase_terms is not None:
+                        allowed_fn = None
+                        if allowed is not None:
+                            aarr = np.fromiter(allowed, dtype=np.int64)
+                            aarr.sort()
+                            allowed_fn = (lambda a: lambda c:
+                                          c[np.isin(c, a,
+                                                    assume_unique=True)])(aarr)
+                        hits = phrase_topk_arrays(
+                            phrase_terms, idf_by_term, by_term, avgdl, k,
+                            ts_bc.value, after=search_after,
+                            allowed_fn=allowed_fn)
+                    elif int(bl["n"].sum()) >= EXHAUSTIVE_CUTOFF:
                         cursors = [_TermCursor(idf_by_term[t], by_term[t], avgdl)
                                    for t in terms if t in by_term]
                         if not cursors:
@@ -1211,6 +1304,137 @@ def _block_arrays(b: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return arrs
 
 
+def _block_positions(b: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Decoded ``(flat_positions, row_ends)`` of one block's position
+    streams, memoized like :func:`_block_arrays` — posting i's positions
+    are ``flat[row_ends[i-1]:row_ends[i]]``."""
+    pv = b.get("_pos")
+    if pv is None:
+        if b.get("pos_vb") is None:
+            raise ValueError(
+                "posting block has no position stream — the index was "
+                "built without index_positions=True")
+        _, tfs, _ = _block_arrays(b)
+        pv = b["_pos"] = decode_positions_block(b["pos_vb"], tfs)
+    return pv
+
+
+def phrase_topk_arrays(phrase_terms: list[str],
+                       idf_by_term: dict[str, float],
+                       by_term: dict[str, list[dict]],
+                       avgdl: float, k: int,
+                       tombstones: set[int] | None = None,
+                       after: tuple[float, int] | None = None,
+                       allowed_fn=None) -> list[tuple[float, int]]:
+    """Exact-phrase top-k over positional posting blocks (ES
+    ``match_phrase``, slop=0) → [(score, doc_id)] best-first.
+
+    Two phases: (1) candidate docs = the conjunctive intersection of the
+    phrase terms' posting lists (vectorized over the doc-sorted
+    concatenated block arrays — cost bounded by the RAREST term's df);
+    (2) position verify per candidate: phrase_freq = the number of
+    DISTINCT start positions p with term_j at p+j for every j (duplicate
+    emissions at one position — word_delimiter/edge-ngram expansions —
+    count once).  Position streams decode lazily and only for blocks
+    holding candidates.
+
+    Scoring is Lucene's BM25 PhraseQuery (public:
+    org.apache.lucene.search.PhraseWeight + BM25Similarity): a phrase
+    behaves as one pseudo-term with tf = phrase_freq and
+    idf = Σ idf(term_j) over the phrase's terms, repeats included.
+
+    ``allowed_fn``: ES filter context — maps the sorted candidate doc
+    array to its allowed subset (candidate-bounded resolution, see
+    :meth:`SearchEngine._filter_allowed`).  ``after``: search_after
+    cursor, as in the other kernels.
+    """
+    uniq = list(dict.fromkeys(phrase_terms))
+    if any(t not in by_term or not by_term[t] for t in uniq):
+        return []
+    # per unique term: doc-sorted concatenated arrays + block boundaries
+    # (blocks are doc-range disjoint, so concatenation in first_doc order
+    # is globally sorted and unique)
+    per_term: dict[str, tuple[list[dict], np.ndarray, np.ndarray]] = {}
+    for t in uniq:
+        blocks = sorted(by_term[t], key=lambda b: b["first_doc"])
+        decode_blocks_into([b for b in blocks if "_arrs" not in b])
+        docs = np.concatenate([_block_arrays(b)[0] for b in blocks])
+        bends = np.cumsum(np.array([b["n"] for b in blocks],
+                                   dtype=np.int64))
+        per_term[t] = (blocks, docs, bends)
+    cand = per_term[uniq[0]][1]
+    for t in uniq[1:]:
+        cand = np.intersect1d(cand, per_term[t][1], assume_unique=True)
+        if cand.size == 0:
+            return []
+    if tombstones:
+        cand = cand[~np.isin(cand,
+                             np.fromiter(tombstones, dtype=np.int64))]
+    if allowed_fn is not None and cand.size:
+        cand = np.asarray(allowed_fn(cand), dtype=np.int64)
+    if cand.size == 0:
+        return []
+    # positions per (unique term, candidate) — decode only touched blocks
+    pos_of: dict[str, list[np.ndarray]] = {}
+    for t in uniq:
+        blocks, docs, bends = per_term[t]
+        gidx = np.searchsorted(docs, cand)
+        bidx = np.searchsorted(bends, gidx, side="right")
+        runs: list[np.ndarray] = []
+        for g, bi in zip(gidx, bidx):
+            b = blocks[bi]
+            flat, ends = _block_positions(b)
+            local = int(g - (bends[bi] - b["n"]))
+            s = int(ends[local - 1]) if local else 0
+            runs.append(flat[s:int(ends[local])])
+        pos_of[t] = runs
+    # doc lengths for the candidates, from the first term's blocks
+    blocks0, docs0, _ = per_term[uniq[0]]
+    dls0 = np.concatenate([_block_arrays(b)[2] for b in blocks0])
+    dl = dls0[np.searchsorted(docs0, cand)].astype(np.float64)
+    # phrase frequency per candidate, VECTORIZED across all candidates:
+    # pack (candidate index, position) into one int64 key (idx << 32 |
+    # pos) — the candidate index (not the doc id, which can exceed 2^31
+    # at corpus scale) bounds the high half, positions bound the low half
+    # (a doc would need 2^32 source tokens to overflow) — then chain the
+    # adjacency test as key+j membership, which can never cross a doc
+    # boundary.  One np.isin per phrase term instead of a Python loop
+    # over candidates.
+    keys: dict[str, np.ndarray] = {}
+    for t in uniq:
+        runs = pos_of[t]
+        lens = np.fromiter((r.size for r in runs), dtype=np.int64,
+                           count=len(runs))
+        flat = np.concatenate(runs) if runs else np.empty(0, np.int64)
+        idx_rep = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        keys[t] = (idx_rep << np.int64(32)) | flat
+    starts = np.unique(keys[phrase_terms[0]])
+    for j, tj in enumerate(phrase_terms[1:], start=1):
+        if starts.size == 0:
+            return []
+        starts = starts[np.isin(starts + j, keys[tj])]
+    ptf = np.bincount((starts >> np.int64(32)).astype(np.int64),
+                      minlength=cand.size) if starts.size else \
+        np.zeros(cand.size, dtype=np.int64)
+    keep = ptf > 0
+    if not keep.any():
+        return []
+    idf_sum = float(sum(idf_by_term[t] for t in phrase_terms))
+    tf = ptf[keep].astype(np.float64)
+    dlk = dl[keep]
+    scores = idf_sum * tf * (K1 + 1.0) \
+        / (tf + K1 * (1.0 - B + B * dlk / avgdl))
+    docs_k = cand[keep]
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        m = (scores < s0) | ((scores == s0) & (docs_k > d0))
+        scores, docs_k = scores[m], docs_k[m]
+    if docs_k.size == 0:
+        return []
+    order = np.lexsort((docs_k, -scores))[:k]
+    return [(float(scores[i]), int(docs_k[i])) for i in order]
+
+
 def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                      tombstones: set[int] | None = None,
                      after: tuple[float, int] | None = None,
@@ -1329,5 +1553,19 @@ def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
     """
     return get_engine(spark, index_dir, cfg).topk_wand(
         query_text, k, mode=mode, search_after=search_after,
+        filter_field=filter_field, filter_value=filter_value,
+        filter_normalized=filter_normalized)
+
+
+def bm25_phrase_topk(spark: SparkSession, index_dir: str, phrase_text: str,
+                     k: int, cfg: AnalyzerConfig = LTD_DOC,
+                     search_after: tuple[float, int] | None = None,
+                     filter_field: str | None = None,
+                     filter_value=None,
+                     filter_normalized: bool = False) -> pd.DataFrame:
+    """ES ``match_phrase`` top-k over a positional index (see
+    :meth:`SearchEngine.phrase_topk`)."""
+    return get_engine(spark, index_dir, cfg).phrase_topk(
+        phrase_text, k, search_after=search_after,
         filter_field=filter_field, filter_value=filter_value,
         filter_normalized=filter_normalized)

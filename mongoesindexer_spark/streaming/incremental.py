@@ -151,8 +151,16 @@ class IncrementalIndexer:
         self.cfg = cfg
         self.exclude_fields = tuple(exclude_fields)
         self.filesystem = filesystem
+        # positions mode is a property of the on-disk index, not of this
+        # object's construction: delta flat rows must carry the same
+        # schema content (real pos_vb streams vs all-null) the base
+        # generation does, or phrase queries over synced docs would
+        # silently miss
+        from ..operators.build_index import read_format_positions
+        self.positions = read_format_positions(index_dir, filesystem)
         self.builder = IndexBuilder(index_dir, cfg=cfg, filesystem=filesystem,
-                                    catalog=catalog)
+                                    catalog=catalog,
+                                    index_positions=self.positions)
         self.cat = self.builder.catalog
 
     # every table a sync batch may touch, in no particular order — the
@@ -326,7 +334,8 @@ class IncrementalIndexer:
                                   _persist_handle=persist_handle)
         new_docs = numbered.withColumn(
             "doc_id", (F.col("doc_id") + F.lit(base_id)).cast("long"))
-        delta_all = tokenize_flat(new_docs, self.cfg)
+        delta_all = tokenize_flat(new_docs, self.cfg,
+                                  positions=self.positions)
         # cache: used for postings append, doc_stats, stats deltas, encode
         delta_all = delta_all.persist()
         delta_all.count()

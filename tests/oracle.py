@@ -15,6 +15,7 @@ from mongoesindexer_spark.functions.analysis import (
     LTD_DOC,
     AnalyzerConfig,
     analyze_index,
+    analyze_index_pos,
     analyze_search,
     extract_text,
 )
@@ -29,6 +30,8 @@ class OracleIndex:
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)  # term -> {doc_id: tf}
         self.doc_len: dict[int, int] = {}
         self.urls: dict[int, str] = {}
+        # term -> {doc_id: [positions]} (source-token indices, engine spec)
+        self.positions: dict[str, dict[int, list[int]]] = defaultdict(dict)
 
     @classmethod
     def build(cls, pages, cfg: AnalyzerConfig = LTD_DOC) -> "OracleIndex":
@@ -42,11 +45,13 @@ class OracleIndex:
         rows = pages.sort_values("url").reset_index(drop=True)
         for doc_id, row in rows.iterrows():
             text = row["text"] if row["text"] is not None else extract_text(row["html"])
-            tokens = analyze_index(text, cfg)
+            tokens, poss = analyze_index_pos(text, cfg)
             idx.urls[doc_id] = row["url"]
             idx.doc_len[doc_id] = len(tokens)
             for term, tf in Counter(tokens).items():
                 idx.postings[term][doc_id] = tf
+            for term, p in zip(tokens, poss):
+                idx.positions[term].setdefault(doc_id, []).append(p)
         return idx
 
     @property
@@ -83,5 +88,36 @@ class OracleIndex:
         for t in terms:
             candidates.update(self.postings.get(t, {}).keys())
         scored = [(d, self.urls[d], self.score(query_text, d)) for d in candidates]
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        return scored[:k]
+
+    def phrase_freq(self, terms: list[str], doc_id: int) -> int:
+        """Number of DISTINCT start positions p with term_j at p+j for all
+        j (ES match_phrase, slop=0; duplicate emissions at one position
+        count once — the engine spec)."""
+        starts = set(self.positions.get(terms[0], {}).get(doc_id, []))
+        for j, t in enumerate(terms[1:], start=1):
+            at = set(self.positions.get(t, {}).get(doc_id, []))
+            starts = {p for p in starts if p + j in at}
+            if not starts:
+                return 0
+        return len(starts)
+
+    def phrase_topk(self, phrase_text: str, k: int) -> list[tuple[int, str, float]]:
+        """Exhaustive match_phrase top-k: Lucene BM25 PhraseQuery scoring
+        (the phrase is one pseudo-term: tf = phrase_freq, idf = Σ idf of
+        the phrase's terms, repeats included)."""
+        terms = analyze_search(phrase_text, self.cfg)   # ordered, repeats
+        if not terms:
+            return []
+        idf_sum = sum(self.idf(t) for t in terms)
+        scored = []
+        for d in self.postings.get(terms[0], {}).keys():
+            ptf = self.phrase_freq(terms, d)
+            if not ptf:
+                continue
+            dl = self.doc_len[d]
+            tfn = ptf * (K1 + 1.0) / (ptf + K1 * (1.0 - B + B * dl / self.avgdl))
+            scored.append((d, self.urls[d], idf_sum * tfn))
         scored.sort(key=lambda x: (-x[2], x[0]))
         return scored[:k]

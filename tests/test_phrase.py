@@ -1,0 +1,269 @@
+"""Phrase queries (ES match_phrase, slop=0) over positional postings.
+
+The reference's text mappings inherit Lucene's ``index_options:
+positions`` default, and ES serves match_phrase from them; the engine
+analog is ``IndexBuilder(index_positions=True)`` + ``SearchEngine
+.phrase_topk`` (operators/topk.py).  Pinned here:
+
+* the position-aware analyzer emits the SAME token stream as the plain
+  one, with non-decreasing source-token positions (property test);
+* position streams round-trip through the block encode (property test);
+* phrase top-k is rank-identical (scores within 1e-6) to the pure-Python
+  positional oracle, on the driver kernel AND the segment fan-out path;
+* phrase results survive incremental sync + compaction (merged view ==
+  from-scratch rebuild);
+* filter context / search_after compose with phrase;
+* a positions-less index refuses phrase queries loudly.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mongoesindexer_spark.functions.analysis import (LTD_DOC, analyze_index,
+                                                     analyze_index_pos)
+from mongoesindexer_spark.operators.build_index import IndexBuilder
+from mongoesindexer_spark.operators.topk import bm25_phrase_topk, get_engine
+from tests.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def tiny_index_pos(spark, tiny_dir, tmp_path_factory):
+    """Positional build on the tiny fixture (block_size small so phrases
+    cross block boundaries)."""
+    index_dir = str(tmp_path_factory.mktemp("idx-tiny-pos"))
+    pages = spark.read.parquet(os.path.join(tiny_dir, "pages.parquet"))
+    IndexBuilder(index_dir, n_buckets=8, block_size=32,
+                 index_positions=True).build(spark, pages)
+    return index_dir
+
+
+def _phrases_from_corpus(oracle: OracleIndex, tiny_pages, n: int = 12):
+    """Bigrams + trigrams that actually occur in the corpus, plus a few
+    that cannot match."""
+    rng = np.random.default_rng(7)
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    out = []
+    for i in rng.choice(len(rows), size=min(n, len(rows)), replace=False):
+        text = rows.iloc[int(i)]["text"]
+        if not isinstance(text, str):
+            continue
+        toks = analyze_index(text, LTD_DOC)
+        if len(toks) < 3:
+            continue
+        j = int(rng.integers(0, len(toks) - 2))
+        out.append(" ".join(toks[j:j + 2]))
+        out.append(" ".join(toks[j:j + 3]))
+    out += ["zzz yyy", "the zzzmissing"]
+    return out
+
+
+def _assert_rank_identical(got: pd.DataFrame, want, label: str):
+    assert len(got) == len(want), f"{label}: {len(got)} vs {len(want)}"
+    for i, ((wd, wu, ws), row) in enumerate(zip(want, got.itertuples())):
+        assert row.doc_id == wd, f"{label}: rank {i} doc {row.doc_id} != {wd}"
+        assert row.url == wu, f"{label}: rank {i} url"
+        assert abs(row.score - ws) < 1e-6, f"{label}: rank {i} score"
+
+
+def test_phrase_matches_oracle(spark, tiny_index_pos, tiny_pages, oracle_tiny):
+    for q in _phrases_from_corpus(oracle_tiny, tiny_pages):
+        want = oracle_tiny.phrase_topk(q, 10)
+        got = bm25_phrase_topk(spark, tiny_index_pos, q, 10)
+        _assert_rank_identical(got, want, q)
+
+
+def test_phrase_segment_path_identical(spark, tiny_index_pos, tiny_pages,
+                                       oracle_tiny):
+    """The distributed (ES-shard-style) locus returns the same ranking as
+    the driver kernel — per-group phrase matches partition the global
+    match set because segments are doc-disjoint."""
+    eng = get_engine(spark, tiny_index_pos)
+    for q in _phrases_from_corpus(oracle_tiny, tiny_pages, n=5):
+        a = eng.phrase_topk(q, 10)
+        b = eng.phrase_topk(q, 10, use_segments=True)
+        pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                      b.reset_index(drop=True))
+
+
+def test_phrase_freq_scoring_repeated_occurrence(spark, tmp_path):
+    """A doc holding the phrase twice outscores an equal-length doc
+    holding it once (tf = phrase_freq, not term tf)."""
+    docs = [("u1", "alpha beta gamma alpha beta delta x"),
+            ("u2", "alpha beta gamma delta alpha x beta")]
+    df = spark.createDataFrame(docs, "url string, text string")
+    d = str(tmp_path / "idx")
+    IndexBuilder(d, n_buckets=2, index_positions=True).build(spark, df)
+    got = bm25_phrase_topk(spark, d, "alpha beta", 10)
+    assert list(got["url"]) == ["u1", "u2"]
+    assert got.iloc[0]["score"] > got.iloc[1]["score"]
+
+
+def test_phrase_repeated_term_in_phrase(spark, tmp_path, tiny_pages):
+    """Phrases with repeated terms ("be or be") verify every offset of the
+    repeated term and sum its idf twice."""
+    docs = [("u1", "to be or not to be that is"),
+            ("u2", "be or to not be to that is")]
+    df = spark.createDataFrame(docs, "url string, text string")
+    d = str(tmp_path / "idx")
+    IndexBuilder(d, n_buckets=2, index_positions=True).build(spark, df)
+    oracle = OracleIndex.build(
+        pd.DataFrame({"url": [u for u, _ in docs],
+                      "text": [t for _, t in docs],
+                      "html": [None, None]}))
+    q = "to be or not to be"
+    want = oracle.phrase_topk(q, 10)
+    got = bm25_phrase_topk(spark, d, q, 10)
+    _assert_rank_identical(got, want, q)
+    assert list(got["url"]) == ["u1"]
+
+
+def test_phrase_survives_sync_and_compaction(spark, tmp_path):
+    """Delta docs carry positions; tombstoned docs drop out; compaction
+    re-slices the streams — the merged view stays rank-identical to a
+    from-scratch positional rebuild on the live corpus."""
+    from mongoesindexer_spark.operators.merge import compact
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+
+    base = [("u1", "red fox runs fast", "b"),
+            ("u2", "red fox sleeps", "b"),
+            ("u3", "fox red fox red", "b")]
+    df = spark.createDataFrame([(u, t) for u, t, _ in base],
+                               "url string, text string")
+    d = str(tmp_path / "idx")
+    IndexBuilder(d, n_buckets=2, index_positions=True).build(spark, df)
+    # update u2 to CONTAIN the phrase, insert u4 with it, delete u3
+    import datetime as _dt
+    ts = _dt.datetime(2026, 1, 1)
+    upd = spark.createDataFrame(
+        [("update", "u2", ts, None, "now a red fox appears", "en"),
+         ("insert", "u4", ts, None, "a second red fox here red fox", "en"),
+         ("delete", "u3", None, None, None, None)],
+        "op string, url string, warc_ts timestamp, html binary, "
+        "text string, lang string")
+    inc = IncrementalIndexer(d)
+    assert inc.positions is True
+    inc.apply_updates(spark, upd, batch_id="b1")
+
+    live = pd.DataFrame({
+        "url": ["u1", "u2", "u4"],
+        "text": ["red fox runs fast", "now a red fox appears",
+                 "a second red fox here red fox"],
+        "html": [None, None, None]})
+    # doc_ids differ (sync assigns fresh ids above the old max; the
+    # rebuilt oracle ranks urls from 0) but stats are delta-exact, so
+    # urls and scores must match rank-for-rank
+    oracle = OracleIndex.build(live)
+    want = oracle.phrase_topk("red fox", 10)
+    got = bm25_phrase_topk(spark, d, "red fox", 10)
+    assert set(u for _, u, _ in want) == {"u1", "u2", "u4"}
+    assert want[0][1] == "u4"   # sanity: u4 holds the phrase twice
+    assert list(got["url"]) == [u for _, u, _ in want]
+    for (wd, wu, ws), row in zip(want, got.itertuples()):
+        assert abs(row.score - ws) < 1e-6
+
+    compact(spark, d)
+    got2 = bm25_phrase_topk(spark, d, "red fox", 10)
+    assert list(got2["url"]) == list(got["url"])
+    for a, b in zip(got["score"], got2["score"]):
+        assert abs(a - b) < 1e-9
+
+
+def test_phrase_filter_context_and_paging(spark, tmp_path):
+    from mongoesindexer_spark.operators.topk import get_engine
+
+    rows = [(f"u{i}", "find the exact phrase here",
+             "en" if i % 2 == 0 else "de") for i in range(8)]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    d = str(tmp_path / "idx")
+    IndexBuilder(d, n_buckets=2, index_positions=True,
+                 keyword_fields=("lang",)).build(spark, df)
+    eng = get_engine(spark, d)
+    full = eng.phrase_topk("exact phrase", 100)
+    assert len(full) == 8
+    filt = eng.phrase_topk("exact phrase", 100, filter_field="lang",
+                           filter_value="en")
+    assert len(filt) == 4 and all(u in {"u0", "u2", "u4", "u6"}
+                                  for u in filt["url"])
+    # paging: two pages of 3 reproduce the head of the full list
+    p1 = eng.phrase_topk("exact phrase", 3)
+    cur = (float(p1.iloc[-1]["score"]), int(p1.iloc[-1]["doc_id"]))
+    p2 = eng.phrase_topk("exact phrase", 3, search_after=cur)
+    paged = list(p1["doc_id"]) + list(p2["doc_id"])
+    assert paged == list(full["doc_id"][:6])
+
+
+def test_phrase_refuses_nonpositional(spark, tiny_index):
+    with pytest.raises(ValueError, match="without positions"):
+        bm25_phrase_topk(spark, tiny_index, "the quick", 5)
+
+
+def test_phrase_empty_and_absent(spark, tiny_index_pos):
+    eng = get_engine(spark, tiny_index_pos)
+    assert len(eng.phrase_topk("", 5)) == 0
+    assert len(eng.phrase_topk("zzzzmissing alsomissing", 5)) == 0
+
+
+# ---------------------------------------------------------------------------
+# property tests: analyzer positions + position-stream round trip
+# ---------------------------------------------------------------------------
+
+
+def test_analyze_pos_stream_identity_and_monotone():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mongoesindexer_spark.functions.analysis import KEYWORD
+
+    token = st.one_of(
+        st.sampled_from(["WiFi", "state-of-the-art", "IC-01/04", "café",
+                         "the", "o'clock", "x"]),
+        st.text(alphabet="abzAZ019'-_é/", min_size=1, max_size=8),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(token, max_size=12), st.sampled_from([LTD_DOC, KEYWORD]))
+    def check(tokens, cfg):
+        text = " ".join(tokens)
+        toks, poss = analyze_index_pos(text, cfg)
+        assert toks == analyze_index(text, cfg)
+        assert len(poss) == len(toks)
+        assert poss == sorted(poss)
+        assert all(0 <= p < max(1, len(text.split())) for p in poss)
+
+    check()
+
+
+def test_position_stream_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mongoesindexer_spark.functions.encode import (
+        decode_positions_block, encode_positions_rows)
+
+    run = st.lists(st.integers(min_value=0, max_value=10_000),
+                   min_size=1, max_size=20).map(sorted)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(run, min_size=1, max_size=30))
+    def check(runs):
+        flat = np.array([x for r in runs for x in r], dtype=np.int64)
+        ends = np.cumsum([len(r) for r in runs])
+        enc = encode_positions_rows(flat, ends)
+        assert len(enc) == len(runs)
+        # concatenated block stream splits back by tf
+        tfs = np.array([len(r) for r in runs], dtype=np.int64)
+        f2, e2 = decode_positions_block(b"".join(enc), tfs)
+        assert f2.tolist() == flat.tolist()
+        assert e2.tolist() == ends.tolist()
+        # any sub-slice of postings is independently decodable
+        # (compaction re-slices streams by surviving docs)
+        sub = enc[1::2]
+        if sub:
+            f3, _ = decode_positions_block(
+                b"".join(sub), tfs[1::2])
+            assert f3.tolist() == [x for r in runs[1::2] for x in r]
+
+    check()
