@@ -205,6 +205,22 @@ def q_ft_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+def q_ft_phrase_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase composed with ES filter context (``bool: {must:
+    match_phrase, filter: term}``): the phrase result restricted to docs
+    whose normalized lang sub-field equals 'en' — pins the candidate-
+    bounded filter resolution on the phrase path in the gate."""
+    from mongoesindexer_spark.operators.topk import bm25_phrase_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = bm25_phrase_topk(spark, idx, PHRASE_QUERY, BM25_K,
+                           filter_field="lang", filter_value="en",
+                           filter_normalized=True)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select(
+        "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 def q_ft_keyword_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 query side: ES term query on the materialized <field>.keyword
     sub-field (fields table) — raw exact match, merge-on-read."""
@@ -645,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
         "ft_phrase_search": q_ft_phrase_search,
+        "ft_phrase_filtered": q_ft_phrase_filtered,
         "ft_keyword_match": q_ft_keyword_match,
         "ft_keyword_normalized": q_ft_keyword_normalized,
         "ft_keyword_point": q_ft_keyword_point,
@@ -716,6 +733,36 @@ def oracle_sql() -> dict[str, str]:
     """
     terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY.split())))
     cterms = ", ".join(f"'{t}'" for t in sorted(set(CONJ_QUERY.split())))
+    # shared match_phrase scoring CTE (ft_phrase_search / ft_phrase_filtered)
+    phrase_scores = f"""
+        WITH toksl AS (
+            SELECT doc_id, {_TOK_DD} AS t FROM documents
+        ), pf AS (
+            SELECT doc_id, len(t)::BIGINT AS doc_len,
+                   len(list_filter(range(1, len(t)),
+                       i -> t[i] = '{_PT[0]}' AND t[i+1] = '{_PT[1]}'
+                       ))::BIGINT AS ptf
+            FROM toksl
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS term FROM toksl
+        ), dfreq AS (
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+            WHERE term IN ('{_PT[0]}', '{_PT[1]}') GROUP BY 1
+        ), g AS (
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                   (SELECT sum(len(t)) FROM toksl)::DOUBLE
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), idf AS (
+            SELECT sum(ln(1 + (g.n - df + 0.5) / (df + 0.5))) AS idf_sum
+            FROM dfreq CROSS JOIN g
+        ), scores AS (
+            SELECT doc_id,
+                   idf.idf_sum * ptf * 2.2
+                   / (ptf + 1.2 * (1 - 0.75 + 0.75 * doc_len / g.avgdl))
+                   AS score
+            FROM pf CROSS JOIN idf CROSS JOIN g WHERE ptf > 0
+        )
+    """
     from mongoesindexer_spark.functions.textstats import LANG_PROFILES
     lang_scores = ",\n                   ".join(
         f"len(list_intersect(toks, [{', '.join(repr(w) for w in words)}]))::INT AS s_{lang}"
@@ -812,36 +859,18 @@ def oracle_sql() -> dict[str, str]:
         # t[i]='order' AND t[i+1]='fast'; score = idf_sum × BM25 tf-norm
         # of the phrase freq (Lucene PhraseWeight under BM25Similarity —
         # the phrase is one pseudo-term whose idf is the terms' idf sum)
-        "ft_phrase_search": f"""
-            WITH toksl AS (
-                SELECT doc_id, {_TOK_DD} AS t FROM documents
-            ), pf AS (
-                SELECT doc_id, len(t)::BIGINT AS doc_len,
-                       len(list_filter(range(1, len(t)),
-                           i -> t[i] = '{_PT[0]}' AND t[i+1] = '{_PT[1]}'
-                           ))::BIGINT AS ptf
-                FROM toksl
-            ), tok AS (
-                SELECT doc_id, unnest(t) AS term FROM toksl
-            ), dfreq AS (
-                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
-                WHERE term IN ('{_PT[0]}', '{_PT[1]}') GROUP BY 1
-            ), g AS (
-                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
-                       (SELECT sum(len(t)) FROM toksl)::DOUBLE
-                       / (SELECT count(*) FROM documents) AS avgdl
-            ), idf AS (
-                SELECT sum(ln(1 + (g.n - df + 0.5) / (df + 0.5))) AS idf_sum
-                FROM dfreq CROSS JOIN g
-            ), scores AS (
-                SELECT doc_id,
-                       idf.idf_sum * ptf * 2.2
-                       / (ptf + 1.2 * (1 - 0.75 + 0.75 * doc_len / g.avgdl))
-                       AS score
-                FROM pf CROSS JOIN idf CROSS JOIN g WHERE ptf > 0
-            )
+        "ft_phrase_search": phrase_scores + f"""
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        # match_phrase + ES filter context (bool: must match_phrase,
+        # filter term on the normalized lang sub-field)
+        "ft_phrase_filtered": phrase_scores + f"""
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores
+            WHERE doc_id IN (SELECT doc_id FROM documents
+                             WHERE lower(strip_accents(lang)) = 'en')
+            ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_keyword_sort": """
             SELECT doc_id, lower(strip_accents(source)) AS sort_key
