@@ -694,9 +694,13 @@ class SearchEngine:
         included) and phrase_freq counts DISTINCT start positions.
 
         Execution is cost-based like :meth:`topk_wand`: the candidate set
-        is the conjunctive intersection (bounded by the rarest term's df),
-        but the driver path materializes every term's blocks, so fan-out
-        to doc-disjoint segment groups triggers on the same Σ df gate.
+        is the conjunctive intersection, and the kernel intersects rarest
+        term first with BLOCK-PRUNED decodes (a head term costs ~min-df
+        block decodes, not its posting list — see phrase_topk_arrays).
+        The block FETCH is still per-term (`_term_blocks` point-reads all
+        of a term's block rows), so fan-out to doc-disjoint segment
+        groups triggers on the same Σ df gate — a head term's encoded
+        blocks must not reach the driver at corpus scale.
         ``filter_field``/``search_after``: as in :meth:`topk_wand`.
         """
         _check_k(k)
@@ -1351,20 +1355,40 @@ def phrase_topk_arrays(phrase_terms: list[str],
     uniq = list(dict.fromkeys(phrase_terms))
     if any(t not in by_term or not by_term[t] for t in uniq):
         return []
-    # per unique term: doc-sorted concatenated arrays + block boundaries
-    # (blocks are doc-range disjoint, so concatenation in first_doc order
-    # is globally sorted and unique)
+    # Candidate intersection, BLOCK-PRUNED: terms are intersected rarest
+    # first (posting count from block metadata — no decode), and each
+    # later term decodes ONLY the blocks whose [first_doc, last_doc]
+    # range can contain a surviving candidate.  A head term in the
+    # phrase ("the quick") therefore costs ~min-df block decodes, not
+    # its full posting list — the zig-zag analog for the vectorized
+    # kernel.  Skipped blocks can hold no candidate, so the decoded
+    # subset is exact for everything downstream (positions included).
+    # per term: (decoded blocks subset sorted by first_doc, their
+    # concatenated doc array, cumulative posting-count boundaries)
     per_term: dict[str, tuple[list[dict], np.ndarray, np.ndarray]] = {}
-    for t in uniq:
+    by_size = sorted(uniq, key=lambda t: sum(b["n"] for b in by_term[t]))
+    cand: np.ndarray | None = None
+    for t in by_size:
         blocks = sorted(by_term[t], key=lambda b: b["first_doc"])
+        if cand is not None:
+            firsts = np.array([b["first_doc"] for b in blocks],
+                              dtype=np.int64)
+            lasts = np.array([b["last_doc"] for b in blocks],
+                             dtype=np.int64)
+            # block i survives iff some candidate falls in its range
+            pos_in = np.searchsorted(cand, firsts)
+            keep = (pos_in < cand.size) & \
+                (cand[np.minimum(pos_in, cand.size - 1)] <= lasts)
+            blocks = [b for b, k in zip(blocks, keep) if k]
+            if not blocks:
+                return []
         decode_blocks_into([b for b in blocks if "_arrs" not in b])
         docs = np.concatenate([_block_arrays(b)[0] for b in blocks])
         bends = np.cumsum(np.array([b["n"] for b in blocks],
                                    dtype=np.int64))
         per_term[t] = (blocks, docs, bends)
-    cand = per_term[uniq[0]][1]
-    for t in uniq[1:]:
-        cand = np.intersect1d(cand, per_term[t][1], assume_unique=True)
+        cand = docs if cand is None else \
+            np.intersect1d(cand, docs, assume_unique=True)
         if cand.size == 0:
             return []
     if tombstones:

@@ -206,6 +206,62 @@ def test_phrase_empty_and_absent(spark, tiny_index_pos):
     assert len(eng.phrase_topk("zzzzmissing alsomissing", 5)) == 0
 
 
+def test_phrase_kernel_bruteforce_random_corpus():
+    """Spark-free: the block-pruned vectorized kernel == an obviously
+    correct O(docs × len) scan over a 2000-doc random corpus, including
+    head-term phrases (block pruning must not change results) and
+    repeated-term phrases."""
+    from mongoesindexer_spark.functions.encode import (bm25_idf,
+                                                       encode_blocks,
+                                                       encode_positions_rows)
+    from mongoesindexer_spark.operators.topk import phrase_topk_arrays
+
+    rng = np.random.default_rng(3)
+    n_docs = 2000
+    avgdl = 12.0
+    vocab = ["the", "quick", "brown", "fox", "dog", "run"]
+    docs_tokens = [list(rng.choice(vocab, size=rng.integers(5, 20)))
+                   for _ in range(n_docs)]
+    post: dict[str, dict[int, list[int]]] = {}
+    for d, toks in enumerate(docs_tokens):
+        for p, t in enumerate(toks):
+            post.setdefault(t, {}).setdefault(d, []).append(p)
+    by_term, idf = {}, {}
+    for t, m in post.items():
+        ds = np.array(sorted(m), dtype=np.int64)
+        tfs = np.array([len(m[d]) for d in ds])
+        dls = np.array([len(docs_tokens[d]) for d in ds])
+        flat = np.concatenate([np.array(m[d]) for d in ds])
+        pos = encode_positions_rows(flat, np.cumsum(tfs))
+        by_term[t] = encode_blocks(ds, tfs, dls, avgdl, block_size=64,
+                                   pos=pos)
+        idf[t] = float(bm25_idf(len(ds), n_docs))
+
+    def brute(terms, k):
+        idf_sum = sum(idf[t] for t in terms)
+        out = []
+        for d, toks in enumerate(docs_tokens):
+            ptf = sum(1 for i in range(len(toks) - len(terms) + 1)
+                      if all(toks[i + j] == terms[j]
+                             for j in range(len(terms))))
+            if ptf:
+                dl = len(toks)
+                out.append((idf_sum * ptf * 2.2
+                            / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                            d))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return out[:k]
+
+    for phrase in ["the quick", "quick brown fox", "the the",
+                   "fox dog run", "run run run"]:
+        terms = phrase.split()
+        want = brute(terms, 15)
+        got = phrase_topk_arrays(terms, idf, by_term, avgdl, 15)
+        assert len(got) == len(want)
+        for (ws, wd), (gs, gd) in zip(want, got):
+            assert wd == gd and abs(ws - gs) < 1e-9
+
+
 # ---------------------------------------------------------------------------
 # property tests: analyzer positions + position-stream round trip
 # ---------------------------------------------------------------------------
