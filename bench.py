@@ -61,6 +61,10 @@ BM25_QUERIES = [
 PHRASE_QUERIES = [
     ("order fast", 10), ("stream column", 10), ("window join", 10),
     ("data slow", 10),
+    # skewed df: common head (~9k docs at sf0.1) + rare "dup" (~255) —
+    # exercises the rarest-term-first block pruning; cost should track
+    # the rare term's df, not the head term's
+    ("group dup", 10),
 ]
 
 
