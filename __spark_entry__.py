@@ -283,6 +283,70 @@ def q_ft_bm25_conjunctive_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+# multi_match: a second per-field index over a derived `title` field (the
+# first TITLE_WORDS tokens of text — ES-style title/body mappings; the
+# reference's configs declare dozens of text fields per doc).  Both
+# indexes share the doc_id space (id_col ids used verbatim).
+TITLE_WORDS = 5
+MM_TIE = 0.3
+MM_TITLE_BOOST = 2.0
+
+
+def _title_index(spark: SparkSession, sf_dir: str) -> str:
+    key = "title:" + os.path.abspath(sf_dir)
+    if key in _IDX:
+        return _IDX[key]
+    from mongoesindexer_spark.operators.build_index import (
+        INDEX_FORMAT_VERSION, IndexBuilder)
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"mei_idx_v{INDEX_FORMAT_VERSION}t1_{tag}")
+    titles = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.expr(_TOK), 1, TITLE_WORDS), " ")
+        .alias("text"))
+    builder = IndexBuilder(index_dir, n_buckets=8, key_col="doc_id",
+                           id_col="doc_id")
+    builder.build(spark, titles)
+    _IDX[key] = index_dir
+    return index_dir
+
+
+def q_ft_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` type=best_fields (dis_max): one query scored
+    against the body index AND a title-field index (first TITLE_WORDS
+    tokens), combined as best + tie_breaker×others with the title field
+    boosted — served by the driver kernel (block-max WAND over the union
+    of per-(field, term) cursors, operators/multi_match.py)."""
+    from mongoesindexer_spark.operators.multi_match import multi_match_topk
+    dirs = {"body": _docs_index(spark, sf_dir),
+            "title": _title_index(spark, sf_dir)}
+    pdf = multi_match_topk(spark, dirs, BM25_QUERY, BM25_K,
+                           mtype="best_fields", tie_breaker=MM_TIE,
+                           boosts={"title": MM_TITLE_BOOST},
+                           locus="kernel")
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
+def q_ft_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` type=most_fields (per-field BM25 sum) through
+    the DISTRIBUTED locus: per-field score DataFrames (shuffled partial
+    aggregation, no driver candidate materialization) outer-combined per
+    doc_id with order-pinned F.aggregate folds, TakeOrderedAndProject —
+    the 100-TB path (operators/multi_match.py multi_match_df)."""
+    from mongoesindexer_spark.operators.multi_match import (get_engine,
+                                                            multi_match_df)
+    dirs = {"body": _docs_index(spark, sf_dir),
+            "title": _title_index(spark, sf_dir)}
+    engines = {f: get_engine(spark, d) for f, d in dirs.items()}
+    return multi_match_df(engines, BM25_QUERY, BM25_K,
+                          mtype="most_fields").select(
+        "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 def q_ft_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completion/prefix semantics (T7): served from the materialized
     ``completion(prefix, term, weight)`` table (the FST analog) — the
@@ -660,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_segments_topk": q_ft_bm25_segments_topk,
         "ft_bm25_conjunctive": q_ft_bm25_conjunctive,
         "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
+        "ft_multi_match_best": q_ft_multi_match_best,
+        "ft_multi_match_most": q_ft_multi_match_most,
         "ft_phrase_search": q_ft_phrase_search,
         "ft_phrase_filtered": q_ft_phrase_filtered,
         "ft_keyword_match": q_ft_keyword_match,
@@ -733,6 +799,49 @@ def oracle_sql() -> dict[str, str]:
     """
     terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY.split())))
     cterms = ", ".join(f"'{t}'" for t in sorted(set(CONJ_QUERY.split())))
+
+    # multi_match: per-field BM25 CTE (field = a token-list expression;
+    # the title field is the first TITLE_WORDS tokens, exactly the
+    # engine-side derivation in _title_index).  Boost folds into the
+    # per-term factor, matching the engine's boost×idf folding.
+    def _mm_field(sfx: str, texpr: str, boost: float) -> str:
+        return f"""
+        tok{sfx} AS (SELECT doc_id, unnest({texpr}) AS term FROM documents),
+        tf{sfx} AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                    FROM tok{sfx} GROUP BY 1, 2),
+        dl{sfx} AS (SELECT doc_id, count(*)::BIGINT AS doc_len
+                    FROM tok{sfx} GROUP BY 1),
+        g{sfx} AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                   (SELECT sum(doc_len) FROM dl{sfx})::DOUBLE
+                   / (SELECT count(*) FROM documents) AS avgdl),
+        s{sfx} AS (
+            SELECT tf.doc_id,
+                   sum( {boost!r} * ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / g.avgdl)) ) AS score
+            FROM tf{sfx} tf
+            JOIN (SELECT term, count(*)::BIGINT AS df FROM tf{sfx} GROUP BY 1) d
+              USING (term)
+            JOIN dl{sfx} dl USING (doc_id) CROSS JOIN g{sfx} g
+            WHERE tf.term IN ({terms}) GROUP BY tf.doc_id)"""
+
+    title_toks = f"list_slice({_TOK_DD}, 1, {TITLE_WORDS})"
+    mm_comb = (
+        "WITH " + _mm_field("a", _TOK_DD, 1.0) + ","
+        + _mm_field("b", title_toks, MM_TITLE_BOOST) + f""",
+        comb AS (
+            SELECT COALESCE(sa.doc_id, sb.doc_id) AS doc_id,
+                   COALESCE(sa.score, 0) AS s0, COALESCE(sb.score, 0) AS s1
+            FROM sa FULL JOIN sb ON sa.doc_id = sb.doc_id)
+    """)
+    mm_comb_noboost = (
+        "WITH " + _mm_field("a", _TOK_DD, 1.0) + ","
+        + _mm_field("b", title_toks, 1.0) + """,
+        comb AS (
+            SELECT COALESCE(sa.doc_id, sb.doc_id) AS doc_id,
+                   COALESCE(sa.score, 0) AS s0, COALESCE(sb.score, 0) AS s1
+            FROM sa FULL JOIN sb ON sa.doc_id = sb.doc_id)
+    """)
     # shared match_phrase scoring CTE (ft_phrase_search / ft_phrase_filtered)
     phrase_scores = f"""
         WITH toksl AS (
@@ -854,6 +963,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores WHERE n_terms = 2
             ORDER BY score DESC, doc_id ASC LIMIT 50
+        """,
+        # best_fields (dis_max): best per-field score + tie_breaker × the
+        # other field (2 fields ⇒ others-sum = least); title boosted
+        "ft_multi_match_best": mm_comb + f"""
+            SELECT doc_id,
+                   CAST(round((greatest(s0, s1) + {MM_TIE} * least(s0, s1))
+                              * 1e4) AS BIGINT) AS score_e4
+            FROM comb
+            ORDER BY greatest(s0, s1) + {MM_TIE} * least(s0, s1) DESC,
+                     doc_id ASC
+            LIMIT {BM25_K}
+        """,
+        "ft_multi_match_most": mm_comb_noboost + f"""
+            SELECT doc_id,
+                   CAST(round((s0 + s1) * 1e4) AS BIGINT) AS score_e4
+            FROM comb ORDER BY s0 + s1 DESC, doc_id ASC LIMIT {BM25_K}
         """,
         # ES match_phrase: phrase_freq = count of start positions i with
         # t[i]='order' AND t[i+1]='fast'; score = idf_sum × BM25 tf-norm

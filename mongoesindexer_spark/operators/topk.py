@@ -1181,6 +1181,39 @@ def pack_segment_groups(files: list[tuple[str, int]], max_groups: int
     return groups
 
 
+def match_scores_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
+                        avgdl: float
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Score EVERY doc matching ≥1 term: ``(doc_ids, scores,
+    matched_term_counts)``, doc_id-sorted — the vectorized score-all pass
+    behind :func:`exhaustive_topk_arrays`, exposed so multi-field scoring
+    (:mod:`.multi_match`) can combine per-field score maps.
+
+    Per-doc accumulation order is term order (blocks are concatenated per
+    term, ``np.bincount`` sums in input order), matching the cursor
+    kernels' ``ord``-sorted accumulation — the last-bit float contract
+    every rank-identity property test relies on."""
+    all_docs: list[np.ndarray] = []
+    all_scores: list[np.ndarray] = []
+    for idf, blocks in term_blocks.values():
+        for b in blocks:
+            docs, tfs, dls = _block_arrays(b)
+            tf = tfs.astype(np.float64)
+            all_docs.append(docs)
+            all_scores.append(
+                idf * tf * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl)))
+    if not all_docs:
+        z = np.empty(0)
+        return z.astype(np.int64), z, z.astype(np.int64)
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    agg = np.bincount(inv, weights=scores)
+    counts = np.bincount(inv)
+    return uniq, agg, counts
+
+
 def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
                            avgdl: float, k: int,
                            tombstones: set[int] | None = None,
@@ -1205,24 +1238,10 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
     int64 array of doc_ids that may appear in the result; everything
     else is dropped BEFORE top-k selection (non-scoring, like ES filter
     clauses).  None = no filter."""
-    all_docs: list[np.ndarray] = []
-    all_scores: list[np.ndarray] = []
-    for idf, blocks in term_blocks.values():
-        for b in blocks:
-            docs, tfs, dls = _block_arrays(b)
-            tf = tfs.astype(np.float64)
-            all_docs.append(docs)
-            all_scores.append(
-                idf * tf * (K1 + 1.0)
-                / (tf + K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl)))
-    if not all_docs:
+    uniq, agg, counts = match_scores_arrays(term_blocks, avgdl)
+    if uniq.size == 0:
         return []
-    docs = np.concatenate(all_docs)
-    scores = np.concatenate(all_scores)
-    uniq, inv = np.unique(docs, return_inverse=True)
-    agg = np.bincount(inv, weights=scores)
     if require_all:
-        counts = np.bincount(inv)
         keep = counts == len(term_blocks)
         uniq, agg = uniq[keep], agg[keep]
     if allowed is not None:
