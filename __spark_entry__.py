@@ -347,6 +347,38 @@ def q_ft_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+# term-expansion queries (operators/expand.py)
+FUZZY_TERM = "spark"      # AUTO fuzziness → 1 edit for a 5-char term
+WILD_PAT = "s?ark"        # ES wildcard glob; SQL LIKE twin 's_ark'
+
+
+def q_ft_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``fuzzy`` query: Levenshtein expansion against the term
+    dictionary (distance asc, df desc, term asc, max_expansions 50),
+    then OR-BM25 over the expansion set with per-term idf
+    (rewrite=scoring_boolean).  Oracle recomputes the SAME expansion
+    with DuckDB's levenshtein() and scores it with the shared BM25
+    CTE shape."""
+    from mongoesindexer_spark.operators.expand import fuzzy_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = fuzzy_topk(spark, idx, FUZZY_TERM, BM25_K, fuzziness="AUTO")
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
+def q_ft_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``wildcard`` query, constant-score rewrite: docs containing
+    ANY term matching the glob — expansion via a prefix-pruned term_dict
+    range read, postings union from the block cache (a filter, not a
+    scorer, so the result is the doc_id set)."""
+    from mongoesindexer_spark.operators.expand import wildcard_match
+    idx = _docs_index(spark, sf_dir)
+    pdf = wildcard_match(spark, idx, WILD_PAT)
+    return spark.createDataFrame(pdf[["doc_id"]], schema="doc_id long")
+
+
 def q_ft_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completion/prefix semantics (T7): served from the materialized
     ``completion(prefix, term, weight)`` table (the FST analog) — the
@@ -726,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
         "ft_multi_match_best": q_ft_multi_match_best,
         "ft_multi_match_most": q_ft_multi_match_most,
+        "ft_fuzzy_topk": q_ft_fuzzy_topk,
+        "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
         "ft_phrase_filtered": q_ft_phrase_filtered,
         "ft_keyword_match": q_ft_keyword_match,
@@ -979,6 +1013,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(round((s0 + s1) * 1e4) AS BIGINT) AS score_e4
             FROM comb ORDER BY s0 + s1 DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        # fuzzy: the SAME expansion rule as operators/expand.py
+        # (levenshtein ≤ f, ranked dist asc / df desc / term asc, cap 50)
+        # computed by DuckDB itself, then OR-BM25 with per-term idf
+        "ft_fuzzy_topk": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), tf AS (
+                SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY 1
+            ), g AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT sum(doc_len) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), dfreq AS (
+                SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), exp AS (
+                SELECT term FROM dfreq
+                WHERE levenshtein(term, '{FUZZY_TERM}') <= 1
+                ORDER BY levenshtein(term, '{FUZZY_TERM}') ASC, df DESC,
+                         term ASC
+                LIMIT 50
+            ), scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (g.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / g.avgdl)) ) AS score
+                FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN g
+                WHERE tf.term IN (SELECT term FROM exp)
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        "ft_wildcard_match": f"""
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents)
+            WHERE term LIKE 's_ark' ORDER BY doc_id
         """,
         # ES match_phrase: phrase_freq = count of start positions i with
         # t[i]='order' AND t[i+1]='fast'; score = idf_sum × BM25 tf-norm

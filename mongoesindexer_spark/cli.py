@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="ES bool filter context: restrict to docs whose "
                         "keyword sub-field equals one of the values "
                         "(non-scoring)")
+    q.add_argument("--fuzzy", default=None, metavar="AUTO|N",
+                   help="ES fuzzy term query: expand --q against the term "
+                        "dictionary within edit distance N (AUTO = ES "
+                        "AUTO:3,6) and OR-BM25 the expansion set")
+    q.add_argument("--wildcard", action="store_true",
+                   help="ES wildcard query: --q is a */? glob; prints the "
+                        "constant-score doc_id set containing a match")
     q.add_argument("--filter-normalized", action="store_true",
                    help="match the filter on <field>.normalized (values "
                         "folded through keyword/lowercase/asciifold)")
@@ -148,7 +155,17 @@ def main(argv: list[str] | None = None) -> int:
             if not _ or not vals:
                 raise SystemExit("--filter wants FIELD:VALUE[,VALUE…]")
             fv = vals.split(",")
-        if args.phrase:
+        if args.wildcard:
+            from .operators.expand import wildcard_match
+            pdf = wildcard_match(spark, args.index, args.q)
+            print(pdf.to_string(index=False))
+        elif args.fuzzy is not None:
+            from .operators.expand import fuzzy_topk
+            fz = "AUTO" if args.fuzzy.upper() == "AUTO" else int(args.fuzzy)
+            pdf = fuzzy_topk(spark, args.index, args.q, args.k, fuzziness=fz)
+            print(pdf.to_string(index=False,
+                                float_format=lambda v: f"{v:.17g}"))
+        elif args.phrase:
             from .operators.topk import bm25_phrase_topk
             pdf = bm25_phrase_topk(spark, args.index, args.q, args.k,
                                    search_after=after,

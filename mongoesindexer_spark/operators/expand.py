@@ -1,0 +1,164 @@
+"""Term-expansion queries: ES ``fuzzy`` and ``wildcard``.
+
+ES serves both by expanding the query against the term dictionary
+(Lucene intersects a Levenshtein automaton / wildcard automaton with the
+FST) and rewriting to a bool query over the matched terms.  The engine
+analog: a range-pruned scan of the value-sorted ``term_dict`` parquet
+(``_RowGroupIndex.read_range`` — the FST stand-in), a vectorized
+edit-distance kernel over the surviving candidates, then the existing
+OR-BM25 serving paths over the expansion set.
+
+Semantics (documented, oracle-pinned):
+
+- ``fuzzy``: plain Levenshtein (transpositions=false — DuckDB's
+  ``levenshtein`` is the oracle), ``fuzziness`` int or "AUTO"
+  (ES AUTO:3,6 — 0 below 3 chars, 1 for 3–5, 2 from 6).  Expansion
+  ranked (distance asc, df desc, term asc) capped at ``max_expansions``
+  (ES default 50); each expanded term scores with its OWN idf and the
+  per-doc scores sum — ES ``rewrite=scoring_boolean``.
+- ``wildcard``: ``*``/``?`` glob, constant-score (Lucene's
+  ``constant_score_blended`` rewrite — wildcard matches are a filter,
+  not a relevance signal): the result is the doc_id set containing ANY
+  matching term.
+
+Scale: the candidate scan is bounded by the pattern's literal prefix
+(``prefix_length`` for fuzzy) via a term_dict range read — row-group
+pruned, no Spark job.  A zero-prefix fuzzy/leading-wildcard query scans
+the full vocabulary (~|V| rows of two columns) exactly as ES warns for
+``prefix_length=0``/leading wildcards; the scan is a driver-side Arrow
+read of the dictionary, never of postings.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .topk import SearchEngine, get_engine
+
+MAX_EXPANSIONS = 50
+_HI = chr(0x10FFFF)
+
+
+def auto_fuzziness(term: str) -> int:
+    """ES ``fuzziness: AUTO`` (AUTO:3,6)."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+def levenshtein_batch(query: str, cands: "pd.Series | list[str]"
+                      ) -> np.ndarray:
+    """Plain Levenshtein distance from ``query`` to every candidate,
+    one vectorized DP across all candidates at once (the row dimension
+    is the candidate axis; the two loops are over the ≤~20-char string
+    lengths, not over candidates)."""
+    cands = list(cands)
+    if not cands:
+        return np.empty(0, dtype=np.int64)
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(c) for c in cands), dtype=np.int64,
+                       count=len(cands))
+    lmax = int(lens.max()) if lens.size else 0
+    mat = np.zeros((len(cands), lmax), dtype=np.uint32)
+    for i, c in enumerate(cands):
+        if c:
+            mat[i, :len(c)] = np.frombuffer(c.encode("utf-32-le"),
+                                            dtype=np.uint32)
+    prev = np.tile(np.arange(lmax + 1, dtype=np.int64), (len(cands), 1))
+    for i in range(1, q.size + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, lmax + 1):
+            sub = prev[:, j - 1] + (mat[:, j - 1] != q[i - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1, sub),
+                                   cur[:, j - 1] + 1)
+        prev = cur
+    return prev[np.arange(len(cands)), lens]
+
+
+def fuzzy_expand(eng: SearchEngine, term: str,
+                 fuzziness: int | str = "AUTO",
+                 prefix_length: int = 0,
+                 max_expansions: int = MAX_EXPANSIONS) -> list[str]:
+    """Index-vocabulary terms within edit distance of ``term``, ranked
+    (distance asc, df desc, term asc), capped at ``max_expansions``.
+
+    The candidate read is a term_dict range scan on the shared literal
+    prefix (``prefix_length`` > 0) — row-group pruned like every other
+    dictionary point read; candidates are then length-banded
+    (|len − len(term)| ≤ f) before the DP kernel runs."""
+    f = auto_fuzziness(term) if fuzziness == "AUTO" else int(fuzziness)
+    if f == 0:
+        meta = eng._term_meta([term])
+        return [term] if meta.get(term) is not None else []
+    lo, hi = (term[:prefix_length], term[:prefix_length] + _HI) \
+        if prefix_length > 0 else ("", _HI)
+    vocab = eng._rg_index("term_dict", "term").read_range(
+        lo, hi, ["term", "df"])
+    terms = vocab["term"].astype(str)
+    keep = (terms.str.len() - len(term)).abs() <= f
+    cand = vocab[keep]
+    if cand.empty:
+        return []
+    dist = levenshtein_batch(term, cand["term"].astype(str))
+    cand = cand.assign(dist=dist)
+    cand = cand[cand["dist"] <= f]
+    cand = cand.sort_values(["dist", "df", "term"],
+                            ascending=[True, False, True])
+    return cand["term"].head(max_expansions).tolist()
+
+
+def fuzzy_topk(spark: SparkSession, index_dir: str, term: str, k: int,
+               fuzziness: int | str = "AUTO", prefix_length: int = 0,
+               max_expansions: int = MAX_EXPANSIONS) -> pd.DataFrame:
+    """ES ``fuzzy`` query: expand, then OR-BM25 top-k over the expansion
+    set through the engine's cost-gated serving paths (each expanded
+    term scores with its own idf — ``rewrite=scoring_boolean``)."""
+    eng = get_engine(spark, index_dir)
+    exp = fuzzy_expand(eng, term, fuzziness, prefix_length, max_expansions)
+    if not exp:
+        return pd.DataFrame(columns=["doc_id", "url", "score"])
+    return eng.topk_wand("", k, analyzed_terms=exp)
+
+
+def wildcard_pattern_bounds(pattern: str) -> tuple[str, str]:
+    """Term_dict range bounds from the pattern's literal prefix — the
+    scan-pruning ES gets from its wildcard automaton's common prefix."""
+    m = re.match(r"[^*?\[\]]*", pattern)
+    prefix = m.group(0) if m else ""
+    return (prefix, prefix + _HI) if prefix else ("", _HI)
+
+
+def wildcard_expand(eng: SearchEngine, pattern: str) -> list[str]:
+    """Vocabulary terms matching the ``*``/``?`` glob, term-sorted."""
+    lo, hi = wildcard_pattern_bounds(pattern)
+    vocab = eng._rg_index("term_dict", "term").read_range(lo, hi, ["term"])
+    rx = re.compile(fnmatch.translate(pattern))
+    terms = [t for t in vocab["term"].astype(str).tolist() if rx.match(t)]
+    return sorted(terms)
+
+
+def wildcard_match(spark: SparkSession, index_dir: str, pattern: str
+                   ) -> pd.DataFrame:
+    """ES ``wildcard`` query, constant-score rewrite: the sorted doc_id
+    set containing ANY term matching the glob (a filter, not a scorer).
+    Postings of the matched terms are unioned from the decoded block
+    cache; tombstoned docs are masked like every serving path."""
+    from .topk import _block_arrays
+    eng = get_engine(spark, index_dir)
+    terms = wildcard_expand(eng, pattern)
+    if not terms:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    by_term = eng._term_blocks(terms)
+    arrs = [_block_arrays(b)[0] for bl in by_term.values() for b in bl]
+    if not arrs:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    docs = np.unique(np.concatenate(arrs))
+    if eng.tombstones:
+        docs = docs[~np.isin(docs, np.fromiter(eng.tombstones,
+                                               dtype=np.int64))]
+    return pd.DataFrame({"doc_id": docs.astype(np.int64)})

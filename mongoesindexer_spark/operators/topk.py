@@ -559,7 +559,8 @@ class SearchEngine:
                   search_after: tuple[float, int] | None = None,
                   filter_field: str | None = None,
                   filter_value=None,
-                  filter_normalized: bool = False
+                  filter_normalized: bool = False,
+                  analyzed_terms: list[str] | None = None
                   ) -> pd.DataFrame:
         """Top-k over the encoded blocks, cost-based (Lucene-style): when
         the candidate postings are few (< EXHAUSTIVE_CUTOFF), decode them
@@ -599,9 +600,16 @@ class SearchEngine:
         list, ES ``terms``).  Non-scoring, like ES filter context.  The
         filter resolves candidate-bounded (:meth:`_filter_allowed`) on
         the driver path and range-pruned per task on the fan-out path —
-        never ∝ the filter's corpus-wide match count."""
+        never ∝ the filter's corpus-wide match count.
+
+        ``analyzed_terms``: bypass the search analyzer and score these
+        index-vocabulary terms directly (deduplicated, sorted) — the
+        entry point for term-expansion queries (fuzzy/wildcard,
+        operators/expand.py) whose expansions come FROM the term
+        dictionary and must not be re-analyzed."""
         _check_k(k)
-        analyzed = _query_terms(query_text, self.cfg)
+        analyzed = sorted(set(analyzed_terms)) if analyzed_terms is not None \
+            else _query_terms(query_text, self.cfg)
         if not analyzed:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
         meta = self._term_meta(analyzed)

@@ -1,0 +1,104 @@
+"""Term-expansion queries (ES fuzzy / wildcard, operators/expand.py):
+vectorized Levenshtein kernel vs a reference DP, expansion sets vs
+brute force over the oracle vocabulary, and end-to-end scoring vs the
+pure-python oracle on the tiny fixture index."""
+
+import fnmatch
+import re
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mongoesindexer_spark.operators.expand import (auto_fuzziness,
+    fuzzy_expand, fuzzy_topk, levenshtein_batch, wildcard_expand,
+    wildcard_match, wildcard_pattern_bounds)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.text(alphabet="abcde", max_size=8),
+       st.lists(st.text(alphabet="abcdef", max_size=10), max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_levenshtein_batch_matches_reference(q, cands):
+    got = levenshtein_batch(q, cands)
+    assert got.tolist() == [_lev_ref(q, c) for c in cands]
+
+
+def test_auto_fuzziness():
+    assert auto_fuzziness("ab") == 0
+    assert auto_fuzziness("abc") == 1
+    assert auto_fuzziness("abcde") == 1
+    assert auto_fuzziness("abcdef") == 2
+
+
+def test_wildcard_pattern_bounds():
+    lo, hi = wildcard_pattern_bounds("sca*")
+    assert lo == "sca" and hi.startswith("sca")
+    assert wildcard_pattern_bounds("*ark")[0] == ""
+    assert wildcard_pattern_bounds("s?ark")[0] == "s"
+
+
+@pytest.fixture(scope="module")
+def tiny_engine(spark, tiny_index):
+    from mongoesindexer_spark.operators.topk import get_engine
+    return get_engine(spark, tiny_index)
+
+
+def test_fuzzy_expand_matches_bruteforce(tiny_engine, oracle_tiny):
+    for qt, f in (("spark", 1), ("index", "AUTO"), ("the", 1)):
+        got = fuzzy_expand(tiny_engine, qt, fuzziness=f, max_expansions=50)
+        fi = auto_fuzziness(qt) if f == "AUTO" else f
+        brute = [(t, len(ds)) for t, ds in oracle_tiny.postings.items()
+                 if _lev_ref(qt, t) <= fi]
+        brute.sort(key=lambda x: (_lev_ref(qt, x[0]), -x[1], x[0]))
+        assert got == [t for t, _ in brute[:50]]
+
+
+def test_fuzzy_expand_prefix_length(tiny_engine, oracle_tiny):
+    full = fuzzy_expand(tiny_engine, "spark", 1)
+    pref = fuzzy_expand(tiny_engine, "spark", 1, prefix_length=1)
+    assert set(pref) == {t for t in full if t.startswith("s")}
+
+
+def test_fuzzy_topk_matches_oracle(spark, tiny_index, tiny_engine,
+                                   oracle_tiny):
+    exp = fuzzy_expand(tiny_engine, "spark", 1)
+    got = fuzzy_topk(spark, tiny_index, "spark", 10, fuzziness=1)
+    # oracle: OR-BM25 over the same expansion set (own idf per term)
+    cand = set()
+    for t in exp:
+        cand |= set(oracle_tiny.postings.get(t, {}))
+    want = sorted(
+        ((oracle_tiny.score(" ".join(exp), d), d) for d in cand),
+        key=lambda x: (-x[0], x[1]))[:10]
+    assert [int(d) for d in got["doc_id"]] == [d for _, d in want]
+    for gs, (ws, _) in zip(got["score"], want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_wildcard_expand_and_match(spark, tiny_index, tiny_engine,
+                                   oracle_tiny):
+    for pat in ("s?ark", "ind*", "*tion"):
+        got = wildcard_expand(tiny_engine, pat)
+        rx = re.compile(fnmatch.translate(pat))
+        want = sorted(t for t in oracle_tiny.postings if rx.match(t))
+        assert got == want
+        docs = wildcard_match(spark, tiny_index, pat)
+        wdocs = sorted({d for t in want
+                        for d in oracle_tiny.postings.get(t, {})})
+        assert docs["doc_id"].tolist() == wdocs
+
+
+def test_fuzzy_zero_distance_is_exact_term(tiny_engine):
+    assert fuzzy_expand(tiny_engine, "xy", "AUTO") == []  # absent, f=0
