@@ -347,6 +347,22 @@ def q_ft_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+def q_ft_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool.should ``minimum_should_match``: the flagship 3-term OR
+    query restricted to docs matching ≥ 2 of the term clauses, through
+    the WAND kernel (clause-count check at pivot alignment — pruning
+    soundness documented in operators/topk.py wand_topk_arrays)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).topk_wand(BM25_QUERY, BM25_K,
+                                           use_wand=True,
+                                           min_should_match=2)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 # term-expansion queries (operators/expand.py)
 FUZZY_TERM = "spark"      # AUTO fuzziness → 1 edit for a 5-char term
 WILD_PAT = "s?ark"        # ES wildcard glob; SQL LIKE twin 's_ark'
@@ -758,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_conjunctive_wand": q_ft_bm25_conjunctive_wand,
         "ft_multi_match_best": q_ft_multi_match_best,
         "ft_multi_match_most": q_ft_multi_match_most,
+        "ft_bm25_msm": q_ft_bm25_msm,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
@@ -1013,6 +1030,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(round((s0 + s1) * 1e4) AS BIGINT) AS score_e4
             FROM comb ORDER BY s0 + s1 DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        "ft_bm25_msm": bm25_scores.format(terms=terms) + f"""
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores WHERE n_terms >= 2
+            ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         # fuzzy: the SAME expansion rule as operators/expand.py
         # (levenshtein ≤ f, ranked dist asc / df desc / term asc, cap 50)

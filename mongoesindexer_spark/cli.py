@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="ES bool filter context: restrict to docs whose "
                         "keyword sub-field equals one of the values "
                         "(non-scoring)")
+    q.add_argument("--min-should", type=int, default=None, metavar="M",
+                   help="ES minimum_should_match: docs must match ≥ M of "
+                        "the query's term clauses (mode=or only)")
     q.add_argument("--fuzzy", default=None, metavar="AUTO|N",
                    help="ES fuzzy term query: expand --q against the term "
                         "dictionary within edit distance N (AUTO = ES "
@@ -177,7 +180,8 @@ def main(argv: list[str] | None = None) -> int:
             pdf = bm25_topk_wand(spark, args.index, args.q, args.k,
                                  mode=args.mode, search_after=after,
                                  filter_field=ff, filter_value=fv,
-                                 filter_normalized=args.filter_normalized)
+                                 filter_normalized=args.filter_normalized,
+                                 min_should_match=args.min_should)
             # full-precision scores: --after round-trips the printed value,
             # and a rounded cursor re-admits the boundary doc
             print(pdf.to_string(index=False,
@@ -186,7 +190,8 @@ def main(argv: list[str] | None = None) -> int:
             bm25_topk_df(spark, args.index, args.q, args.k, mode=args.mode,
                          search_after=after, filter_field=ff,
                          filter_value=fv,
-                         filter_normalized=args.filter_normalized
+                         filter_normalized=args.filter_normalized,
+                         min_should_match=args.min_should
                          ).show(args.k, truncate=False)
     elif args.cmd == "suggest":
         from .operators.topk import get_engine

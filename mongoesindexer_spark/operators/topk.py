@@ -319,7 +319,8 @@ class SearchEngine:
                 search_after: tuple[float, int] | None = None,
                 filter_field: str | None = None,
                 filter_value=None,
-                filter_normalized: bool = False) -> DataFrame:
+                filter_normalized: bool = False,
+                min_should_match: int | None = None) -> DataFrame:
         """``search_after``: deep-paging cursor (see :meth:`topk_wand`).
         On this analytics path the cursor's score equality is only exact
         against scores from the SAME path (Spark float aggregation order
@@ -357,6 +358,10 @@ class SearchEngine:
         )
         if mode == "and":
             scored = scored.filter(F.col("n_terms") == len(terms))
+        if min_should_match is not None:
+            if mode == "and":
+                raise ValueError("min_should_match applies to mode='or'")
+            scored = scored.filter(F.col("n_terms") >= min_should_match)
         if search_after is not None:
             s0, d0 = float(search_after[0]), int(search_after[1])
             scored = scored.filter(
@@ -560,7 +565,8 @@ class SearchEngine:
                   filter_field: str | None = None,
                   filter_value=None,
                   filter_normalized: bool = False,
-                  analyzed_terms: list[str] | None = None
+                  analyzed_terms: list[str] | None = None,
+                  min_should_match: int | None = None
                   ) -> pd.DataFrame:
         """Top-k over the encoded blocks, cost-based (Lucene-style): when
         the candidate postings are few (< EXHAUSTIVE_CUTOFF), decode them
@@ -606,8 +612,15 @@ class SearchEngine:
         index-vocabulary terms directly (deduplicated, sorted) — the
         entry point for term-expansion queries (fuzzy/wildcard,
         operators/expand.py) whose expansions come FROM the term
-        dictionary and must not be re-analyzed."""
+        dictionary and must not be re-analyzed.
+
+        ``min_should_match``: ES bool.should minimum_should_match — a
+        doc must match ≥ this many of the analyzed term clauses
+        (mode="or" only; "and" IS min_should_match=len(terms))."""
         _check_k(k)
+        if min_should_match is not None and mode == "and":
+            raise ValueError("min_should_match applies to mode='or' "
+                             "(mode='and' is already all-clauses)")
         analyzed = sorted(set(analyzed_terms)) if analyzed_terms is not None \
             else _query_terms(query_text, self.cfg)
         if not analyzed:
@@ -633,7 +646,8 @@ class SearchEngine:
         if use_segments:
             return self.topk_segments(terms, td, k, mode=mode,
                                       search_after=search_after,
-                                      filter_clause=flt)
+                                      filter_clause=flt,
+                                      min_should=min_should_match)
         by_term = self._term_blocks(terms)
         if mode == "and" and len(by_term) < len(terms):
             return pd.DataFrame(columns=["doc_id", "url", "score"])
@@ -667,13 +681,14 @@ class SearchEngine:
                 hits = wand_topk_arrays(cursors, self.avgdl, k,
                                         self.tombstones,
                                         after=search_after,
-                                        allowed=allowed_set)
+                                        allowed=allowed_set,
+                                        min_should=min_should_match)
         else:
             hits = exhaustive_topk_arrays(
                 {t: (td[t], by_term[t]) for t in terms if t in by_term},
                 self.avgdl, k, self.tombstones,
                 require_all=(mode == "and"), after=search_after,
-                allowed=allowed_arr)
+                allowed=allowed_arr, min_should=min_should_match)
         urls = self.fetch_urls([d for _, d in hits])
         return pd.DataFrame(
             [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
@@ -807,7 +822,8 @@ class SearchEngine:
                       k: int, mode: str = "or",
                       search_after: tuple[float, int] | None = None,
                       filter_clause: tuple[str, list] | None = None,
-                      phrase_terms: list[str] | None = None
+                      phrase_terms: list[str] | None = None,
+                      min_should: int | None = None
                       ) -> pd.DataFrame:
         """ES-shard-style fan-out: per doc-disjoint segment group, score
         top-k locally (same cost-based exhaustive/WAND kernel) inside a
@@ -838,6 +854,10 @@ class SearchEngine:
         for the same reason ``mode="and"`` is: a doc's postings (and
         positions) for every phrase term live in exactly one doc-disjoint
         group, so per-group phrase matches partition the global match set.
+
+        ``min_should``: minimum_should_match per group — valid for the
+        same doc-disjointness reason: a doc's matched-term count is
+        complete within its one group.
         """
         _check_k(k)
         # only terms with a dictionary row are scorable (a fully-
@@ -935,7 +955,8 @@ class SearchEngine:
                             hits = wand_topk_arrays(cursors, avgdl, k,
                                                     ts_bc.value,
                                                     after=search_after,
-                                                    allowed=allowed)
+                                                    allowed=allowed,
+                                                    min_should=min_should)
                     else:
                         hits = exhaustive_topk_arrays(
                             {t: (idf_by_term[t], by_term[t])
@@ -944,7 +965,8 @@ class SearchEngine:
                             require_all=(mode == "and"),
                             after=search_after,
                             allowed=None if allowed is None else
-                            np.fromiter(allowed, dtype=np.int64))
+                            np.fromiter(allowed, dtype=np.int64),
+                            min_should=min_should)
                     if hits:
                         yield pd.DataFrame(
                             {"score": [s for s, _ in hits],
@@ -1006,7 +1028,8 @@ def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
                  search_after: tuple[float, int] | None = None,
                  filter_field: str | None = None,
                  filter_value=None,
-                 filter_normalized: bool = False) -> DataFrame:
+                 filter_normalized: bool = False,
+                 min_should_match: int | None = None) -> DataFrame:
     """Score with pure DataFrame ops over ``postings_flat``.
 
     The term filter is an ``isin`` over ≤|q| terms → pushed into the
@@ -1021,7 +1044,8 @@ def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
     return get_engine(spark, index_dir, cfg).topk_df(
         query_text, k, mode, search_after=search_after,
         filter_field=filter_field, filter_value=filter_value,
-        filter_normalized=filter_normalized)
+        filter_normalized=filter_normalized,
+        min_should_match=min_should_match)
 
 
 # ---------------------------------------------------------------------------
@@ -1227,7 +1251,8 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
                            tombstones: set[int] | None = None,
                            require_all: bool = False,
                            after: tuple[float, int] | None = None,
-                           allowed: "np.ndarray | None" = None
+                           allowed: "np.ndarray | None" = None,
+                           min_should: int | None = None
                            ) -> list[tuple[float, int]]:
     """Decode every candidate block and score all postings vectorized —
     rank-identical to :func:`wand_topk_arrays` (ties doc_id asc), used
@@ -1251,6 +1276,12 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
         return []
     if require_all:
         keep = counts == len(term_blocks)
+        uniq, agg, counts = uniq[keep], agg[keep], counts[keep]
+    if min_should is not None:
+        # ES minimum_should_match: a doc must match ≥ m of the query's
+        # term clauses (counts IS the matched-term count — posting lists
+        # are per-term unique and segments doc-disjoint)
+        keep = counts >= min_should
         uniq, agg = uniq[keep], agg[keep]
     if allowed is not None:
         keep = np.isin(uniq, allowed, assume_unique=True)
@@ -1489,7 +1520,8 @@ def phrase_topk_arrays(phrase_terms: list[str],
 def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                      tombstones: set[int] | None = None,
                      after: tuple[float, int] | None = None,
-                     allowed: "frozenset[int] | set[int] | None" = None
+                     allowed: "frozenset[int] | set[int] | None" = None,
+                     min_should: int | None = None
                      ) -> list[tuple[float, int]]:
     """Block-max WAND over term cursors → [(score, doc_id)] best-first.
 
@@ -1509,6 +1541,12 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
     accept time without scoring, by the same argument that keeps
     tombstone skipping safe under block-max pruning (removing candidates
     can only lower what a pruned block could have contributed).
+
+    ``min_should``: ES ``minimum_should_match`` — a doc must be matched
+    by ≥ this many term cursors to be accepted.  Checked at pivot
+    alignment (the cursors at the pivot ARE the matching terms); the
+    sum-of-upper-bounds pruning stays sound because dropping candidates
+    never raises a pruned block's potential contribution.
     """
     tombstones = tombstones or set()
     after_key = (float(after[0]), -int(after[1])) if after is not None \
@@ -1557,22 +1595,26 @@ def wand_topk_arrays(cursors: list[_TermCursor], avgdl: float, k: int,
                     (c for c in cursors
                      if not c.exhausted and c.doc == pivot_doc),
                     key=lambda c: c.ord)
-                for c in at_pivot:
-                    if norm is None:
-                        # every cursor at the pivot carries the same
-                        # doc_len; decode it from the first one
-                        norm = K1 * (1.0 - B + B * float(c.dl) / avgdl)
-                    tf = float(c.tf)
-                    score += c.idf * tf * (K1 + 1.0) / (tf + norm)
-                if after_key is not None and (score, -pivot_doc) >= after_key:
-                    pass    # at/above the page cursor: scored, rejected
-                elif len(heap) < k:
-                    heapq.heappush(heap, (score, -pivot_doc))
-                    if len(heap) == k:
+                if min_should is not None and len(at_pivot) < min_should:
+                    pass    # below the clause floor: rejected unscored
+                else:
+                    for c in at_pivot:
+                        if norm is None:
+                            # every cursor at the pivot carries the same
+                            # doc_len; decode it from the first one
+                            norm = K1 * (1.0 - B + B * float(c.dl) / avgdl)
+                        tf = float(c.tf)
+                        score += c.idf * tf * (K1 + 1.0) / (tf + norm)
+                    if after_key is not None \
+                            and (score, -pivot_doc) >= after_key:
+                        pass    # at/above the page cursor: scored, rejected
+                    elif len(heap) < k:
+                        heapq.heappush(heap, (score, -pivot_doc))
+                        if len(heap) == k:
+                            threshold = heap[0][0]
+                    elif (score, -pivot_doc) > heap[0]:
+                        heapq.heapreplace(heap, (score, -pivot_doc))
                         threshold = heap[0][0]
-                elif (score, -pivot_doc) > heap[0]:
-                    heapq.heapreplace(heap, (score, -pivot_doc))
-                    threshold = heap[0][0]
             for c in cursors:
                 if not c.exhausted and c.doc == pivot_doc:
                     c.next()
@@ -1592,7 +1634,8 @@ def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
                    search_after: tuple[float, int] | None = None,
                    filter_field: str | None = None,
                    filter_value=None,
-                   filter_normalized: bool = False
+                   filter_normalized: bool = False,
+                   min_should_match: int | None = None
                    ) -> pd.DataFrame:
     """Top-k via block-max WAND over the encoded ``postings_blocks``.
 
@@ -1605,7 +1648,8 @@ def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
     return get_engine(spark, index_dir, cfg).topk_wand(
         query_text, k, mode=mode, search_after=search_after,
         filter_field=filter_field, filter_value=filter_value,
-        filter_normalized=filter_normalized)
+        filter_normalized=filter_normalized,
+        min_should_match=min_should_match)
 
 
 def bm25_phrase_topk(spark: SparkSession, index_dir: str, phrase_text: str,
