@@ -347,6 +347,26 @@ def q_ft_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+HL_WINDOW = 5
+
+
+def q_ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``highlight`` on the flagship query's top-k hits: the engine
+    serves the hit ids (WAND kernel), then the ≤k-row _source fetch —
+    an isin-pushed join back to the documents table — computes one
+    marked-up fragment per hit with pure JVM array expressions
+    (operators/highlight.py: first query-term occurrence ± HL_WINDOW
+    tokens, every in-fragment term wrapped in <em></em>)."""
+    from mongoesindexer_spark.operators.highlight import highlight_hits
+    from mongoesindexer_spark.operators.topk import bm25_topk_wand
+    idx = _docs_index(spark, sf_dir)
+    hits = bm25_topk_wand(spark, idx, BM25_QUERY, BM25_K)
+    terms = sorted(set(BM25_QUERY.split()))
+    return highlight_hits(_read(spark, sf_dir, "documents"),
+                          [int(d) for d in hits["doc_id"]], terms,
+                          window=HL_WINDOW)
+
+
 def q_ft_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool.should ``minimum_should_match``: the flagship 3-term OR
     query restricted to docs matching ≥ 2 of the term clauses, through
@@ -775,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_match_best": q_ft_multi_match_best,
         "ft_multi_match_most": q_ft_multi_match_most,
         "ft_bm25_msm": q_ft_bm25_msm,
+        "ft_highlight": q_ft_highlight,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
@@ -1035,6 +1056,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores WHERE n_terms >= 2
             ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        # highlight: same top-k hit set, fragment = first query-term
+        # occurrence ± HL_WINDOW tokens with in-fragment terms wrapped —
+        # identical token window arithmetic to operators/highlight.py
+        # (Spark slice(start, 2w+1) == DuckDB list_slice(start, start+2w))
+        "ft_highlight": bm25_scores.format(terms=terms) + f"""
+            , hits AS (
+                SELECT doc_id FROM scores
+                ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+            ), frag AS (
+                SELECT d.doc_id, {_TOK_DD} AS t,
+                       least({", ".join(
+                           f"coalesce(list_position({_TOK_DD}, '{t}'), 2147483647)"
+                           for t in sorted(set(BM25_QUERY.split())))}) AS pos
+                FROM documents d JOIN hits USING (doc_id)
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       list_slice(t, greatest(1, pos - {HL_WINDOW}),
+                                  greatest(1, pos - {HL_WINDOW}) + {2 * HL_WINDOW}),
+                       x -> CASE WHEN x IN ({terms})
+                                 THEN '<em>' || x || '</em>' ELSE x END),
+                       ' ') AS fragment
+            FROM frag
         """,
         # fuzzy: the SAME expansion rule as operators/expand.py
         # (levenshtein ≤ f, ranked dist asc / df desc / term asc, cap 50)
