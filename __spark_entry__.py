@@ -348,6 +348,23 @@ def q_ft_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HL_WINDOW = 5
+PHRASE_SLOP = 1
+
+
+def q_ft_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match_phrase`` with ``slop`` (in-order window rule, the
+    span_near in_order analog — operators/topk.py phrase_topk_arrays):
+    the gate phrase relaxed to allow one intervening token.  The oracle
+    reproduces phrase_freq as a positions self-join (start positions of
+    term0 with term1 within the gap budget, counted distinct)."""
+    from mongoesindexer_spark.operators.topk import bm25_phrase_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = bm25_phrase_topk(spark, idx, PHRASE_QUERY, BM25_K,
+                           slop=PHRASE_SLOP)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
 def q_ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
+        "ft_phrase_slop": q_ft_phrase_slop,
         "ft_phrase_filtered": q_ft_phrase_filtered,
         "ft_keyword_match": q_ft_keyword_match,
         "ft_keyword_normalized": q_ft_keyword_normalized,
@@ -1080,6 +1098,47 @@ def oracle_sql() -> dict[str, str]:
                                  THEN '<em>' || x || '</em>' ELSE x END),
                        ' ') AS fragment
             FROM frag
+        """,
+        # sloppy phrase: ptf = distinct start positions of term0 with
+        # term1 following within the gap budget (2-term in-order window)
+        "ft_phrase_slop": f"""
+            WITH toksl AS (
+                SELECT doc_id, {_TOK_DD} AS t FROM documents
+            ), pa AS (
+                SELECT doc_id, unnest(list_filter(range(1, len(t) + 1),
+                    i -> t[i] = '{_PT[0]}')) AS p FROM toksl
+            ), pb AS (
+                SELECT doc_id, unnest(list_filter(range(1, len(t) + 1),
+                    i -> t[i] = '{_PT[1]}')) AS p FROM toksl
+            ), m AS (
+                SELECT DISTINCT pa.doc_id, pa.p FROM pa
+                JOIN pb ON pb.doc_id = pa.doc_id AND pb.p > pa.p
+                       AND pb.p - pa.p - 1 <= {PHRASE_SLOP}
+            ), pf AS (
+                SELECT doc_id, count(*)::BIGINT AS ptf FROM m GROUP BY 1
+            ), dl AS (
+                SELECT doc_id, len(t)::BIGINT AS doc_len FROM toksl
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS term FROM toksl
+            ), dfreq AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+                WHERE term IN ('{_PT[0]}', '{_PT[1]}') GROUP BY 1
+            ), g AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT sum(len(t)) FROM toksl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), idf AS (
+                SELECT sum(ln(1 + (g.n - df + 0.5) / (df + 0.5))) AS idf_sum
+                FROM dfreq CROSS JOIN g
+            ), scores AS (
+                SELECT pf.doc_id,
+                       idf.idf_sum * ptf * 2.2
+                       / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / g.avgdl))
+                       AS score
+                FROM pf JOIN dl USING (doc_id) CROSS JOIN idf CROSS JOIN g
+            )
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         # fuzzy: the SAME expansion rule as operators/expand.py
         # (levenshtein ≤ f, ranked dist asc / df desc / term asc, cap 50)

@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="ES bool filter context: restrict to docs whose "
                         "keyword sub-field equals one of the values "
                         "(non-scoring)")
+    q.add_argument("--slop", type=int, default=0,
+                   help="with --phrase: in-order window slop (extra "
+                        "tokens allowed between phrase terms)")
     q.add_argument("--min-should", type=int, default=None, metavar="M",
                    help="ES minimum_should_match: docs must match ≥ M of "
                         "the query's term clauses (mode=or only)")
@@ -173,7 +176,8 @@ def main(argv: list[str] | None = None) -> int:
             pdf = bm25_phrase_topk(spark, args.index, args.q, args.k,
                                    search_after=after,
                                    filter_field=ff, filter_value=fv,
-                                   filter_normalized=args.filter_normalized)
+                                   filter_normalized=args.filter_normalized,
+                                   slop=args.slop)
             print(pdf.to_string(index=False,
                                 float_format=lambda v: f"{v:.17g}"))
         elif args.wand:

@@ -700,8 +700,11 @@ class SearchEngine:
                     search_after: tuple[float, int] | None = None,
                     filter_field: str | None = None,
                     filter_value=None,
-                    filter_normalized: bool = False) -> pd.DataFrame:
-        """ES ``match_phrase`` (slop=0) over positional postings.
+                    filter_normalized: bool = False,
+                    slop: int = 0) -> pd.DataFrame:
+        """ES ``match_phrase`` (slop=0 default) over positional postings.
+        ``slop`` relaxes adjacency to the in-order window rule documented
+        on :func:`phrase_topk_arrays`.
 
         Requires an index built with ``index_positions=True`` (ES
         ``index_options: positions`` — the Lucene default every reference
@@ -750,7 +753,8 @@ class SearchEngine:
             use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
         if use_segments:
             return self.topk_segments(uniq, idf, k, search_after=search_after,
-                                      filter_clause=flt, phrase_terms=terms)
+                                      filter_clause=flt, phrase_terms=terms,
+                                      phrase_slop=slop)
         by_term = self._term_blocks(uniq)
         if len(by_term) < len(uniq):
             return empty
@@ -760,7 +764,7 @@ class SearchEngine:
             allowed_fn = lambda cand: self._filter_allowed(cand, sub, values)  # noqa: E731
         hits = phrase_topk_arrays(terms, idf, by_term, self.avgdl, k,
                                   self.tombstones, after=search_after,
-                                  allowed_fn=allowed_fn)
+                                  allowed_fn=allowed_fn, slop=slop)
         urls = self.fetch_urls([d for _, d in hits])
         return pd.DataFrame(
             [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
@@ -823,7 +827,8 @@ class SearchEngine:
                       search_after: tuple[float, int] | None = None,
                       filter_clause: tuple[str, list] | None = None,
                       phrase_terms: list[str] | None = None,
-                      min_should: int | None = None
+                      min_should: int | None = None,
+                      phrase_slop: int = 0
                       ) -> pd.DataFrame:
         """ES-shard-style fan-out: per doc-disjoint segment group, score
         top-k locally (same cost-based exhaustive/WAND kernel) inside a
@@ -941,7 +946,7 @@ class SearchEngine:
                         hits = phrase_topk_arrays(
                             phrase_terms, idf_by_term, by_term, avgdl, k,
                             ts_bc.value, after=search_after,
-                            allowed_fn=allowed_fn)
+                            allowed_fn=allowed_fn, slop=phrase_slop)
                     elif int(bl["n"].sum()) >= EXHAUSTIVE_CUTOFF:
                         cursors = [_TermCursor(idf_by_term[t], by_term[t], avgdl)
                                    for t in terms if t in by_term]
@@ -1387,9 +1392,19 @@ def phrase_topk_arrays(phrase_terms: list[str],
                        avgdl: float, k: int,
                        tombstones: set[int] | None = None,
                        after: tuple[float, int] | None = None,
-                       allowed_fn=None) -> list[tuple[float, int]]:
+                       allowed_fn=None,
+                       slop: int = 0) -> list[tuple[float, int]]:
     """Exact-phrase top-k over positional posting blocks (ES
     ``match_phrase``, slop=0) → [(score, doc_id)] best-first.
+
+    ``slop`` > 0 relaxes adjacency to IN-ORDER proximity (ES
+    span_near in_order=true): term_j may sit at ``p + j + e_j`` with
+    non-decreasing displacements ``e_1 ≤ … ≤ e_{n-1} ≤ slop`` — i.e.
+    the whole phrase fits in a window of ``len(phrase) + slop`` tokens
+    in order; phrase_freq counts DISTINCT admissible start positions.
+    (Documented delta vs Lucene's SloppyPhraseMatcher: no
+    transposition matches and no 1/(slop+1) freq weighting — the
+    in-order window rule is what the SQL oracle can pin exactly.)
 
     Two phases: (1) candidate docs = the conjunctive intersection of the
     phrase terms' posting lists (vectorized over the doc-sorted
@@ -1491,10 +1506,29 @@ def phrase_topk_arrays(phrase_terms: list[str],
         idx_rep = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
         keys[t] = (idx_rep << np.int64(32)) | flat
     starts = np.unique(keys[phrase_terms[0]])
-    for j, tj in enumerate(phrase_terms[1:], start=1):
-        if starts.size == 0:
-            return []
-        starts = starts[np.isin(starts + j, keys[tj])]
+    if slop == 0:
+        for j, tj in enumerate(phrase_terms[1:], start=1):
+            if starts.size == 0:
+                return []
+            starts = starts[np.isin(starts + j, keys[tj])]
+    else:
+        # in-order window DP, vectorized over starts: track the MINIMAL
+        # feasible displacement e_j per start (smaller e only widens the
+        # next term's options, so the greedy minimum decides existence);
+        # O(slop) membership tests per term.  Offsetting by j + e keeps
+        # positions strictly increasing, so order is enforced and the
+        # packed key can never cross a doc boundary.
+        emin = np.zeros(starts.size, dtype=np.int64)
+        for j, tj in enumerate(phrase_terms[1:], start=1):
+            if starts.size == 0:
+                return []
+            new_e = np.full(starts.size, -1, dtype=np.int64)
+            for e in range(slop + 1):
+                m = (new_e < 0) & (emin <= e) \
+                    & np.isin(starts + j + e, keys[tj])
+                new_e[m] = e
+            keep = new_e >= 0
+            starts, emin = starts[keep], new_e[keep]
     ptf = np.bincount((starts >> np.int64(32)).astype(np.int64),
                       minlength=cand.size) if starts.size else \
         np.zeros(cand.size, dtype=np.int64)
@@ -1657,10 +1691,11 @@ def bm25_phrase_topk(spark: SparkSession, index_dir: str, phrase_text: str,
                      search_after: tuple[float, int] | None = None,
                      filter_field: str | None = None,
                      filter_value=None,
-                     filter_normalized: bool = False) -> pd.DataFrame:
+                     filter_normalized: bool = False,
+                     slop: int = 0) -> pd.DataFrame:
     """ES ``match_phrase`` top-k over a positional index (see
     :meth:`SearchEngine.phrase_topk`)."""
     return get_engine(spark, index_dir, cfg).phrase_topk(
         phrase_text, k, search_after=search_after,
         filter_field=filter_field, filter_value=filter_value,
-        filter_normalized=filter_normalized)
+        filter_normalized=filter_normalized, slop=slop)

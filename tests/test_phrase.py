@@ -323,3 +323,71 @@ def test_position_stream_roundtrip_property():
             assert f3.tolist() == [x for r in runs[1::2] for x in r]
 
     check()
+
+
+def test_phrase_slop_kernel_bruteforce_random_corpus():
+    """slop > 0 (in-order window rule, span_near in_order analog): the
+    vectorized displacement DP == a brute force that enumerates every
+    admissible displacement tuple, over a 1500-doc random corpus."""
+    import itertools
+
+    from mongoesindexer_spark.functions.encode import (bm25_idf,
+                                                       encode_blocks,
+                                                       encode_positions_rows)
+    from mongoesindexer_spark.operators.topk import phrase_topk_arrays
+
+    rng = np.random.default_rng(11)
+    n_docs = 1500
+    avgdl = 10.0
+    vocab = ["a", "b", "c", "d"]
+    docs_tokens = [list(rng.choice(vocab, size=rng.integers(4, 16)))
+                   for _ in range(n_docs)]
+    post: dict[str, dict[int, list[int]]] = {}
+    for d, toks in enumerate(docs_tokens):
+        for p, t in enumerate(toks):
+            post.setdefault(t, {}).setdefault(d, []).append(p)
+    by_term, idf = {}, {}
+    for t, m in post.items():
+        ds = np.array(sorted(m), dtype=np.int64)
+        tfs = np.array([len(m[d]) for d in ds])
+        dls = np.array([len(docs_tokens[d]) for d in ds])
+        flat = np.concatenate([np.array(m[d]) for d in ds])
+        pos = encode_positions_rows(flat, np.cumsum(tfs))
+        by_term[t] = encode_blocks(ds, tfs, dls, avgdl, block_size=32,
+                                   pos=pos)
+        idf[t] = float(bm25_idf(len(ds), n_docs))
+
+    def brute(terms, slop, k):
+        n = len(terms)
+        idf_sum = sum(idf[t] for t in terms)
+        out = []
+        for d, toks in enumerate(docs_tokens):
+            starts = set()
+            for p in range(len(toks)):
+                if toks[p] != terms[0]:
+                    continue
+                for es in itertools.product(range(slop + 1), repeat=n - 1):
+                    if any(es[i] > es[i + 1] for i in range(len(es) - 1)):
+                        continue   # displacements must be non-decreasing
+                    if all(p + j + es[j - 1] < len(toks)
+                           and toks[p + j + es[j - 1]] == terms[j]
+                           for j in range(1, n)):
+                        starts.add(p)
+                        break
+            if starts:
+                ptf = len(starts)
+                dl = len(toks)
+                out.append((idf_sum * ptf * 2.2
+                            / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                            d))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return out[:k]
+
+    for phrase, slop in [("a b", 1), ("a b", 2), ("a b c", 1),
+                         ("a b c", 3), ("a a", 2), ("b d", 0)]:
+        terms = phrase.split()
+        want = brute(terms, slop, 12)
+        got = phrase_topk_arrays(terms, idf, by_term, avgdl, 12, slop=slop)
+        assert len(got) == len(want), (phrase, slop)
+        for (ws, wd), (gs, gd) in zip(want, got):
+            assert wd == gd and abs(ws - gs) < 1e-9
