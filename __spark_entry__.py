@@ -400,6 +400,38 @@ def q_ft_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+def q_ft_search_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``query`` + ``aggs``: terms agg on the ``source`` keyword
+    sub-field over the FULL hit set of the flagship OR query (not the
+    top-k page) — ES bucket order (count desc, value asc), size 10.
+    One term-pushed postings scan + two shuffled aggregations; the hit
+    set never reaches the driver (operators/aggs.py)."""
+    from mongoesindexer_spark.operators.aggs import search_terms_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_terms_agg(get_engine(spark, idx), BM25_QUERY, "source",
+                            size=10).select(
+        "value", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def q_ft_search_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``stats`` agg on ``n_chars`` over the conjunctive query's hit
+    set — the numeric-doc-values aggregation the reference's integer
+    mappings serve, as a _source-side semi-join + one global aggregate."""
+    from mongoesindexer_spark.operators.aggs import search_stats_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    out = search_stats_agg(get_engine(spark, idx),
+                           _read(spark, sf_dir, "documents"),
+                           CONJ_QUERY, "n_chars", mode="and")
+    return out.select(
+        F.col("count").cast("long").alias("n"),
+        F.col("min").cast("long").alias("min_chars"),
+        F.col("max").cast("long").alias("max_chars"),
+        F.col("sum").cast("long").alias("sum_chars"),
+        F.round(F.col("avg") * 1e6).cast("long").alias("avg_chars_e6"))
+
+
 # term-expansion queries (operators/expand.py)
 FUZZY_TERM = "spark"      # AUTO fuzziness → 1 edit for a 5-char term
 WILD_PAT = "s?ark"        # ES wildcard glob; SQL LIKE twin 's_ark'
@@ -813,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_match_most": q_ft_multi_match_most,
         "ft_bm25_msm": q_ft_bm25_msm,
         "ft_highlight": q_ft_highlight,
+        "ft_search_terms_agg": q_ft_search_terms_agg,
+        "ft_search_stats_agg": q_ft_search_stats_agg,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
@@ -1098,6 +1132,33 @@ def oracle_sql() -> dict[str, str]:
                                  THEN '<em>' || x || '</em>' ELSE x END),
                        ' ') AS fragment
             FROM frag
+        """,
+        # query+aggs: bucket/stat over the FULL hit set (any query term
+        # present; conjunctive for the stats entry)
+        "ft_search_terms_agg": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            )
+            SELECT d.source AS value, count(*)::BIGINT AS doc_count
+            FROM documents d JOIN hits USING (doc_id)
+            WHERE d.source IS NOT NULL
+            GROUP BY 1 ORDER BY doc_count DESC, value ASC LIMIT 10
+        """,
+        "ft_search_stats_agg": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT doc_id FROM tok WHERE term IN ({cterms})
+                GROUP BY doc_id HAVING count(DISTINCT term) = 2
+            )
+            SELECT count(*)::BIGINT AS n,
+                   min(d.n_chars)::BIGINT AS min_chars,
+                   max(d.n_chars)::BIGINT AS max_chars,
+                   sum(d.n_chars)::BIGINT AS sum_chars,
+                   CAST(round(avg(d.n_chars) * 1e6) AS BIGINT) AS avg_chars_e6
+            FROM documents d JOIN hits USING (doc_id)
         """,
         # sloppy phrase: ptf = distinct start positions of term0 with
         # term1 following within the gap budget (2-term in-order window)
