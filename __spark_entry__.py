@@ -66,17 +66,19 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     # must never adopt a stale dir built by older code (round-1 bug), and
     # IndexBuilder.build additionally wipes any version-mismatched dir
     tag = hashlib.md5(key.encode()).hexdigest()[:10]
-    # "f3" = feature tag: bumped when the build CALL here gains tables or
-    # flags (f2: keyword_fields; f3: index_positions) — a cached dir from
-    # an older call shape would lack them even at the same format version
+    # "f4" = feature tag: bumped when the build CALL here gains tables or
+    # flags (f2: keyword_fields; f3: index_positions; f4: numeric_fields)
+    # — a cached dir from an older call shape would lack them even at the
+    # same format version
     index_dir = os.path.join(
-        tempfile.gettempdir(), f"mei_idx_v{INDEX_FORMAT_VERSION}f3_{tag}")
+        tempfile.gettempdir(), f"mei_idx_v{INDEX_FORMAT_VERSION}f4_{tag}")
     # positions ON: the gate index exercises the positional encode/serve
     # path end-to-end (ES index_options=positions, the mapping default
     # every reference text field inherits)
     builder = IndexBuilder(index_dir, n_buckets=8, key_col="doc_id",
                            id_col="doc_id",
                            keyword_fields=("source", "lang"),
+                           numeric_fields=("n_chars",),
                            index_positions=True)
     builder.build(spark, _read(spark, sf_dir, "documents"))
     _IDX[key] = index_dir
@@ -382,6 +384,27 @@ def q_ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return highlight_hits(_read(spark, sf_dir, "documents"),
                           [int(d) for d in hits["doc_id"]], terms,
                           window=HL_WINDOW)
+
+
+RANGE_LO, RANGE_HI = 150, 350    # n_chars mid-band (median ≈ 306)
+
+
+def q_ft_bm25_range_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bool: {must: match, filter: range}`` — BM25 top-k restricted
+    to docs whose ``n_chars`` integer doc value lies in [RANGE_LO,
+    RANGE_HI] (the reference mappings' "type": "integer"/"date" fields
+    in filter context).  Served through the WAND kernel with
+    candidate-bounded range resolution over the ``n_chars_num``
+    sub-field (operators/topk.py RangeClause)."""
+    from mongoesindexer_spark.operators.topk import RangeClause, get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).topk_wand(
+        BM25_QUERY, BM25_K, filter_field="n_chars",
+        filter_value=RangeClause(RANGE_LO, RANGE_HI))
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
 def q_ft_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_match_best": q_ft_multi_match_best,
         "ft_multi_match_most": q_ft_multi_match_most,
         "ft_bm25_msm": q_ft_bm25_msm,
+        "ft_bm25_range_filtered": q_ft_bm25_range_filtered,
         "ft_highlight": q_ft_highlight,
         "ft_search_terms_agg": q_ft_search_terms_agg,
         "ft_search_stats_agg": q_ft_search_stats_agg,
@@ -1132,6 +1156,13 @@ def oracle_sql() -> dict[str, str]:
                                  THEN '<em>' || x || '</em>' ELSE x END),
                        ' ') AS fragment
             FROM frag
+        """,
+        "ft_bm25_range_filtered": bm25_scores.format(terms=terms) + f"""
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores
+            WHERE doc_id IN (SELECT doc_id FROM documents
+                             WHERE n_chars BETWEEN {RANGE_LO} AND {RANGE_HI})
+            ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         # query+aggs: bucket/stat over the FULL hit set (any query term
         # present; conjunctive for the stats entry)

@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="search_after cursor: the previous page's last "
                         "score,doc_id — returns the next k (deep paging)")
+    q.add_argument("--filter-range", default=None, metavar="FIELD:LO:HI",
+                   help="ES range filter context over a numeric_fields "
+                        "column: docs with LO <= <field> <= HI")
     q.add_argument("--filter", default=None, metavar="FIELD:VALUE[,VALUE…]",
                    help="ES bool filter context: restrict to docs whose "
                         "keyword sub-field equals one of the values "
@@ -144,7 +147,8 @@ def main(argv: list[str] | None = None) -> int:
             args.index, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
             block_size=cfg.block_size,
             key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
-            keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted,
+            keyword_fields=cfg.keyword_fields,
+            numeric_fields=cfg.numeric_fields, pre_sorted=cfg.pre_sorted,
             index_positions=cfg.index_positions)
         fail = frozenset({args.fail_after}) if args.fail_after else frozenset()
         res = builder.build(spark, spark.read.parquet(args.pages), fail_partitions=fail)
@@ -161,6 +165,15 @@ def main(argv: list[str] | None = None) -> int:
             if not _ or not vals:
                 raise SystemExit("--filter wants FIELD:VALUE[,VALUE…]")
             fv = vals.split(",")
+        if args.filter_range:
+            if args.filter:
+                raise SystemExit("--filter and --filter-range are exclusive")
+            from .operators.topk import RangeClause
+            try:
+                ff, lo, hi = args.filter_range.split(":")
+                fv = RangeClause(int(lo), int(hi))
+            except ValueError:
+                raise SystemExit("--filter-range wants FIELD:LO:HI")
         if args.wildcard:
             from .operators.expand import wildcard_match
             pdf = wildcard_match(spark, args.index, args.q)
@@ -281,7 +294,8 @@ def main(argv: list[str] | None = None) -> int:
                 idx, cfg=cfg.analyzer_config(), n_buckets=cfg.n_buckets,
                 block_size=cfg.block_size,
                 key_col=cfg.key_col, text_col=cfg.text_col, id_col=cfg.id_col,
-                keyword_fields=cfg.keyword_fields, pre_sorted=cfg.pre_sorted,
+                keyword_fields=cfg.keyword_fields,
+            numeric_fields=cfg.numeric_fields, pre_sorted=cfg.pre_sorted,
                 index_positions=cfg.index_positions)
             out[cfg.index_name] = builder.build(
                 spark, spark.read.parquet(cfg.source_table))

@@ -54,6 +54,9 @@ class IndexConfig:
     # text+keyword+normalize multi-field mappings,
     # ltd_doc.settings.json:292-310)
     keyword_fields: tuple[str, ...] = ()
+    # columns getting <col>_num long doc values (ES integer/date
+    # mappings) — serves range-filter context (topk.RangeClause)
+    numeric_fields: tuple[str, ...] = ()
     # store within-doc term positions (ES index_options: positions — the
     # Lucene text-mapping default) — enables match_phrase serving
     index_positions: bool = False
@@ -89,6 +92,8 @@ class IndexConfig:
             raw["aggregation_pipeline"] = tuple(raw["aggregation_pipeline"])
         if "keyword_fields" in raw:
             raw["keyword_fields"] = tuple(raw["keyword_fields"])
+        if "numeric_fields" in raw:
+            raw["numeric_fields"] = tuple(raw["numeric_fields"])
         cfg = cls(**raw)
         if not cfg.source_table or not cfg.index_name:
             raise ValueError(f"{path}: source_table and index_name are required")

@@ -593,11 +593,15 @@ def read_doc_markers(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
             .select("doc_id", "url", "doc_len"))
 
 
-def fields_subfields(df: DataFrame, cols: list[str]) -> DataFrame:
+def fields_subfields(df: DataFrame, cols: list[str],
+                     numeric_cols: list[str] | tuple = ()) -> DataFrame:
     """doc_id + ES-mapping sub-fields for ``cols``: ``<col>_keyword``
     (raw string, exact match) and ``<col>_normalized`` (keyword tokenizer
-    → lowercase → asciifolding; ltd_doc.settings.json:278-310).  Shared
-    by the build stage and incremental sync so every generation of the
+    → lowercase → asciifolding; ltd_doc.settings.json:278-310), plus
+    ``<col>_num`` (long) for ``numeric_cols`` — the integer/date doc
+    values behind ES ``range`` filters (the reference mappings declare
+    "type": "integer"/"date"; dates are epoch millis here).  Shared by
+    the build stage and incremental sync so every generation of the
     ``fields`` table is computed identically."""
     from pyspark.sql.functions import pandas_udf
 
@@ -607,11 +611,14 @@ def fields_subfields(df: DataFrame, cols: list[str]) -> DataFrame:
     def _norm(col: pd.Series) -> pd.Series:
         return col.map(lambda v: normalize(v) if isinstance(v, str) else None)
 
-    out = df.select("doc_id", *[F.col(c) for c in cols])
+    base = list(dict.fromkeys(list(cols) + list(numeric_cols)))
+    out = df.select("doc_id", *[F.col(c) for c in base])
     for c in cols:
         out = out.withColumn(f"{c}_keyword", F.col(c).cast("string"))
         out = out.withColumn(f"{c}_normalized", _norm(F.col(c).cast("string")))
-    return out.drop(*cols)
+    for c in numeric_cols:
+        out = out.withColumn(f"{c}_num", F.col(c).cast("long"))
+    return out.drop(*base)
 
 
 def read_fields(cat: ParquetCatalog, spark: SparkSession) -> DataFrame:
@@ -651,7 +658,8 @@ def write_keyword_sidecars(cat: ParquetCatalog, fields_df: DataFrame,
     catalog tables, so they run CONCURRENTLY (thread-per-sidecar, the
     supported Spark concurrent-job pattern) — sequential writes would
     pay one full job latency per configured sub-field."""
-    subs = [c for c in fields_df.columns if c != "doc_id"]
+    subs = [c for c in fields_df.columns
+            if c != "doc_id" and not c.endswith("_num")]
 
     def _write(sub: str) -> None:
         side = (fields_df.select(sub, "doc_id")
@@ -846,6 +854,7 @@ class IndexBuilder:
                  key_col: str = "url", text_col: str = "text",
                  id_col: str | None = None,
                  keyword_fields: tuple[str, ...] = (),
+                 numeric_fields: tuple[str, ...] = (),
                  pre_sorted: bool = False,
                  filesystem=None,
                  catalog=None,
@@ -855,6 +864,9 @@ class IndexBuilder:
         given, the deterministic rank assignment is skipped and the source
         ids are used verbatim (they must be unique).  ``keyword_fields``:
         columns to materialize keyword/normalized sub-fields for (T8).
+        ``numeric_fields``: columns to materialize ``<col>_num`` long doc
+        values for — ES integer/date mappings; serves ``range`` filter
+        context (RangeClause).
         ``pre_sorted``: the source parquet files are already globally
         key-ordered (SORTED BY url layout) — skip the docs_sorted rewrite
         and tokenize the source files directly (footer-validated; see
@@ -887,6 +899,7 @@ class IndexBuilder:
         self.text_col = text_col
         self.id_col = id_col
         self.keyword_fields = tuple(keyword_fields)
+        self.numeric_fields = tuple(numeric_fields)
         self.index_positions = bool(index_positions)
         self._injected_catalog = catalog is not None
         self.catalog = catalog if catalog is not None else \
@@ -1160,9 +1173,11 @@ class IndexBuilder:
         exact match) and ``<col>_normalized`` (keyword tokenizer →
         lowercase → asciifolding; sort/exact keys,
         ltd_doc.settings.json:278-310)."""
-        if not self.keyword_fields or self.lineage.stage_complete("fields"):
+        if (not self.keyword_fields and not self.numeric_fields) \
+                or self.lineage.stage_complete("fields"):
             return
         cols = [c for c in self.keyword_fields if c in pages.columns]
+        ncols = [c for c in self.numeric_fields if c in pages.columns]
         if self.id_col:
             keyed = pages.withColumn("doc_id", F.col(self.id_col).cast("long"))
         else:
@@ -1170,7 +1185,8 @@ class IndexBuilder:
             ds = self.catalog.read(spark, "doc_stats").select("doc_id", "url")
             keyed = pages.withColumn(
                 "url", F.col(self.key_col).cast("string")).join(ds, "url")
-        self.catalog.overwrite(fields_subfields(keyed, cols), "fields")
+        self.catalog.overwrite(fields_subfields(keyed, cols, ncols),
+                               "fields")
         # point-read sidecars derive from the just-written table (one
         # cheap parquet re-scan) rather than re-running the normalize
         # kernel once per sidecar; the stage marker covers both writes,

@@ -172,6 +172,19 @@ class _RowGroupIndex:
         return self._finish(tbl, mask, columns)
 
 
+class RangeClause(__import__("typing").NamedTuple):
+    """ES ``range`` query in filter context (``bool.filter: {range:
+    {field: {gte, lte}}}``): pass as ``filter_value`` with the numeric
+    field's name — resolves against the ``<field>_num`` long sub-field
+    (IndexBuilder ``numeric_fields``; dates are epoch millis).  Bounds
+    are INCLUSIVE (gte/lte); docs missing the value never match, like
+    ES.  Candidate-bounded resolution everywhere: the fields point-read
+    filters candidates by the bounds, the fan-out tasks push the range
+    into their span-pruned parquet read."""
+    lo: int
+    hi: int
+
+
 def _query_terms(query_text: str, cfg: AnalyzerConfig) -> list[str]:
     """Search-analyzer terms, deduplicated (a bool query of unique
     TermQueries — duplicate query terms do not double-score in ES)."""
@@ -338,8 +351,10 @@ class SearchEngine:
         if filter_field is not None:
             sub, values = self._resolve_filter(filter_field, filter_value,
                                                filter_normalized)
-            keep = (read_fields(self.cat, self.spark)
-                    .filter(F.col(sub).isin(values)).select("doc_id"))
+            fsrc = read_fields(self.cat, self.spark)
+            pred = F.col(sub).between(values.lo, values.hi) \
+                if isinstance(values, RangeClause) else F.col(sub).isin(values)
+            keep = fsrc.filter(pred).select("doc_id")
             flat = flat.join(keep, "doc_id", "semi")
         if self.tombstones:
             ts = self.spark.createDataFrame(
@@ -461,7 +476,10 @@ class SearchEngine:
         shared by every serving path so the clause means the same thing
         everywhere.  Returns ``(subcol, values)``."""
         from ..functions.analysis import normalize
-        sub = f"{field}_normalized" if normalized else f"{field}_keyword"
+        if isinstance(value, RangeClause):
+            sub = f"{field}_num"
+        else:
+            sub = f"{field}_normalized" if normalized else f"{field}_keyword"
         if not self.cat.table_exists("fields"):
             raise KeyError(
                 "no 'fields' table — filtered queries need an index built "
@@ -470,7 +488,10 @@ class SearchEngine:
         if names and sub not in names[0].schema_arrow.names:
             raise KeyError(
                 f"fields table has no sub-field {sub!r} — was the index "
-                f"built with keyword_fields=({field!r},)?")
+                f"built with keyword_fields=({field!r},) (or "
+                f"numeric_fields for range clauses)?")
+        if isinstance(value, RangeClause):
+            return sub, value
         values = [value] if isinstance(value, str) else list(value)
         if normalized:
             values = [normalize(v) for v in values]
@@ -495,7 +516,11 @@ class SearchEngine:
             return cand.astype(np.int64)
         pdf = self._rg_index("fields", "doc_id").read_isin(
             [int(d) for d in cand], ["doc_id", sub])
-        hit = pdf[pdf[sub].isin(values)]
+        if isinstance(values, RangeClause):
+            v = pdf[sub]
+            hit = pdf[(v >= values.lo) & (v <= values.hi)]
+        else:
+            hit = pdf[pdf[sub].isin(values)]
         return np.unique(hit["doc_id"].values.astype(np.int64))
 
     def _term_meta(self, terms: list[str]) -> dict:
@@ -927,7 +952,14 @@ class SearchEngine:
                                if flo is None or not (fhi < lo or flo > hi)]
                         if not sel:
                             continue    # no fields rows in this doc range
-                        fexpr = (_pds.field(filter_sub).isin(filter_values)
+                        if isinstance(filter_values, RangeClause):
+                            vpred = ((_pds.field(filter_sub)
+                                      >= filter_values.lo)
+                                     & (_pds.field(filter_sub)
+                                        <= filter_values.hi))
+                        else:
+                            vpred = _pds.field(filter_sub).isin(filter_values)
+                        fexpr = (vpred
                                  & (_pds.field("doc_id") >= lo)
                                  & (_pds.field("doc_id") <= hi))
                         ft = _pds.dataset(sel, format="parquet").to_table(

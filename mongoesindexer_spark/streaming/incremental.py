@@ -322,8 +322,13 @@ class IncrementalIndexer:
         n_dead, dl_dead = int(dg["n"]), int(dg["dl"])
 
         # --- new docs: insert + update payloads, fresh ids above max ------
+        # keep EVERY payload column, not just the page shape: the fields
+        # refresh below recovers keyword/numeric sub-field base columns
+        # (e.g. an integer range-filter field) from the update rows
+        page_cols = ["url", "warc_ts", "html", "text", "lang"]
+        extra = [c for c in updates.columns if c not in page_cols + ["op"]]
         new_pages = updates.filter(F.col("op").isin("insert", "update")) \
-            .select("url", "warc_ts", "html", "text", "lang")
+            .select(*page_cols, *extra)
         max_id = stats.agg(F.max("doc_id")).collect()[0][0]
         base_id = int(max_id if max_id is not None else -1) + 1
         # deterministic dense numbering above base_id via the same
@@ -396,16 +401,22 @@ class IncrementalIndexer:
             # column the sync payload lacks stays null for delta docs.
             from ..operators.build_index import (fields_subfields,
                                                  write_keyword_sidecars)
-            f_cols = sorted(c[:-len("_keyword")] for c in
-                            self.cat.read(spark, "fields").columns
+            fcols_all = self.cat.read(spark, "fields").columns
+            f_cols = sorted(c[:-len("_keyword")] for c in fcols_all
                             if c.endswith("_keyword"))
+            n_cols = sorted(c[:-len("_num")] for c in fcols_all
+                            if c.endswith("_num"))
             src = new_pages
             for c in f_cols:
                 if c not in src.columns:
                     src = src.withColumn(c, F.lit(None).cast("string"))
+            for c in n_cols:
+                if c not in src.columns:
+                    src = src.withColumn(c, F.lit(None).cast("long"))
+            base = sorted(set(f_cols) | set(n_cols))
             keyed = new_doc_stats.select("doc_id", "url") \
-                .join(src.select("url", *f_cols), "url")
-            fdf = fields_subfields(keyed, f_cols)
+                .join(src.select("url", *base), "url")
+            fdf = fields_subfields(keyed, f_cols, n_cols)
             self.cat.append(fdf, "fields")
             # keep the point-read sidecars fresh too: one value-sorted
             # delta generation each (delta doc ranges sit above all
