@@ -455,6 +455,38 @@ def q_ft_search_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("avg") * 1e6).cast("long").alias("avg_chars_e6"))
 
 
+HIST_INTERVAL = 50
+
+
+def q_ft_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``histogram`` agg (fixed-interval core of date_histogram) on
+    ``n_chars`` over the flagship query's full hit set — bucket =
+    floor(v / interval) × interval, bucket-ascending, empty buckets
+    omitted (min_doc_count=1)."""
+    from mongoesindexer_spark.operators.aggs import search_histogram_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_histogram_agg(get_engine(spark, idx),
+                                _read(spark, sf_dir, "documents"),
+                                BM25_QUERY, "n_chars",
+                                HIST_INTERVAL).select(
+        "bucket", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def q_ft_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``sort`` by a doc-values field instead of _score: the
+    conjunctive query's hits ordered by ``n_chars`` desc (doc_id asc
+    tiebreak), top 20 — TakeOrderedAndProject, no global sort."""
+    from mongoesindexer_spark.operators.aggs import search_sort_by_field
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_sort_by_field(get_engine(spark, idx),
+                                _read(spark, sf_dir, "documents"),
+                                CONJ_QUERY, "n_chars", 20,
+                                ascending=False, mode="and").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 # term-expansion queries (operators/expand.py)
 FUZZY_TERM = "spark"      # AUTO fuzziness → 1 edit for a 5-char term
 WILD_PAT = "s?ark"        # ES wildcard glob; SQL LIKE twin 's_ark'
@@ -871,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_highlight": q_ft_highlight,
         "ft_search_terms_agg": q_ft_search_terms_agg,
         "ft_search_stats_agg": q_ft_search_stats_agg,
+        "ft_search_histogram": q_ft_search_histogram,
+        "ft_sort_by_field": q_ft_sort_by_field,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
@@ -1190,6 +1224,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(d.n_chars)::BIGINT AS sum_chars,
                    CAST(round(avg(d.n_chars) * 1e6) AS BIGINT) AS avg_chars_e6
             FROM documents d JOIN hits USING (doc_id)
+        """,
+        "ft_search_histogram": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            )
+            SELECT (d.n_chars // {HIST_INTERVAL} * {HIST_INTERVAL})::BIGINT
+                       AS bucket,
+                   count(*)::BIGINT AS doc_count
+            FROM documents d JOIN hits USING (doc_id)
+            WHERE d.n_chars IS NOT NULL
+            GROUP BY 1 ORDER BY bucket ASC
+        """,
+        "ft_sort_by_field": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT doc_id FROM tok WHERE term IN ({cterms})
+                GROUP BY doc_id HAVING count(DISTINCT term) = 2
+            )
+            SELECT doc_id, d.n_chars::BIGINT AS n_chars
+            FROM documents d JOIN hits USING (doc_id)
+            ORDER BY d.n_chars DESC, doc_id ASC LIMIT 20
         """,
         # sloppy phrase: ptf = distinct start positions of term0 with
         # term1 following within the gap budget (2-term in-order window)

@@ -70,6 +70,41 @@ def search_terms_agg(eng: SearchEngine, query_text: str, field: str,
             .limit(size))
 
 
+def search_histogram_agg(eng: SearchEngine, docs: DataFrame,
+                         query_text: str, num_col: str, interval: int,
+                         mode: str = "or",
+                         min_should_match: int | None = None) -> DataFrame:
+    """ES ``histogram`` agg (the fixed-interval core of date_histogram —
+    dates being epoch millis, a calendar interval is just a different
+    bucket function): bucket = floor(value / interval) × interval over
+    the hit set, bucket-ascending like ES.  Empty buckets are omitted
+    (ES min_doc_count=1 shape)."""
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+    hits = match_set(eng, query_text, mode, min_should_match)
+    return (docs.select("doc_id", num_col).join(hits, "doc_id", "semi")
+            .filter(F.col(num_col).isNotNull())
+            .groupBy((F.floor(F.col(num_col) / interval)
+                      * interval).cast("long").alias("bucket"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.asc("bucket")))
+
+
+def search_sort_by_field(eng: SearchEngine, docs: DataFrame,
+                         query_text: str, sort_col: str, k: int,
+                         ascending: bool = True, mode: str = "or",
+                         min_should_match: int | None = None) -> DataFrame:
+    """ES ``sort`` by a doc-values field instead of _score: the hit set
+    ordered by a source column (missing values last, like ES missing:
+    "_last"), doc_id asc tiebreak, top ``k`` — compiles to
+    TakeOrderedAndProject, never a global sort materialization."""
+    hits = match_set(eng, query_text, mode, min_should_match)
+    order = [F.asc_nulls_last(sort_col) if ascending
+             else F.desc_nulls_last(sort_col), F.asc("doc_id")]
+    return (docs.select("doc_id", sort_col).join(hits, "doc_id", "semi")
+            .orderBy(*order).limit(k))
+
+
 def search_stats_agg(eng: SearchEngine, docs: DataFrame, query_text: str,
                      num_col: str, mode: str = "or",
                      min_should_match: int | None = None) -> DataFrame:

@@ -85,3 +85,51 @@ def test_stats_agg_matches_bruteforce(spark, agg_index, tiny_pages,
     assert int(got["min"]) == min(vals) and int(got["max"]) == max(vals)
     assert int(got["sum"]) == sum(vals)
     assert abs(float(got["avg"]) - sum(vals) / len(vals)) < 1e-9
+
+
+def test_histogram_agg_matches_bruteforce(spark, agg_index, tiny_pages,
+                                          oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_histogram_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "n_chars": rows["text"].map(
+            lambda t: len(t) if isinstance(t, str) else 0).astype("int64"),
+    }))
+    got = search_histogram_agg(eng, docs, q, "n_chars", 50).toPandas()
+    hits = _hit_set(oracle_tiny, q)
+    vc = {}
+    for d in hits:
+        t = rows["text"].iloc[d]
+        b = (len(t) if isinstance(t, str) else 0) // 50 * 50
+        vc[b] = vc.get(b, 0) + 1
+    want = sorted(vc.items())
+    assert list(zip(got["bucket"], got["doc_count"])) == want
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        search_histogram_agg(eng, docs, q, "n_chars", 0)
+
+
+def test_sort_by_field_matches_bruteforce(spark, agg_index, tiny_pages,
+                                          oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_sort_by_field
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    nchars = rows["text"].map(
+        lambda t: len(t) if isinstance(t, str) else 0).astype("int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "n_chars": nchars,
+    }))
+    hits = _hit_set(oracle_tiny, q)
+    for asc in (True, False):
+        got = search_sort_by_field(eng, docs, q, "n_chars", 7,
+                                   ascending=asc).toPandas()
+        want = sorted(((int(nchars.iloc[d]), d) for d in hits),
+                      key=lambda x: (x[0] if asc else -x[0], x[1]))[:7]
+        assert list(zip(got["n_chars"], got["doc_id"])) == want
