@@ -5,8 +5,12 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
   spark-submit --py-files engine.zip -m mongoesindexer_spark.cli build \
       --pages /path/pages_parquet --index /path/index [--config cfg.json]
   ... query  --index /path/index --q "terms here" --k 10 [--wand]
-             [--phrase]                      # ES match_phrase (positional index)
+             [--phrase [--slop N]]           # ES match_phrase (positional index)
              [--filter lang:en --filter-normalized]  # ES bool must+filter
+             [--filter-range n_chars:150:350]  # ES range filter context
+             [--min-should M]                # ES minimum_should_match
+             [--fuzzy AUTO|N]                # ES fuzzy term query
+             [--wildcard]                    # ES wildcard (--q is a glob)
   ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
   ... keyword --index /path/index --field lang --value EN [--normalized]  # term query (T8)
   ... sync   --index /path/index --updates /path/updates_parquet --batch-id b1
