@@ -354,6 +354,42 @@ def main() -> None:
     results["phrase_suite"] = round(sum(ph_ms) / 1000, 3)
     shutil.rmtree(pos_dir, ignore_errors=True)
 
+    # 2f) widened ES query DSL over the warm engine: multi_match across a
+    # derived title-field index (per-field postings, shared doc_ids),
+    # fuzzy term expansion (vocab-scan + DP + OR-BM25), and
+    # minimum_should_match — warm suite seconds each, so BENCH tracks
+    # their serving cost alongside the core paths.
+    from pyspark.sql import functions as F
+    title_dir = tempfile.mkdtemp(prefix="mei_bench_docs_idx_title_")
+    toks = r"filter(split(lower(text), '\\s+'), x -> x != '')"
+    titles = docs.select(
+        "doc_id", F.array_join(F.slice(F.expr(toks), 1, 5), " ").alias("text"))
+    t0 = time.perf_counter()
+    IndexBuilder(title_dir, n_buckets=CPUS, key_col="doc_id",
+                 id_col="doc_id").build(spark, titles)
+    results["index_build_title"] = round(time.perf_counter() - t0, 3)
+    from mongoesindexer_spark.operators.multi_match import multi_match_topk
+    mm_dirs = {"body": idx_dir, "title": title_dir}
+    for q, k in BM25_QUERIES:    # cold pass: title engine + block reads
+        multi_match_topk(spark, mm_dirs, q, k, "best_fields", 0.3)
+    mm_t0 = time.perf_counter()
+    for q, k in BM25_QUERIES * 2:
+        multi_match_topk(spark, mm_dirs, q, k, "best_fields", 0.3)
+    results["multi_match_suite"] = round(time.perf_counter() - mm_t0, 3)
+    from mongoesindexer_spark.operators.expand import fuzzy_topk
+    fz_terms = ["data", "merge", "filter", "scan"]
+    for t in fz_terms:
+        fuzzy_topk(spark, idx_dir, t, 20)     # cold: vocab range read
+    fz_t0 = time.perf_counter()
+    for t in fz_terms * 2:
+        fuzzy_topk(spark, idx_dir, t, 20)
+    results["fuzzy_suite"] = round(time.perf_counter() - fz_t0, 3)
+    msm_t0 = time.perf_counter()
+    for q, k in [(q, k) for q, k in BM25_QUERIES if len(q.split()) >= 2] * 2:
+        eng.topk_wand(q, k, min_should_match=2)
+    results["bm25_msm_suite"] = round(time.perf_counter() - msm_t0, 3)
+    shutil.rmtree(title_dir, ignore_errors=True)
+
     # 3) operator suite (the driver-facing queries at this sf)
     suite = [
         "ft_term_stats", "lookup_join", "nested_lookup", "dedup_exact",
