@@ -458,6 +458,38 @@ def q_ft_search_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_INTERVAL = 50
 
 
+def q_ft_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_count``: hit-set cardinality of the flagship OR query —
+    the term-pushed postings scan aggregated to one row, never
+    collected doc-wise (operators/aggs.py search_count)."""
+    from mongoesindexer_spark.operators.aggs import search_count
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_count(get_engine(spark, idx), BM25_QUERY).select(
+        F.col("doc_count").cast("long").alias("doc_count"))
+
+
+def q_ft_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain``: the per-term BM25 breakdown for the flagship
+    query's top-1 doc — term_dict + single-block point reads
+    (SearchEngine.explain); the oracle recomputes the same rows with
+    its own top-1 CTE, so the breakdown arithmetic is pinned end-to-end
+    (idf at 1e-6, contribution at 1e-4)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    eng = get_engine(spark, idx)
+    top = eng.topk_wand(BM25_QUERY, 1)
+    exp = eng.explain(BM25_QUERY, int(top.iloc[0]["doc_id"]))
+    out = spark.createDataFrame(
+        exp[["term", "tf", "doc_len", "idf", "contribution"]],
+        schema="term string, tf long, doc_len long, idf double, "
+               "contribution double")
+    return out.select(
+        "term", "tf", "doc_len",
+        F.round(F.col("idf") * 1e6).cast("long").alias("idf_e6"),
+        F.round(F.col("contribution") * 1e4).cast("long").alias("contrib_e4"))
+
+
 def q_ft_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``histogram`` agg (fixed-interval core of date_histogram) on
     ``n_chars`` over the flagship query's full hit set — bucket =
@@ -905,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_stats_agg": q_ft_search_stats_agg,
         "ft_search_histogram": q_ft_search_histogram,
         "ft_sort_by_field": q_ft_sort_by_field,
+        "ft_search_count": q_ft_search_count,
+        "ft_explain": q_ft_explain,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
@@ -1224,6 +1258,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(d.n_chars)::BIGINT AS sum_chars,
                    CAST(round(avg(d.n_chars) * 1e6) AS BIGINT) AS avg_chars_e6
             FROM documents d JOIN hits USING (doc_id)
+        """,
+        "ft_search_count": f"""
+            SELECT count(DISTINCT doc_id)::BIGINT AS doc_count
+            FROM (SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents)
+            WHERE term IN ({terms})
+        """,
+        "ft_explain": bm25_scores.format(terms=terms) + f"""
+            , top1 AS (
+                SELECT doc_id FROM scores
+                ORDER BY score DESC, doc_id ASC LIMIT 1
+            )
+            SELECT tf.term,
+                   tf.tf::BIGINT AS tf,
+                   dl.doc_len::BIGINT AS doc_len,
+                   CAST(round(ln(1 + (g.n - dfreq.df + 0.5)
+                                 / (dfreq.df + 0.5)) * 1e6) AS BIGINT)
+                       AS idf_e6,
+                   CAST(round(ln(1 + (g.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                              * tf.tf * 2.2
+                              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / g.avgdl))
+                              * 1e4) AS BIGINT) AS contrib_e4
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN g JOIN top1 USING (doc_id)
+            WHERE tf.term IN ({terms})
         """,
         "ft_search_histogram": f"""
             WITH tok AS (

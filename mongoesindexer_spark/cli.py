@@ -13,6 +13,8 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
              [--wildcard]                    # ES wildcard (--q is a glob)
   ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
   ... keyword --index /path/index --field lang --value EN [--normalized]  # term query (T8)
+  ... count  --index /path/index --q "terms"    # ES _count (full hit set)
+  ... explain --index /path/index --q "terms" --doc 42  # ES _explain
   ... sync   --index /path/index --updates /path/updates_parquet --batch-id b1
   ... compact --index /path/index
   ... vacuum --index /path/index        # expire snapshots + orphan sweep
@@ -103,6 +105,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="paging cursor: return only doc_ids strictly "
                          "greater (the search_after analog for term "
                          "queries; doc_id asc is the total order)")
+
+    cn = sub.add_parser("count",
+                        help="ES _count: number of docs matching the "
+                             "query (full hit set, not top-k)")
+    cn.add_argument("--index", required=True)
+    cn.add_argument("--q", required=True)
+    cn.add_argument("--mode", default="or", choices=["or", "and"])
+
+    ex = sub.add_parser("explain",
+                        help="ES _explain: per-term BM25 score breakdown "
+                             "for one doc")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--q", required=True)
+    ex.add_argument("--doc", type=int, required=True)
 
     s = sub.add_parser("sync")
     s.add_argument("--index", required=True)
@@ -214,6 +230,17 @@ def main(argv: list[str] | None = None) -> int:
                          filter_normalized=args.filter_normalized,
                          min_should_match=args.min_should
                          ).show(args.k, truncate=False)
+    elif args.cmd == "count":
+        from .operators.aggs import search_count
+        from .operators.topk import get_engine
+        n = search_count(get_engine(spark, args.index), args.q,
+                         mode=args.mode).collect()[0]["doc_count"]
+        print(json.dumps({"count": int(n)}))
+    elif args.cmd == "explain":
+        from .operators.topk import get_engine
+        pdf = get_engine(spark, args.index).explain(args.q, args.doc)
+        print(pdf.to_string(index=False,
+                            float_format=lambda v: f"{v:.17g}"))
     elif args.cmd == "suggest":
         from .operators.topk import get_engine
         pdf = get_engine(spark, args.index).suggest(args.prefix, args.k)

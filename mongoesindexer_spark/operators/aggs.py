@@ -49,6 +49,15 @@ def match_set(eng: SearchEngine, query_text: str, mode: str = "or",
     return docs
 
 
+def search_count(eng: SearchEngine, query_text: str, mode: str = "or",
+                 min_should_match: int | None = None) -> DataFrame:
+    """ES ``_count``: the hit-set cardinality as a one-row frame — the
+    same term-pushed scan + doc_id aggregation as every aggs entry, with
+    a count instead of a bucket step."""
+    return match_set(eng, query_text, mode, min_should_match) \
+        .agg(F.count("*").alias("doc_count"))
+
+
 def search_terms_agg(eng: SearchEngine, query_text: str, field: str,
                      size: int = 10, normalized: bool = False,
                      mode: str = "or",

@@ -796,6 +796,43 @@ class SearchEngine:
             columns=["doc_id", "url", "score"],
         )
 
+    def explain(self, query_text: str, doc_id: int) -> pd.DataFrame:
+        """ES ``_explain``: the per-term BM25 score breakdown for ONE doc
+        — ``(term, tf, doc_len, idf, contribution)`` rows, term-sorted,
+        empty for a tombstoned/absent doc.  Pure point reads: term_dict
+        rows for the analyzed terms, then per term only the single
+        posting block whose ``[first_doc, last_doc]`` range can hold the
+        doc is decoded (the block cache makes repeat explains free).
+        ``sum(contribution)`` equals the serving paths' score bit-for-bit
+        when accumulated in term order (tested)."""
+        doc_id = int(doc_id)
+        cols = ["term", "tf", "doc_len", "idf", "contribution"]
+        if doc_id in self.tombstones:
+            return pd.DataFrame(columns=cols)
+        terms = _query_terms(query_text, self.cfg)
+        meta = self._term_meta(terms)
+        terms = [t for t in terms if meta.get(t) is not None]
+        if not terms:
+            return pd.DataFrame(columns=cols)
+        by_term = self._term_blocks(terms)
+        rows = []
+        for t in terms:
+            for b in by_term.get(t, []):
+                if not (b["first_doc"] <= doc_id <= b["last_doc"]):
+                    continue
+                docs, tfs, dls = _block_arrays(b)
+                i = int(np.searchsorted(docs, doc_id))
+                if i < docs.size and int(docs[i]) == doc_id:
+                    tf = float(tfs[i])
+                    dl = int(dls[i])
+                    idf = meta[t][0]
+                    contrib = idf * tf * (K1 + 1.0) / (
+                        tf + K1 * (1.0 - B + B * dl / self.avgdl))
+                    rows.append({"term": t, "tf": int(tf), "doc_len": dl,
+                                 "idf": idf, "contribution": contrib})
+                break   # blocks are doc-range disjoint per term
+        return pd.DataFrame(rows, columns=cols)
+
     # -- segment-parallel (distributed) path --------------------------------
     def _segment_files(self) -> list[tuple[str, int]]:
         """(path, bytes) of every live postings_blocks segment file, in
