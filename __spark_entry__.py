@@ -458,6 +458,52 @@ def q_ft_search_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_INTERVAL = 50
 
 
+SYN_GROUP = ("fast", "quick")     # "fast" is corpus vocab; "quick" is not
+
+
+def _syn_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index of `documents` built with an index-time synonym group
+    (ES synonym token filter, expansion form) — each member token also
+    emits the others at the same position."""
+    key = "syn:" + os.path.abspath(sf_dir)
+    if key in _IDX:
+        return _IDX[key]
+    import dataclasses
+
+    from mongoesindexer_spark.functions.analysis import LTD_DOC
+    from mongoesindexer_spark.operators.build_index import (
+        INDEX_FORMAT_VERSION, IndexBuilder)
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"mei_idx_v{INDEX_FORMAT_VERSION}s1_{tag}")
+    cfg = dataclasses.replace(LTD_DOC, synonyms=(SYN_GROUP,))
+    builder = IndexBuilder(index_dir, n_buckets=8, key_col="doc_id",
+                           id_col="doc_id", cfg=cfg)
+    builder.build(spark, _read(spark, sf_dir, "documents"))
+    _IDX[key] = index_dir
+    return index_dir
+
+
+def q_ft_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES synonym filter end-to-end: querying "quick" — a term with NO
+    raw occurrences in the corpus — retrieves every "fast" doc through
+    the index-time expansion (functions/analysis.py synonym_filter;
+    doc_len counts expansion tokens, the discountOverlaps=false
+    convention, which the oracle reproduces by expanding the token list
+    the same way)."""
+    import dataclasses
+
+    from mongoesindexer_spark.functions.analysis import LTD_DOC
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _syn_index(spark, sf_dir)
+    cfg = dataclasses.replace(LTD_DOC, synonyms=(SYN_GROUP,))
+    pdf = get_engine(spark, idx, cfg=cfg).topk_wand("quick", BM25_K)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 def q_ft_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_count``: hit-set cardinality of the flagship OR query —
     the term-pushed postings scan aggregated to one row, never
@@ -939,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_search_count": q_ft_search_count,
         "ft_explain": q_ft_explain,
+        "ft_synonym_search": q_ft_synonym_search,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
@@ -1258,6 +1305,41 @@ def oracle_sql() -> dict[str, str]:
                    sum(d.n_chars)::BIGINT AS sum_chars,
                    CAST(round(avg(d.n_chars) * 1e6) AS BIGINT) AS avg_chars_e6
             FROM documents d JOIN hits USING (doc_id)
+        """,
+
+        # synonym expansion: the engine token stream for this corpus is
+        # exactly CASE fast -> [fast, quick]; the oracle scores the
+        # expanded stream (doc_len includes expansion tokens)
+        "ft_synonym_search": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(flatten(list_transform({_TOK_DD},
+                           x -> CASE WHEN x = 'fast' THEN ['fast', 'quick']
+                                     WHEN x = 'quick' THEN ['quick', 'fast']
+                                     ELSE [x] END))) AS term
+                FROM documents
+            ), tf AS (
+                SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY 1
+            ), g AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT sum(doc_len) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), dfreq AS (
+                SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (g.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / g.avgdl)) ) AS score
+                FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN g
+                WHERE tf.term = 'quick'
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_search_count": f"""
             SELECT count(DISTINCT doc_id)::BIGINT AS doc_count

@@ -60,9 +60,17 @@ class IndexConfig:
     # store within-doc term positions (ES index_options: positions — the
     # Lucene text-mapping default) — enables match_phrase serving
     index_positions: bool = False
+    # index-time synonym groups (ES synonym token filter, expansion
+    # form; single-token members) — e.g. [["fast", "quick"]]
+    synonyms: tuple = ()
 
     def analyzer_config(self) -> AnalyzerConfig:
-        return KEYWORD if self.analyzer == "keywords" else LTD_DOC
+        base = KEYWORD if self.analyzer == "keywords" else LTD_DOC
+        if self.synonyms:
+            import dataclasses
+            base = dataclasses.replace(
+                base, synonyms=tuple(tuple(g) for g in self.synonyms))
+        return base
 
     def apply_pipeline(self, source, resolver):
         """Run this config's aggregation_pipeline over ``source`` using
@@ -94,6 +102,8 @@ class IndexConfig:
             raw["keyword_fields"] = tuple(raw["keyword_fields"])
         if "numeric_fields" in raw:
             raw["numeric_fields"] = tuple(raw["numeric_fields"])
+        if "synonyms" in raw:
+            raw["synonyms"] = tuple(tuple(g) for g in raw["synonyms"])
         cfg = cls(**raw)
         if not cfg.source_table or not cfg.index_name:
             raise ValueError(f"{path}: source_table and index_name are required")

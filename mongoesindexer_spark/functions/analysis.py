@@ -171,6 +171,44 @@ def edge_ngram(tokens: list[str], min_gram: int, max_gram: int) -> list[str]:
     return out
 
 
+def synonym_filter(tokens: list[str],
+                   groups: tuple[tuple[str, ...], ...]) -> list[str]:
+    """ES ``synonym`` token filter, index-time expansion form: a token
+    belonging to an equivalence group emits EVERY group member (itself
+    first, then the others in group order) — Lucene emits the expansion
+    tokens at positionIncrement 0, so in the positional chain all
+    members share the source token's position and phrase queries match
+    through either synonym.  Single-token synonyms only (each group
+    member is one analyzed token) — the multi-word synonym graph is out
+    of scope, documented."""
+    if not groups:
+        return tokens
+    m = _synonym_map(groups)
+    out: list[str] = []
+    for t in tokens:
+        g = m.get(t)
+        if g is None:
+            out.append(t)
+        else:
+            out.append(t)
+            out.extend(s for s in g if s != t)
+    return out
+
+
+_SYN_MAPS: dict[tuple[tuple[str, ...], ...], dict] = {}
+
+
+def _synonym_map(groups) -> dict:
+    m = _SYN_MAPS.get(groups)
+    if m is None:
+        m = {}
+        for g in groups:
+            for t in g:
+                m[t] = g
+        _SYN_MAPS[groups] = m
+    return m
+
+
 def stop_filter(tokens: list[str], stopwords: frozenset[str] = ENGLISH_STOPWORDS) -> list[str]:
     """ES ``stop`` filter (``_english_``, ignore_case: true)."""
     return [t for t in tokens if t.lower() not in stopwords]
@@ -195,6 +233,9 @@ class AnalyzerConfig:
     search_word_delimiter: bool = False
     use_stopwords: bool = False
     stopwords: frozenset[str] = field(default=ENGLISH_STOPWORDS)
+    # index-time synonym expansion groups (single-token members; applied
+    # after word_delimiter, before stop/edge_ngram — see synonym_filter)
+    synonyms: tuple[tuple[str, ...], ...] = ()
 
 
 #: ltd_doc.settings.json family — the main document index (the one whose
@@ -247,6 +288,8 @@ def _cfg_namespace(cfg: AnalyzerConfig) -> str:
 
 def _analyze_index_token(t: str, cfg: AnalyzerConfig) -> tuple[str, ...]:
     tokens = word_delimiter([t])
+    if cfg.synonyms:
+        tokens = synonym_filter(tokens, cfg.synonyms)
     if cfg.use_stopwords:
         tokens = stop_filter(tokens, cfg.stopwords)
     if cfg.use_edge_ngram:
