@@ -40,6 +40,12 @@ Two execution paths, rank-identical (property-tested):
 Float-determinism contract (same as the single-field kernels): per-field
 accumulation is in term order, cross-field combination in field order,
 identical in the numpy, scalar-WAND, and Spark fold implementations.
+
+Alignment contract under incremental sync: the per-field indexes stay in
+one doc_id space only if every generation ingests the SAME (url → id)
+stream — apply each change batch to every field index (deriving each
+field's text), and the deterministic rank-offset id assignment keeps
+them aligned (pinned by test_multi_match_alignment_survives_sync).
 """
 
 from __future__ import annotations

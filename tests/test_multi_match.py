@@ -202,3 +202,81 @@ def test_multi_match_rejects_bad_args(spark, two_field_index):
         multi_match_topk(spark, dirs, "x", 5, mtype="cross_fields")
     with pytest.raises(ValueError):
         multi_match_topk(spark, dirs, "x", 5, locus="driver")
+
+
+def test_multi_match_alignment_survives_sync(spark, tmp_path):
+    """Per-field indexes share a doc_id space only if every generation
+    ingests the same (url → id) stream: build body+title from one
+    corpus, apply the SAME change batch to both, and multi_match on the
+    merged state must equal a brute force over the post-sync corpus
+    (deterministic rank-offset ids keep the two indexes aligned)."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.multi_match import (combine_scalar,
+        multi_match_topk)
+    from mongoesindexer_spark.streaming.incremental import IncrementalIndexer
+    from tests.oracle import OracleIndex
+
+    t0 = _dt.datetime(2025, 1, 1)
+    t1 = _dt.datetime(2025, 2, 1)
+    corpus = {f"u{i}": f"common w{i} title{i} body body{i} extra"
+              for i in range(10)}
+
+    def _pages(d):
+        return spark.createDataFrame(
+            [(u, t0, None, t, "en") for u, t in sorted(d.items())],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string")
+
+    body_dir = str(tmp_path / "body")
+    title_dir = str(tmp_path / "title")
+    IndexBuilder(body_dir, n_buckets=2).build(spark, _pages(corpus))
+    titles = {u: _title_of(t) for u, t in corpus.items()}
+    IndexBuilder(title_dir, n_buckets=2).build(spark, _pages(titles))
+
+    # one change batch, applied to BOTH field indexes (title derives)
+    changes = [("insert", "u10", "common fresh doc title10 body"),
+               ("update", "u3", "common changed w3new title3 body"),
+               ("delete", "u7", None)]
+    for d, derive in ((body_dir, lambda t: t),
+                      (title_dir, lambda t: _title_of(t) if t else None)):
+        upd = spark.createDataFrame(
+            [(op, u, t1, None, derive(t), "en") for op, u, t in changes],
+            "op string, url string, warc_ts timestamp, html binary, "
+            "text string, lang string")
+        IncrementalIndexer(d).apply_updates(spark, upd, batch_id="b1")
+
+    after = dict(corpus)
+    after["u10"] = "common fresh doc title10 body"
+    after["u3"] = "common changed w3new title3 body"
+    del after["u7"]
+
+    # brute force over the post-sync corpus (scores per field from
+    # oracle indexes REBUILT on the merged state; url-keyed compare —
+    # doc_ids differ from the fresh-build oracle's by design)
+    bdf = __import__("pandas").DataFrame(
+        {"url": sorted(after), "text": [after[u] for u in sorted(after)],
+         "html": None})
+    body_o = OracleIndex.build(bdf)
+    tdf = bdf.copy()
+    tdf["text"] = tdf["text"].map(_title_of)
+    title_o = OracleIndex.build(tdf)
+    q = "common title3"
+    cand = set()
+    for oi in (body_o, title_o):
+        from mongoesindexer_spark.functions.analysis import analyze_search
+        for t in set(analyze_search(q, oi.cfg)):
+            cand |= set(oi.postings.get(t, {}))
+    want = sorted(
+        ((combine_scalar([body_o.score(q, d), title_o.score(q, d)],
+                         "best_fields", 0.3), body_o.urls[d])
+         for d in cand), key=lambda x: (-x[0], x[1]))
+
+    got = multi_match_topk(spark, {"body": body_dir, "title": title_dir},
+                           q, 20, "best_fields", 0.3)
+    assert list(got["url"]) == [u for _, u in want[:20]]
+    for gs, (ws, _) in zip(got["score"], want):
+        assert abs(gs - ws) < 1e-9
