@@ -195,16 +195,32 @@ def main(argv: list[str] | None = None) -> int:
             except ValueError:
                 raise SystemExit("--filter-range wants FIELD:LO:HI")
         if args.wildcard:
+            # constant-score doc set: none of the scoring-path flags apply
+            if (ff is not None or args.min_should is not None
+                    or args.after or args.mode != "or"
+                    or args.fuzzy is not None):
+                raise SystemExit(
+                    "--wildcard composes with none of --filter/"
+                    "--filter-range/--min-should/--after/--mode/--fuzzy")
             from .operators.expand import wildcard_match
             pdf = wildcard_match(spark, args.index, args.q)
             print(pdf.to_string(index=False))
         elif args.fuzzy is not None:
+            if args.mode != "or" or args.min_should is not None:
+                raise SystemExit("--fuzzy is an OR query over the "
+                                 "expansion set; --mode/--min-should "
+                                 "don't apply")
             from .operators.expand import fuzzy_topk
             fz = "AUTO" if args.fuzzy.upper() == "AUTO" else int(args.fuzzy)
-            pdf = fuzzy_topk(spark, args.index, args.q, args.k, fuzziness=fz)
+            pdf = fuzzy_topk(spark, args.index, args.q, args.k, fuzziness=fz,
+                             search_after=after, filter_field=ff,
+                             filter_value=fv,
+                             filter_normalized=args.filter_normalized)
             print(pdf.to_string(index=False,
                                 float_format=lambda v: f"{v:.17g}"))
         elif args.phrase:
+            if args.min_should is not None:
+                raise SystemExit("--min-should does not apply to --phrase")
             from .operators.topk import bm25_phrase_topk
             pdf = bm25_phrase_topk(spark, args.index, args.q, args.k,
                                    search_after=after,

@@ -203,8 +203,12 @@ def _synonym_map(groups) -> dict:
     if m is None:
         m = {}
         for g in groups:
-            for t in g:
-                m[t] = g
+            # members fold to lowercase: the token stream is lowercased
+            # before any filter runs, so a mixed-case config member would
+            # otherwise never match (and would emit unsearchable terms)
+            lg = tuple(dict.fromkeys(t.lower() for t in g))
+            for t in lg:
+                m[t] = lg
         _SYN_MAPS[groups] = m
     return m
 

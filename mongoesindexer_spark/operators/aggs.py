@@ -36,6 +36,9 @@ def match_set(eng: SearchEngine, query_text: str, mode: str = "or",
     if not terms:
         return eng.spark.range(0).select(F.col("id").alias("doc_id"))
     flat = read_flat(eng.cat, eng.spark).filter(F.col("term").isin(terms))
+    if min_should_match is not None and mode == "and":
+        raise ValueError("min_should_match applies to mode='or' "
+                         "(mode='and' is already all-clauses)")
     docs = flat.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
     if mode == "and":
         docs = docs.filter(F.col("n_terms") == len(terms))

@@ -114,15 +114,26 @@ def fuzzy_expand(eng: SearchEngine, term: str,
 
 def fuzzy_topk(spark: SparkSession, index_dir: str, term: str, k: int,
                fuzziness: int | str = "AUTO", prefix_length: int = 0,
-               max_expansions: int = MAX_EXPANSIONS) -> pd.DataFrame:
+               max_expansions: int = MAX_EXPANSIONS,
+               search_after: tuple[float, int] | None = None,
+               filter_field: str | None = None,
+               filter_value=None,
+               filter_normalized: bool = False) -> pd.DataFrame:
     """ES ``fuzzy`` query: expand, then OR-BM25 top-k over the expansion
     set through the engine's cost-gated serving paths (each expanded
-    term scores with its own idf — ``rewrite=scoring_boolean``)."""
+    term scores with its own idf — ``rewrite=scoring_boolean``).
+    ``filter_field``/``filter_value``/``search_after`` compose exactly
+    as on :meth:`SearchEngine.topk_wand` (the expansion is just a
+    pre-analyzed term set)."""
     eng = get_engine(spark, index_dir)
     exp = fuzzy_expand(eng, term, fuzziness, prefix_length, max_expansions)
     if not exp:
         return pd.DataFrame(columns=["doc_id", "url", "score"])
-    return eng.topk_wand("", k, analyzed_terms=exp)
+    return eng.topk_wand("", k, analyzed_terms=exp,
+                         search_after=search_after,
+                         filter_field=filter_field,
+                         filter_value=filter_value,
+                         filter_normalized=filter_normalized)
 
 
 def wildcard_pattern_bounds(pattern: str) -> tuple[str, str]:
@@ -148,12 +159,15 @@ def wildcard_match(spark: SparkSession, index_dir: str, pattern: str
     set containing ANY term matching the glob (a filter, not a scorer).
     Postings of the matched terms are unioned from the decoded block
     cache; tombstoned docs are masked like every serving path."""
+    from ..functions.encode import decode_blocks_into
     from .topk import _block_arrays
     eng = get_engine(spark, index_dir)
     terms = wildcard_expand(eng, pattern)
     if not terms:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
     by_term = eng._term_blocks(terms)
+    decode_blocks_into([b for bl in by_term.values() for b in bl
+                        if "_arrs" not in b])
     arrs = [_block_arrays(b)[0] for bl in by_term.values() for b in bl]
     if not arrs:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})

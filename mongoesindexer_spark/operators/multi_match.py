@@ -297,6 +297,10 @@ def multi_match_df(engines: dict[str, SearchEngine], query_text: str,
     that survives a head-term query over 10^12 docs."""
     if mtype not in MODES:
         raise ValueError(f"mtype must be one of {MODES}")
+    if not engines:
+        raise ValueError("multi_match needs at least one field engine")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
     boosts = boosts or {}
     fields = list(engines)
     parts = []
@@ -369,6 +373,11 @@ def multi_match_topk(spark: SparkSession, index_dirs: dict[str, str],
     type."""
     if mtype not in MODES:
         raise ValueError(f"mtype must be one of {MODES}")
+    if not index_dirs:
+        raise ValueError("multi_match needs at least one field index")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1] — above 1 the "
+                         "sum-of-upper-bounds WAND pruning is unsound")
     _check_k(k)
     boosts = boosts or {}
     engines = {f: get_engine(spark, d) for f, d in index_dirs.items()}

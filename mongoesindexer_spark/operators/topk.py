@@ -1288,7 +1288,7 @@ def pack_segment_groups(files: list[tuple[str, int]], max_groups: int
 
 
 def match_scores_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
-                        avgdl: float
+                        avgdl: float, need_counts: bool = True
                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Score EVERY doc matching ≥1 term: ``(doc_ids, scores,
     matched_term_counts)``, doc_id-sorted — the vectorized score-all pass
@@ -1316,7 +1316,9 @@ def match_scores_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
     scores = np.concatenate(all_scores)
     uniq, inv = np.unique(docs, return_inverse=True)
     agg = np.bincount(inv, weights=scores)
-    counts = np.bincount(inv)
+    # the matched-term-count pass is O(candidate postings) — skip it for
+    # callers that don't filter on clause counts (plain OR top-k)
+    counts = np.bincount(inv) if need_counts else None
     return uniq, agg, counts
 
 
@@ -1345,7 +1347,9 @@ def exhaustive_topk_arrays(term_blocks: dict[str, tuple[float, list[dict]]],
     int64 array of doc_ids that may appear in the result; everything
     else is dropped BEFORE top-k selection (non-scoring, like ES filter
     clauses).  None = no filter."""
-    uniq, agg, counts = match_scores_arrays(term_blocks, avgdl)
+    uniq, agg, counts = match_scores_arrays(
+        term_blocks, avgdl,
+        need_counts=require_all or min_should is not None)
     if uniq.size == 0:
         return []
     if require_all:

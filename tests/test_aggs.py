@@ -133,3 +133,11 @@ def test_sort_by_field_matches_bruteforce(spark, agg_index, tiny_pages,
         want = sorted(((int(nchars.iloc[d]), d) for d in hits),
                       key=lambda x: (x[0] if asc else -x[0], x[1]))[:7]
         assert list(zip(got["n_chars"], got["doc_id"])) == want
+
+
+def test_match_set_rejects_msm_with_and(spark, agg_index):
+    from mongoesindexer_spark.operators.aggs import match_set
+    from mongoesindexer_spark.operators.topk import get_engine
+    with pytest.raises(ValueError):
+        match_set(get_engine(spark, agg_index), "udrndau atreq",
+                  mode="and", min_should_match=2)

@@ -102,3 +102,21 @@ def test_wildcard_expand_and_match(spark, tiny_index, tiny_engine,
 
 def test_fuzzy_zero_distance_is_exact_term(tiny_engine):
     assert fuzzy_expand(tiny_engine, "xy", "AUTO") == []  # absent, f=0
+
+
+def test_fuzzy_topk_composes_with_filter(spark, tmp_path):
+    """Review fix: fuzzy plumbs filter context through to the serving
+    path instead of silently ignoring it."""
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.expand import fuzzy_topk
+
+    d = str(tmp_path / "idx")
+    rows = [("u0", "alpha beta", "en"), ("u1", "alphb beta", "de"),
+            ("u2", "alpha gamma", "en")]
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    IndexBuilder(d, n_buckets=2, keyword_fields=("lang",)).build(spark, df)
+    got = fuzzy_topk(spark, d, "alpha", 10, fuzziness=1,
+                     filter_field="lang", filter_value="en")
+    assert sorted(got["url"]) == ["u0", "u2"]
+    allf = fuzzy_topk(spark, d, "alpha", 10, fuzziness=1)
+    assert sorted(allf["url"]) == ["u0", "u1", "u2"]

@@ -280,3 +280,20 @@ def test_multi_match_alignment_survives_sync(spark, tmp_path):
     assert list(got["url"]) == [u for _, u in want[:20]]
     for gs, (ws, _) in zip(got["score"], want):
         assert abs(gs - ws) < 1e-9
+
+
+def test_multi_match_entry_validation(spark, two_field_index):
+    """Review fix: tie_breaker and empty-engines validation at BOTH
+    entry points, not just inside the WAND kernel."""
+    from mongoesindexer_spark.operators.multi_match import (multi_match_df,
+        multi_match_topk)
+    _, dirs = two_field_index
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match_topk(spark, dirs, "x", 5, tie_breaker=1.5)
+    with pytest.raises(ValueError, match="at least one"):
+        multi_match_topk(spark, {}, "x", 5)
+    with pytest.raises(ValueError, match="at least one"):
+        multi_match_df({}, "x", 5)
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match_topk(spark, dirs, "x", 5, tie_breaker=-0.1,
+                         locus="spark")

@@ -81,3 +81,13 @@ def test_synonyms_config_json(tmp_path):
         "synonyms": [["fast", "quick"]]}))
     cfg = IndexConfig.from_json(str(p))
     assert cfg.analyzer_config().synonyms == (("fast", "quick"),)
+
+
+def test_synonym_mixed_case_config_members_fold():
+    """Review fix: config members fold to lowercase so they match the
+    lowercased token stream (and never emit unsearchable terms)."""
+    from mongoesindexer_spark.functions.analysis import (AnalyzerConfig,
+        analyze_index)
+    cfg = AnalyzerConfig(name="syn-case", synonyms=(("Fast", "QUICK"),))
+    assert analyze_index("fast dog", cfg) == ["fast", "quick", "dog"]
+    assert analyze_index("Quick", cfg) == ["quick", "fast"]
