@@ -458,6 +458,26 @@ def q_ft_search_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_INTERVAL = 50
 
 
+FS_FACTOR = 0.01
+
+
+def q_ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` + ``field_value_factor``: the flagship
+    query re-ranked by bm25 × ln(1 + 0.01 × n_chars) over the FULL match
+    set (a factor that reorders, so top-k selects on the combined score;
+    operators/function_score.py — candidate-bounded numeric point read
+    on the kernel locus)."""
+    from mongoesindexer_spark.operators.function_score import         function_score_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = function_score_topk(spark, idx, BM25_QUERY, BM25_K, "n_chars",
+                              factor=FS_FACTOR, modifier="log1p",
+                              boost_mode="multiply")
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 SYN_GROUP = ("fast", "quick")     # "fast" is corpus vocab; "quick" is not
 
 
@@ -986,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_count": q_ft_search_count,
         "ft_explain": q_ft_explain,
         "ft_synonym_search": q_ft_synonym_search,
+        "ft_function_score": q_ft_function_score,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
@@ -1307,6 +1328,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN hits USING (doc_id)
         """,
 
+        "ft_function_score": bm25_scores.format(terms=terms) + f"""
+            SELECT s.doc_id,
+                   CAST(round(s.score * ln(1 + {FS_FACTOR} * d.n_chars)
+                              * 1e4) AS BIGINT) AS score_e4
+            FROM scores s JOIN documents d USING (doc_id)
+            ORDER BY s.score * ln(1 + {FS_FACTOR} * d.n_chars) DESC,
+                     s.doc_id ASC
+            LIMIT {BM25_K}
+        """,
         # synonym expansion: the engine token stream for this corpus is
         # exactly CASE fast -> [fast, quick]; the oracle scores the
         # expanded stream (doc_len includes expansion tokens)
