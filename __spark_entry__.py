@@ -478,6 +478,162 @@ def q_ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+DECAY_ORIGIN, DECAY_SCALE, DECAY_RATE = 300.0, 150.0, 0.5
+
+
+def q_ft_decay_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` gauss decay on a numeric doc value (the
+    recency/proximity boost "type": "date"/"integer" mappings serve):
+    the flagship query re-ranked by bm25 × exp(ln(decay) ×
+    (|n_chars − origin|/scale)²) over the FULL match set —
+    candidate-bounded numeric point read on the kernel locus
+    (operators/function_score.py decay_score_topk)."""
+    from mongoesindexer_spark.operators.function_score import \
+        decay_score_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = decay_score_topk(spark, idx, BM25_QUERY, BM25_K, "n_chars",
+                           origin=DECAY_ORIGIN, scale=DECAY_SCALE,
+                           decay=DECAY_RATE, fn="gauss")
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
+DISMAX_BODY_Q, DISMAX_TITLE_Q, DISMAX_TIE = "data query", "order fast", 0.4
+
+
+def q_ft_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``dis_max`` with a DIFFERENT sub-query per field (the
+    generalization multi_match best_fields builds on): body and title
+    indexes scored under their own query texts, combined as best +
+    tie_breaker × others through the shared multi_match kernel
+    (operators/compound.py dis_max_topk)."""
+    from mongoesindexer_spark.operators.compound import dis_max_topk
+    dirs = {"body": _docs_index(spark, sf_dir),
+            "title": _title_index(spark, sf_dir)}
+    pdf = dis_max_topk(spark, dirs,
+                       {"body": DISMAX_BODY_Q, "title": DISMAX_TITLE_Q},
+                       BM25_K, tie_breaker=DISMAX_TIE, locus="kernel")
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
+BOOST_NEG, NEG_BOOST = "merge", 0.5
+
+
+def q_ft_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query: flagship-query BM25 with docs matching the
+    ``negative`` term demoted ×negative_boost — the demotion reorders,
+    so top-k selects on the demoted score over the full positive match
+    set (operators/compound.py boosting_topk, kernel locus)."""
+    from mongoesindexer_spark.operators.compound import boosting_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = boosting_topk(spark, idx, BM25_QUERY, BOOST_NEG, BM25_K,
+                        negative_boost=NEG_BOOST)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
+CONST_BOOST, CONST_K = 1.5, 50
+
+
+def q_ft_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``constant_score``: every hit of the filter query scores the
+    literal boost; doc_id-asc page — one term-pushed postings scan +
+    TakeOrderedAndProject, the "skip scoring" filter-context fast path
+    (operators/compound.py constant_score_hits)."""
+    from mongoesindexer_spark.operators.compound import constant_score_hits
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    out = constant_score_hits(get_engine(spark, idx), CONJ_QUERY, CONST_K,
+                              boost=CONST_BOOST)
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
+def q_ft_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` agg on the ``source`` keyword sub-field over
+    the conjunctive query's hit set — exact distinct count (the
+    oracle-checkable twin; approx_count_distinct HLL++ is the documented
+    scale path, operators/aggs.py search_cardinality_agg)."""
+    from mongoesindexer_spark.operators.aggs import search_cardinality_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_cardinality_agg(get_engine(spark, idx), CONJ_QUERY,
+                                  "source", mode="and")
+
+
+def _crawl_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic crawl timestamp derived from doc_id
+    (DATE '2024-01-01' + doc_id % 365 days) — the warc_ts-shaped date
+    column the input_hint's webtext table carries, reproduced exactly in
+    the DuckDB oracle."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.expr("CAST(date_add(DATE'2024-01-01', "
+               "CAST(doc_id % 365 AS INT)) AS TIMESTAMP)").alias("crawl_ts"))
+
+
+def q_ft_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_histogram`` with a CALENDAR interval (month) over the
+    flagship query's hit set — date_trunc buckets ascending, empty
+    buckets omitted (operators/aggs.py search_date_histogram_agg); the
+    fixed-interval core is ft_search_histogram."""
+    from mongoesindexer_spark.operators.aggs import \
+        search_date_histogram_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_date_histogram_agg(
+        get_engine(spark, idx), _crawl_ts(spark, sf_dir), BM25_QUERY,
+        "crawl_ts", "month").select(
+        "bucket", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+TOP_HITS_N = 3
+
+
+def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` agg + ``top_hits`` sub-agg: per ``source`` bucket,
+    the top-3 hits by ``n_chars`` desc (doc_id asc tiebreak) from the
+    flagship query's hit set — a rank window inside each bucket
+    partition, no global sort (operators/aggs.py search_top_hits_agg)."""
+    from mongoesindexer_spark.operators.aggs import search_top_hits_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_top_hits_agg(
+        get_engine(spark, idx), _read(spark, sf_dir, "documents"),
+        BM25_QUERY, "source", "n_chars",
+        hits_per_bucket=TOP_HITS_N).select(
+        "bucket", F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"))
+
+
+PCTS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def q_ft_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` agg on ``n_chars`` over the flagship query's
+    hit set — exact linear-interpolation quantiles (both Spark
+    ``percentile`` and DuckDB ``quantile_cont`` pin the same
+    definition; t-digest/percentile_approx is the documented scale
+    path, operators/aggs.py search_percentiles_agg)."""
+    from mongoesindexer_spark.operators.aggs import search_percentiles_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    out = search_percentiles_agg(
+        get_engine(spark, idx), _read(spark, sf_dir, "documents"),
+        BM25_QUERY, "n_chars", PCTS)
+    return out.select(*[
+        F.round(F.col(c) * 1e6).cast("long").alias(
+            f"p{int(round(p * 100))}_e6")
+        for p, c in zip(PCTS, out.columns)])
+
+
 SYN_GROUP = ("fast", "quick")     # "fast" is corpus vocab; "quick" is not
 
 
@@ -1007,6 +1163,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain": q_ft_explain,
         "ft_synonym_search": q_ft_synonym_search,
         "ft_function_score": q_ft_function_score,
+        "ft_decay_gauss": q_ft_decay_gauss,
+        "ft_dis_max": q_ft_dis_max,
+        "ft_boosting": q_ft_boosting,
+        "ft_constant_score": q_ft_constant_score,
+        "ft_cardinality": q_ft_cardinality,
+        "ft_date_histogram": q_ft_date_histogram,
+        "ft_top_hits": q_ft_top_hits,
+        "ft_percentiles": q_ft_percentiles,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
         "ft_phrase_search": q_ft_phrase_search,
@@ -1088,7 +1252,9 @@ def oracle_sql() -> dict[str, str]:
     # the title field is the first TITLE_WORDS tokens, exactly the
     # engine-side derivation in _title_index).  Boost folds into the
     # per-term factor, matching the engine's boost×idf folding.
-    def _mm_field(sfx: str, texpr: str, boost: float) -> str:
+    def _mm_field(sfx: str, texpr: str, boost: float,
+                  tlist: str | None = None) -> str:
+        tlist = tlist if tlist is not None else terms
         return f"""
         tok{sfx} AS (SELECT doc_id, unnest({texpr}) AS term FROM documents),
         tf{sfx} AS (SELECT term, doc_id, count(*)::BIGINT AS tf
@@ -1107,7 +1273,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT term, count(*)::BIGINT AS df FROM tf{sfx} GROUP BY 1) d
               USING (term)
             JOIN dl{sfx} dl USING (doc_id) CROSS JOIN g{sfx} g
-            WHERE tf.term IN ({terms}) GROUP BY tf.doc_id)"""
+            WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id)"""
 
     title_toks = f"list_slice({_TOK_DD}, 1, {TITLE_WORDS})"
     mm_comb = (
@@ -1121,6 +1287,18 @@ def oracle_sql() -> dict[str, str]:
     mm_comb_noboost = (
         "WITH " + _mm_field("a", _TOK_DD, 1.0) + ","
         + _mm_field("b", title_toks, 1.0) + """,
+        comb AS (
+            SELECT COALESCE(sa.doc_id, sb.doc_id) AS doc_id,
+                   COALESCE(sa.score, 0) AS s0, COALESCE(sb.score, 0) AS s1
+            FROM sa FULL JOIN sb ON sa.doc_id = sb.doc_id)
+    """)
+    dm_body_terms = ", ".join(
+        f"'{t}'" for t in sorted(set(DISMAX_BODY_Q.split())))
+    dm_title_terms = ", ".join(
+        f"'{t}'" for t in sorted(set(DISMAX_TITLE_Q.split())))
+    dm_comb = (
+        "WITH " + _mm_field("a", _TOK_DD, 1.0, dm_body_terms) + ","
+        + _mm_field("b", title_toks, 1.0, dm_title_terms) + """,
         comb AS (
             SELECT COALESCE(sa.doc_id, sb.doc_id) AS doc_id,
                    COALESCE(sa.score, 0) AS s0, COALESCE(sb.score, 0) AS s1
@@ -1336,6 +1514,105 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s.score * ln(1 + {FS_FACTOR} * d.n_chars) DESC,
                      s.doc_id ASC
             LIMIT {BM25_K}
+        """,
+        "ft_decay_gauss": bm25_scores.format(terms=terms) + f"""
+            SELECT s.doc_id,
+                   CAST(round(s.score * exp(ln({DECAY_RATE})
+                              * pow(greatest(abs(d.n_chars - {DECAY_ORIGIN})
+                                             - 0.0, 0.0)
+                                    / {DECAY_SCALE}, 2)) * 1e4) AS BIGINT)
+                       AS score_e4
+            FROM scores s JOIN documents d USING (doc_id)
+            ORDER BY s.score * exp(ln({DECAY_RATE})
+                     * pow(greatest(abs(d.n_chars - {DECAY_ORIGIN}) - 0.0,
+                                    0.0) / {DECAY_SCALE}, 2)) DESC,
+                     s.doc_id ASC
+            LIMIT {BM25_K}
+        """,
+        "ft_dis_max": dm_comb + f"""
+            SELECT doc_id,
+                   CAST(round((greatest(s0, s1) + {DISMAX_TIE}
+                               * least(s0, s1)) * 1e4) AS BIGINT)
+                       AS score_e4
+            FROM comb
+            ORDER BY greatest(s0, s1) + {DISMAX_TIE} * least(s0, s1) DESC,
+                     doc_id ASC
+            LIMIT {BM25_K}
+        """,
+        "ft_boosting": bm25_scores.format(terms=terms) + f"""
+            , neg AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term = '{BOOST_NEG}'
+            )
+            SELECT s.doc_id,
+                   CAST(round(s.score * CASE WHEN n.doc_id IS NOT NULL
+                              THEN {NEG_BOOST} ELSE 1.0 END * 1e4)
+                        AS BIGINT) AS score_e4
+            FROM scores s LEFT JOIN neg n USING (doc_id)
+            ORDER BY s.score * CASE WHEN n.doc_id IS NOT NULL
+                     THEN {NEG_BOOST} ELSE 1.0 END DESC, s.doc_id ASC
+            LIMIT {BM25_K}
+        """,
+        "ft_constant_score": f"""
+            SELECT doc_id,
+                   CAST(round({CONST_BOOST} * 1e4) AS BIGINT) AS score_e4
+            FROM (SELECT DISTINCT doc_id
+                  FROM (SELECT doc_id, unnest({_TOK_DD}) AS term
+                        FROM documents)
+                  WHERE term IN ({cterms}))
+            ORDER BY doc_id ASC LIMIT {CONST_K}
+        """,
+        "ft_cardinality": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT doc_id FROM tok WHERE term IN ({cterms})
+                GROUP BY doc_id
+                HAVING count(DISTINCT term) = {len(set(CONJ_QUERY.split()))}
+            )
+            SELECT count(DISTINCT d.source)::BIGINT AS cardinality
+            FROM documents d JOIN hits USING (doc_id)
+            WHERE d.source IS NOT NULL
+        """,
+        "ft_date_histogram": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            )
+            SELECT strftime(date_trunc('month',
+                       DATE '2024-01-01' + CAST(doc_id % 365 AS INT)),
+                       '%Y-%m-%d') AS bucket,
+                   count(*)::BIGINT AS doc_count
+            FROM hits GROUP BY 1 ORDER BY bucket ASC
+        """,
+        "ft_top_hits": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            ), ranked AS (
+                SELECT d.source AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY d.source
+                           ORDER BY d.n_chars DESC, d.doc_id ASC) AS rank,
+                       d.doc_id, d.n_chars
+                FROM documents d JOIN hits USING (doc_id)
+                WHERE d.source IS NOT NULL
+            )
+            SELECT bucket, rank::BIGINT AS rank, doc_id,
+                   n_chars::BIGINT AS n_chars
+            FROM ranked WHERE rank <= {TOP_HITS_N}
+            ORDER BY bucket ASC, rank ASC
+        """,
+        "ft_percentiles": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            )
+            SELECT {", ".join(
+                f"CAST(round(quantile_cont(d.n_chars, {p}) * 1e6) AS BIGINT)"
+                f" AS p{int(round(p * 100))}_e6" for p in PCTS)}
+            FROM documents d JOIN hits USING (doc_id)
         """,
         # synonym expansion: the engine token stream for this corpus is
         # exactly CASE fast -> [fast, quick]; the oracle scores the

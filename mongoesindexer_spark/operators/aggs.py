@@ -15,6 +15,18 @@ aggs and numeric stats are what its keyword/integer mappings serve):
   the hit set (bucket doc counts, count desc / value asc, size-capped).
 - :func:`search_stats_agg` — ``stats`` agg (count/min/max/sum/avg) on a
   numeric source column over the hit set.
+- :func:`search_cardinality_agg` — ``cardinality`` agg: exact distinct
+  count (oracle twin) or HyperLogLog++ ``approx_count_distinct`` (the
+  scale path — partial sketches merge map-side, the value space never
+  shuffles).
+- :func:`search_histogram_agg` / :func:`search_date_histogram_agg` —
+  fixed-interval and calendar-interval (date_trunc) histograms.
+- :func:`search_top_hits_agg` — ``terms`` + ``top_hits`` sub-agg: a
+  rank window inside each bucket partition, no global sort.
+- :func:`search_percentiles_agg` — ``percentiles``: exact
+  linear-interpolation quantiles (swap in ``F.percentile_approx`` —
+  t-digest-style — for hit sets too large for exact ranks).
+- :func:`search_sort_by_field` — doc-values ``sort`` instead of _score.
 """
 
 from __future__ import annotations
@@ -115,6 +127,108 @@ def search_sort_by_field(eng: SearchEngine, docs: DataFrame,
              else F.desc_nulls_last(sort_col), F.asc("doc_id")]
     return (docs.select("doc_id", sort_col).join(hits, "doc_id", "semi")
             .orderBy(*order).limit(k))
+
+
+def search_cardinality_agg(eng: SearchEngine, query_text: str, field: str,
+                           normalized: bool = False, mode: str = "or",
+                           min_should_match: int | None = None,
+                           exact: bool = True,
+                           rsd: float = 0.05) -> DataFrame:
+    """ES ``cardinality`` agg on ``<field>_keyword``/``_normalized``
+    over the hit set.
+
+    ``exact=True`` is the oracle-checkable distinct count (one extra
+    shuffle on the value).  ``exact=False`` is the scale path — Spark's
+    HyperLogLog++ ``approx_count_distinct`` (``rsd`` = relative standard
+    deviation), the same sketch family ES's cardinality agg runs, with
+    partial sketches merged map-side so high-cardinality fields never
+    shuffle their value space."""
+    from .build_index import read_fields
+    sub = f"{field}_{'normalized' if normalized else 'keyword'}"
+    fields = read_fields(eng.cat, eng.spark).select("doc_id", sub)
+    hits = match_set(eng, query_text, mode, min_should_match)
+    vals = fields.join(hits, "doc_id", "semi").filter(F.col(sub).isNotNull())
+    agg = (F.count_distinct(F.col(sub)) if exact
+           else F.approx_count_distinct(sub, rsd))
+    return vals.agg(agg.cast("long").alias("cardinality"))
+
+
+def search_date_histogram_agg(eng: SearchEngine, docs: DataFrame,
+                              query_text: str, ts_col: str,
+                              interval: str = "month", mode: str = "or",
+                              min_should_match: int | None = None
+                              ) -> DataFrame:
+    """ES ``date_histogram`` with a CALENDAR interval (month/week/day/
+    year — the variable-width buckets :func:`search_histogram_agg`'s
+    fixed arithmetic can't express): bucket = date_trunc(interval, ts)
+    over the hit set, ascending, empty buckets omitted
+    (min_doc_count=1).  The bucket key is formatted ``yyyy-MM-dd`` (ES
+    ``key_as_string``) so page-level consumers never touch timezone
+    arithmetic."""
+    if interval not in ("year", "quarter", "month", "week", "day"):
+        raise ValueError(f"unsupported calendar interval {interval!r}")
+    hits = match_set(eng, query_text, mode, min_should_match)
+    return (docs.select("doc_id", ts_col).join(hits, "doc_id", "semi")
+            .filter(F.col(ts_col).isNotNull())
+            .groupBy(F.date_format(F.date_trunc(interval, F.col(ts_col)),
+                                   "yyyy-MM-dd").alias("bucket"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.asc("bucket")))
+
+
+def search_top_hits_agg(eng: SearchEngine, docs: DataFrame,
+                        query_text: str, group_field: str, sort_col: str,
+                        hits_per_bucket: int = 3, ascending: bool = False,
+                        normalized: bool = False, mode: str = "or",
+                        min_should_match: int | None = None) -> DataFrame:
+    """ES ``terms`` agg + ``top_hits`` sub-agg: per keyword-bucket, the
+    top ``hits_per_bucket`` docs ordered by a doc-values column
+    (doc_id-asc tiebreak).  One shuffle partitions the hit set by
+    bucket; the per-bucket heads come from a rank window INSIDE each
+    partition — no global sort, no driver materialization, the shape ES
+    executes per shard before the coordinator merge."""
+    from pyspark.sql import Window
+    from .build_index import read_fields
+    if hits_per_bucket <= 0:
+        raise ValueError("hits_per_bucket must be positive")
+    sub = f"{group_field}_{'normalized' if normalized else 'keyword'}"
+    fields = read_fields(eng.cat, eng.spark).select("doc_id", sub)
+    hits = match_set(eng, query_text, mode, min_should_match)
+    scoped = (docs.select("doc_id", sort_col).join(hits, "doc_id", "semi")
+              .join(fields, "doc_id")
+              .filter(F.col(sub).isNotNull()))
+    order = [F.asc(sort_col) if ascending else F.desc(sort_col),
+             F.asc("doc_id")]
+    w = Window.partitionBy(sub).orderBy(*order)
+    return (scoped.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits_per_bucket)
+            .select(F.col(sub).alias("bucket"), "rank", "doc_id", sort_col)
+            .orderBy(F.asc("bucket"), F.asc("rank")))
+
+
+def search_percentiles_agg(eng: SearchEngine, docs: DataFrame,
+                           query_text: str, num_col: str,
+                           percentiles: tuple[float, ...] = (
+                               0.25, 0.5, 0.75, 0.95, 0.99),
+                           mode: str = "or",
+                           min_should_match: int | None = None
+                           ) -> DataFrame:
+    """ES ``percentiles`` agg on a numeric source column over the hit
+    set — EXACT linear-interpolation quantiles (the oracle-checkable
+    definition both Spark ``percentile`` and DuckDB ``quantile_cont``
+    implement).  ES defaults to a t-digest sketch; at hit sets too big
+    for exact ranks, swap ``F.percentile`` for ``F.percentile_approx``
+    (same call shape) — documented rather than defaulted so the gate
+    stays hash-exact."""
+    for p in percentiles:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("percentiles must be in [0, 1]")
+    hits = match_set(eng, query_text, mode, min_should_match)
+    scoped = docs.select("doc_id", num_col).join(hits, "doc_id", "semi")
+    return scoped.agg(*[
+        F.percentile(F.col(num_col), F.lit(float(p)))
+        .alias(f"p{str(p).replace('.', '_')}")
+        for p in percentiles])
 
 
 def search_stats_agg(eng: SearchEngine, docs: DataFrame, query_text: str,

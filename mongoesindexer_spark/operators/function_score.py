@@ -36,6 +36,7 @@ from .topk import SearchEngine, _query_terms, get_engine, \
 
 MODIFIERS = ("none", "log1p", "sqrt")
 BOOST_MODES = ("multiply", "sum")
+DECAY_FNS = ("gauss", "exp", "linear")
 
 
 def _weight_np(v: np.ndarray, factor: float, modifier: str) -> np.ndarray:
@@ -56,30 +57,21 @@ def _weight_col(c, factor: float, modifier: str):
     return x
 
 
-def function_score_topk(spark: SparkSession, index_dir: str,
-                        query_text: str, k: int, field: str,
-                        factor: float = 1.0, modifier: str = "log1p",
-                        boost_mode: str = "multiply",
-                        missing: float = 1.0,
-                        locus: str = "kernel") -> pd.DataFrame:
-    """Top-k by ``boost_mode(bm25, modifier(factor × <field>_num))``
-    over the full match set (ties doc_id asc)."""
-    if modifier not in MODIFIERS:
-        raise ValueError(f"modifier must be one of {MODIFIERS}")
-    if boost_mode not in BOOST_MODES:
-        raise ValueError(f"boost_mode must be one of {BOOST_MODES}")
-    eng = get_engine(spark, index_dir)
+def _check_numeric_sub(eng: SearchEngine, field: str) -> str:
     sub = f"{field}_num"
     names = eng._rg_index("fields", "doc_id").files
     if names and sub not in names[0].schema_arrow.names:
         raise KeyError(
             f"fields table has no numeric sub-field {sub!r} — was the "
             f"index built with numeric_fields=({field!r},)?")
-    if locus == "spark":
-        return _function_score_df(eng, query_text, k, sub, factor,
-                                  modifier, boost_mode, missing).toPandas()
-    if locus != "kernel":
-        raise ValueError("locus must be 'kernel' or 'spark'")
+    return sub
+
+
+def _kernel_candidates(eng: SearchEngine, query_text: str
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, bm25 scores) for every live candidate of the query —
+    the vectorized score-all pass shared by the rescoring entry points
+    (cost ∝ the query terms' Σdf, never the corpus)."""
     terms = _query_terms(query_text, eng.cfg)
     meta = eng._term_meta(terms)
     td = {t: m[0] for t, m in meta.items() if m is not None}
@@ -94,20 +86,167 @@ def function_score_topk(spark: SparkSession, index_dir: str,
     if uniq.size and eng.tombstones:
         keep = ~np.isin(uniq, np.fromiter(eng.tombstones, dtype=np.int64))
         uniq, bm25 = uniq[keep], bm25[keep]
-    if uniq.size == 0:
-        return pd.DataFrame(columns=["doc_id", "url", "score"])
+    return uniq, bm25
+
+
+def _candidate_values(eng: SearchEngine, uniq: np.ndarray, sub: str,
+                      missing: float) -> np.ndarray:
+    """Candidate-bounded point read of the doc-ordered ``fields``
+    numeric sub-field (the same read range-filter context uses)."""
     vals = eng._rg_index("fields", "doc_id").read_isin(
         [int(d) for d in uniq], ["doc_id", sub])
     vmap = vals.set_index("doc_id")[sub]
-    v = vmap.reindex(uniq).astype("float64").fillna(float(missing)).values
-    w = _weight_np(v, factor, modifier)
-    score = bm25 * w if boost_mode == "multiply" else bm25 + w
+    return vmap.reindex(uniq).astype("float64").fillna(float(missing)).values
+
+
+def _topk_frame(eng: SearchEngine, uniq: np.ndarray, score: np.ndarray,
+                k: int) -> pd.DataFrame:
     order = np.lexsort((uniq, -score))[:k]
     hits = [(float(score[i]), int(uniq[i])) for i in order]
     urls = eng.fetch_urls([d for _, d in hits])
     return pd.DataFrame(
         [{"doc_id": d, "url": urls.get(d), "score": s} for s, d in hits],
         columns=["doc_id", "url", "score"])
+
+
+def function_score_topk(spark: SparkSession, index_dir: str,
+                        query_text: str, k: int, field: str,
+                        factor: float = 1.0, modifier: str = "log1p",
+                        boost_mode: str = "multiply",
+                        missing: float = 1.0,
+                        locus: str = "kernel") -> pd.DataFrame:
+    """Top-k by ``boost_mode(bm25, modifier(factor × <field>_num))``
+    over the full match set (ties doc_id asc)."""
+    if modifier not in MODIFIERS:
+        raise ValueError(f"modifier must be one of {MODIFIERS}")
+    if boost_mode not in BOOST_MODES:
+        raise ValueError(f"boost_mode must be one of {BOOST_MODES}")
+    eng = get_engine(spark, index_dir)
+    sub = _check_numeric_sub(eng, field)
+    if locus == "spark":
+        return _function_score_df(eng, query_text, k, sub, factor,
+                                  modifier, boost_mode, missing).toPandas()
+    if locus != "kernel":
+        raise ValueError("locus must be 'kernel' or 'spark'")
+    uniq, bm25 = _kernel_candidates(eng, query_text)
+    if uniq.size == 0:
+        return pd.DataFrame(columns=["doc_id", "url", "score"])
+    v = _candidate_values(eng, uniq, sub, missing)
+    w = _weight_np(v, factor, modifier)
+    score = bm25 * w if boost_mode == "multiply" else bm25 + w
+    return _topk_frame(eng, uniq, score, k)
+
+
+# ---------------------------------------------------------------------------
+# decay functions (ES function_score: gauss / exp / linear)
+# ---------------------------------------------------------------------------
+
+
+def _decay_np(v: np.ndarray, fn: str, origin: float, scale: float,
+              offset: float, decay: float) -> np.ndarray:
+    """ES decay weight per value (public formulas, ES function-score
+    docs): dist = max(0, |v − origin| − offset);
+    gauss  → exp(ln(decay) × (dist/scale)²)
+    exp    → exp(ln(decay) × dist/scale)
+    linear → max(0, (s − dist)/s), s = scale/(1 − decay)."""
+    dist = np.maximum(np.abs(v - origin) - offset, 0.0)
+    if fn == "gauss":
+        return np.exp(np.log(decay) * (dist / scale) ** 2)
+    if fn == "exp":
+        return np.exp(np.log(decay) * dist / scale)
+    s = scale / (1.0 - decay)
+    return np.maximum((s - dist) / s, 0.0)
+
+
+def _decay_col(c, fn: str, origin: float, scale: float, offset: float,
+               decay: float):
+    """Codegen twin of :func:`_decay_np` — same arithmetic, JVM-side."""
+    import math
+    dist = F.greatest(F.abs(c - F.lit(origin)) - F.lit(offset), F.lit(0.0))
+    if fn == "gauss":
+        return F.exp(F.lit(math.log(decay)) * F.pow(dist / F.lit(scale),
+                                                    F.lit(2.0)))
+    if fn == "exp":
+        return F.exp(F.lit(math.log(decay)) * dist / F.lit(scale))
+    s = scale / (1.0 - decay)
+    return F.greatest((F.lit(s) - dist) / F.lit(s), F.lit(0.0))
+
+
+def decay_score_topk(spark: SparkSession, index_dir: str, query_text: str,
+                     k: int, field: str, origin: float, scale: float,
+                     offset: float = 0.0, decay: float = 0.5,
+                     fn: str = "gauss", boost_mode: str = "multiply",
+                     missing: float | None = None,
+                     locus: str = "kernel") -> pd.DataFrame:
+    """ES ``function_score`` decay (``gauss``/``exp``/``linear``) on a
+    numeric doc value — the recency/proximity boost ES mappings with
+    "type": "date"/"integer" fields exist to serve: score' =
+    boost_mode(bm25, decay_fn(|v − origin|)).
+
+    Same two loci as :func:`function_score_topk`, rank-identical
+    (tested): the kernel's candidate-bounded ``fields`` point read +
+    numpy weights, or the distributed score frame + codegen weights.
+    ``missing`` (default: ``origin``, i.e. weight 1.0 — ES requires a
+    value, we pin the least-surprising default) substitutes for NULL
+    doc values BEFORE the distance computation.
+    """
+    if fn not in DECAY_FNS:
+        raise ValueError(f"fn must be one of {DECAY_FNS}")
+    if boost_mode not in BOOST_MODES:
+        raise ValueError(f"boost_mode must be one of {BOOST_MODES}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError("decay must be in (0, 1)")
+    if scale <= 0.0:
+        raise ValueError("scale must be positive")
+    if offset < 0.0:
+        raise ValueError("offset must be non-negative")
+    if missing is None:
+        missing = float(origin)
+    eng = get_engine(spark, index_dir)
+    sub = _check_numeric_sub(eng, field)
+    if locus == "spark":
+        return _decay_score_df(eng, query_text, k, sub, fn, origin, scale,
+                               offset, decay, boost_mode,
+                               missing).toPandas()
+    if locus != "kernel":
+        raise ValueError("locus must be 'kernel' or 'spark'")
+    uniq, bm25 = _kernel_candidates(eng, query_text)
+    if uniq.size == 0:
+        return pd.DataFrame(columns=["doc_id", "url", "score"])
+    v = _candidate_values(eng, uniq, sub, missing)
+    w = _decay_np(v, fn, origin, scale, offset, decay)
+    score = bm25 * w if boost_mode == "multiply" else bm25 + w
+    return _topk_frame(eng, uniq, score, k)
+
+
+def _decay_score_df(eng: SearchEngine, query_text: str, k: int, sub: str,
+                    fn: str, origin: float, scale: float, offset: float,
+                    decay: float, boost_mode: str,
+                    missing: float) -> DataFrame:
+    """Distributed twin of the decay kernel path — the same plan as
+    ``_function_score_df`` with the decay weight in codegen."""
+    from .build_index import read_fields
+    from .multi_match import _field_scores_df
+    bm25 = _field_scores_df(eng, query_text, 1.0) \
+        .withColumnRenamed("score", "bm25")
+    if eng.tombstones:
+        ts = eng.spark.createDataFrame(
+            [(int(d),) for d in sorted(eng.tombstones)], "doc_id long")
+        bm25 = bm25.join(F.broadcast(ts), "doc_id", "left_anti")
+    vals = read_fields(eng.cat, eng.spark).select("doc_id", sub)
+    w = _decay_col(F.coalesce(F.col(sub).cast("double"),
+                              F.lit(float(missing))),
+                   fn, origin, scale, offset, decay)
+    combined = (bm25.join(vals, "doc_id", "left")
+                .withColumn("score",
+                            F.col("bm25") * w if boost_mode == "multiply"
+                            else F.col("bm25") + w))
+    urls = eng.cat.read(eng.spark, "doc_stats").select("doc_id", "url")
+    return (combined.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .join(urls, "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "url", "score"))
 
 
 def _function_score_df(eng: SearchEngine, query_text: str, k: int,

@@ -65,6 +65,15 @@ from .topk import (EXHAUSTIVE_CUTOFF, K1, B, SearchEngine, _check_k,
 MODES = ("best_fields", "most_fields")
 
 
+def _per_field_query(query_text: str | dict[str, str], field: str) -> str:
+    """One query string for ``field`` — multi_match sends the SAME text to
+    every field; dis_max (operators/compound.py) sends one sub-query per
+    field, so the entry points also accept a ``{field: query}`` mapping."""
+    if isinstance(query_text, dict):
+        return query_text[field]
+    return query_text
+
+
 # ---------------------------------------------------------------------------
 # score combination — three implementations, one accumulation order
 # ---------------------------------------------------------------------------
@@ -283,7 +292,8 @@ def _field_scores_df(eng: SearchEngine, query_text: str, boost: float
     )
 
 
-def multi_match_df(engines: dict[str, SearchEngine], query_text: str,
+def multi_match_df(engines: dict[str, SearchEngine],
+                   query_text: str | dict[str, str],
                    k: int, mtype: str = "best_fields",
                    tie_breaker: float = 0.0,
                    boosts: dict[str, float] | None = None) -> DataFrame:
@@ -305,7 +315,8 @@ def multi_match_df(engines: dict[str, SearchEngine], query_text: str,
     fields = list(engines)
     parts = []
     for i, f in enumerate(fields):
-        parts.append(_field_scores_df(engines[f], query_text,
+        parts.append(_field_scores_df(engines[f],
+                                      _per_field_query(query_text, f),
                                       float(boosts.get(f, 1.0)))
                      .select("doc_id", F.lit(i).alias("fi"), "score"))
     u = parts[0]
@@ -359,7 +370,8 @@ def multi_match_df(engines: dict[str, SearchEngine], query_text: str,
 
 
 def multi_match_topk(spark: SparkSession, index_dirs: dict[str, str],
-                     query_text: str, k: int, mtype: str = "best_fields",
+                     query_text: str | dict[str, str], k: int,
+                     mtype: str = "best_fields",
                      tie_breaker: float = 0.0,
                      boosts: dict[str, float] | None = None,
                      locus: str = "kernel",
@@ -380,6 +392,9 @@ def multi_match_topk(spark: SparkSession, index_dirs: dict[str, str],
                          "sum-of-upper-bounds WAND pruning is unsound")
     _check_k(k)
     boosts = boosts or {}
+    if isinstance(query_text, dict) and set(query_text) != set(index_dirs):
+        raise ValueError("per-field query mapping must cover exactly the "
+                         f"index fields {sorted(index_dirs)}")
     engines = {f: get_engine(spark, d) for f, d in index_dirs.items()}
     if locus == "spark":
         return multi_match_df(engines, query_text, k, mtype, tie_breaker,
@@ -389,7 +404,8 @@ def multi_match_topk(spark: SparkSession, index_dirs: dict[str, str],
     field_blocks = []
     tombs: set[int] = set()
     for f, eng in engines.items():
-        tb = _field_term_blocks(eng, query_text, float(boosts.get(f, 1.0)))
+        tb = _field_term_blocks(eng, _per_field_query(query_text, f),
+                                float(boosts.get(f, 1.0)))
         field_blocks.append((tb, eng.avgdl))
         tombs |= eng.tombstones
     decode_blocks_into([b for tb, _ in field_blocks

@@ -135,6 +135,106 @@ def test_sort_by_field_matches_bruteforce(spark, agg_index, tiny_pages,
         assert list(zip(got["n_chars"], got["doc_id"])) == want
 
 
+def test_cardinality_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_cardinality_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    hits = _hit_set(oracle_tiny, q)
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    langs = {rows["lang"].iloc[d] for d in hits}
+    want = len({v for v in langs if v is not None and not pd.isna(v)})
+
+    got = search_cardinality_agg(eng, q, "lang").toPandas()
+    assert int(got["cardinality"].iloc[0]) == want
+    # HLL++ scale path: small-cardinality sketches are exact in practice,
+    # but the contract is only the rsd bound — assert that
+    approx = int(search_cardinality_agg(eng, q, "lang", exact=False,
+                                        rsd=0.05)
+                 .toPandas()["cardinality"].iloc[0])
+    assert abs(approx - want) <= max(1, int(0.2 * want))
+
+
+def test_date_histogram_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import \
+        search_date_histogram_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    import datetime
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    base = datetime.datetime(2024, 1, 1)
+    stamps = [base + datetime.timedelta(days=int(d) * 17 % 365)
+              for d in range(len(rows))]
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64), "ts": stamps}))
+    got = search_date_histogram_agg(eng, docs, q, "ts", "month").toPandas()
+    hits = _hit_set(oracle_tiny, q)
+    vc = {}
+    for d in hits:
+        b = stamps[d].strftime("%Y-%m-01")
+        vc[b] = vc.get(b, 0) + 1
+    assert list(zip(got["bucket"], got["doc_count"])) == sorted(vc.items())
+    with pytest.raises(ValueError):
+        search_date_histogram_agg(eng, docs, q, "ts", "fortnight")
+
+
+def test_top_hits_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_top_hits_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    nchars = rows["text"].map(
+        lambda t: len(t) if isinstance(t, str) else 0).astype("int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "n_chars": nchars,
+    }))
+    got = search_top_hits_agg(eng, docs, q, "lang", "n_chars",
+                              hits_per_bucket=2).toPandas()
+    hits = _hit_set(oracle_tiny, q)
+    buckets = {}
+    for d in hits:
+        v = rows["lang"].iloc[d]
+        if v is None or pd.isna(v):
+            continue
+        buckets.setdefault(v, []).append((-int(nchars.iloc[d]), d))
+    want = []
+    for b in sorted(buckets):
+        for r, (_, d) in enumerate(sorted(buckets[b])[:2], start=1):
+            want.append((b, r, d))
+    assert [tuple(x) for x in got[["bucket", "rank", "doc_id"]]
+            .itertuples(index=False)] == want
+    with pytest.raises(ValueError):
+        search_top_hits_agg(eng, docs, q, "lang", "n_chars",
+                            hits_per_bucket=0)
+
+
+def test_percentiles_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_percentiles_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    nchars = rows["text"].map(
+        lambda t: len(t) if isinstance(t, str) else 0).astype("int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "n_chars": nchars,
+    }))
+    ps = (0.25, 0.5, 0.9)
+    got = search_percentiles_agg(eng, docs, q, "n_chars", ps).toPandas()
+    vals = np.array(sorted(int(nchars.iloc[d])
+                           for d in _hit_set(oracle_tiny, q)))
+    for p, col in zip(ps, got.columns):
+        # numpy 'linear' interpolation == Spark percentile == quantile_cont
+        assert float(got[col].iloc[0]) == pytest.approx(
+            float(np.percentile(vals, p * 100)), abs=1e-9)
+    with pytest.raises(ValueError):
+        search_percentiles_agg(eng, docs, q, "n_chars", (1.5,))
+
+
 def test_match_set_rejects_msm_with_and(spark, agg_index):
     from mongoesindexer_spark.operators.aggs import match_set
     from mongoesindexer_spark.operators.topk import get_engine

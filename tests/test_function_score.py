@@ -70,3 +70,75 @@ def test_function_score_validation(spark, fs_index):
         function_score_topk(spark, d, "common", 5, "pop", boost_mode="max")
     with pytest.raises(KeyError, match="nope_num"):
         function_score_topk(spark, d, "common", 5, "nope")
+
+
+def _decay_weight(v, fn, origin, scale, offset, decay):
+    dist = max(abs(v - origin) - offset, 0.0)
+    if fn == "gauss":
+        return math.exp(math.log(decay) * (dist / scale) ** 2)
+    if fn == "exp":
+        return math.exp(math.log(decay) * dist / scale)
+    s = scale / (1.0 - decay)
+    return max((s - dist) / s, 0.0)
+
+
+@pytest.mark.parametrize("fn,offset,boost_mode", [
+    ("gauss", 0.0, "multiply"), ("exp", 5.0, "multiply"),
+    ("linear", 0.0, "sum")])
+def test_decay_score_matches_bruteforce(spark, fs_index, fn, offset,
+                                        boost_mode):
+    from mongoesindexer_spark.operators.function_score import \
+        decay_score_topk
+    from tests.oracle import OracleIndex
+    import pandas as pd
+    d, rows = fs_index
+    pdf = pd.DataFrame(rows, columns=["url", "text", "pop"])
+    pdf["html"] = None
+    oi = OracleIndex.build(pdf)
+    pops = {i: r[2] for i, r in enumerate(sorted(rows, key=lambda r: r[0]))}
+
+    q, k, origin, scale, decay = "common", 8, 30.0, 20.0, 0.5
+    cand = set(oi.postings.get("common", {}))
+    want = []
+    for doc in cand:
+        s = oi.score(q, doc)
+        v = pops[doc] if pops[doc] is not None else origin
+        w = _decay_weight(float(v), fn, origin, scale, offset, decay)
+        want.append((s * w if boost_mode == "multiply" else s + w, doc))
+    want.sort(key=lambda x: (-x[0], x[1]))
+
+    for locus in ("kernel", "spark"):
+        got = decay_score_topk(spark, d, q, k, "pop", origin=origin,
+                               scale=scale, offset=offset, decay=decay,
+                               fn=fn, boost_mode=boost_mode, locus=locus)
+        assert [int(x) for x in got["doc_id"]] == [doc for _, doc
+                                                   in want[:k]], locus
+        for gs, (ws, _) in zip(got["score"], want):
+            assert abs(gs - ws) < 1e-9
+
+
+def test_decay_weight_shape():
+    """The decay formulas hit their ES-documented anchor points: weight
+    1 at the origin (and inside the offset), exactly ``decay`` at
+    distance ``scale``, linear clamps to 0 past its support."""
+    from mongoesindexer_spark.operators.function_score import _decay_np
+    for fn in ("gauss", "exp", "linear"):
+        w = _decay_np(np.array([30.0, 50.0, 1e6]), fn,
+                      origin=30.0, scale=20.0, offset=0.0, decay=0.37)
+        assert w[0] == pytest.approx(1.0)
+        assert w[1] == pytest.approx(0.37)
+        assert w[2] == pytest.approx(0.0, abs=1e-12)
+    w = _decay_np(np.array([33.0]), "gauss", 30.0, 20.0, 5.0, 0.5)
+    assert w[0] == pytest.approx(1.0)     # inside offset → no decay
+
+
+def test_decay_validation(spark, fs_index):
+    from mongoesindexer_spark.operators.function_score import \
+        decay_score_topk
+    d, _ = fs_index
+    for kwargs in ({"fn": "sigmoid"}, {"decay": 0.0}, {"decay": 1.0},
+                   {"scale": 0.0}, {"offset": -1.0},
+                   {"boost_mode": "max"}, {"locus": "driver"}):
+        args = {"origin": 0.0, "scale": 10.0, **kwargs}
+        with pytest.raises(ValueError):
+            decay_score_topk(spark, d, "common", 5, "pop", **args)
