@@ -634,6 +634,75 @@ def q_ft_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p, c in zip(PCTS, out.columns)])
 
 
+def q_ft_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms`` on the text field: terms over-represented
+    in the conjunctive query's hit set vs the corpus, JLH score =
+    (fg% − bg%) × (fg%/bg%), positive lift only, score desc / term asc
+    (operators/aggs.py — foreground df from the hit-set-semi-joined
+    postings scan, background df broadcast from term_dict, no second
+    corpus pass)."""
+    from mongoesindexer_spark.operators.aggs import \
+        search_significant_terms_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    out = search_significant_terms_agg(get_engine(spark, idx), CONJ_QUERY,
+                                       size=10, mode="and")
+    return out.select(
+        "term", F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
+        F.col("fg_df").cast("long").alias("fg_df"),
+        F.col("bg_df").cast("long").alias("bg_df"))
+
+
+FILTERS_AGG = {"open": (CONJ_QUERY, "and"), "any": (CONJ_QUERY, "or"),
+               "flag": (BM25_QUERY, "or")}
+
+
+def q_ft_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` agg: named buckets, one independent filter query
+    per bucket, doc_count per bucket (operators/aggs.py
+    search_filters_agg)."""
+    from mongoesindexer_spark.operators.aggs import search_filters_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_filters_agg(get_engine(spark, idx), FILTERS_AGG).select(
+        "bucket", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+COMPOSITE_AFTER, COMPOSITE_SIZE = "src12", 5
+
+
+def q_ft_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` agg over the ``source`` keyword sub-field with
+    ``after``-key paging: the bucket space streamed in value order —
+    the pagination-capable agg (terms agg cannot page); one shuffled
+    count per page, after-key predicate pushed below the aggregation
+    (operators/aggs.py search_composite_agg)."""
+    from mongoesindexer_spark.operators.aggs import search_composite_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_composite_agg(get_engine(spark, idx), BM25_QUERY,
+                                "source", size=COMPOSITE_SIZE,
+                                after=COMPOSITE_AFTER).select(
+        "bucket", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+SUGGEST_TEXT, SUGGEST_SIZE = "qery merg", 5
+
+
+def q_ft_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``term`` suggester (did-you-mean) for two misspelled inputs:
+    per input term, the closest vocabulary terms (Levenshtein ≤ 2,
+    shared first letter) ranked distance asc / df desc / term asc —
+    a prefix-pruned term_dict range read + the vectorized DP kernel,
+    no Spark job (operators/expand.py term_suggest)."""
+    from mongoesindexer_spark.operators.expand import term_suggest
+    idx = _docs_index(spark, sf_dir)
+    pdf = term_suggest(spark, idx, SUGGEST_TEXT, size=SUGGEST_SIZE)
+    return spark.createDataFrame(
+        pdf, schema="input_term string, suggestion string, dist long, "
+                    "df long")
+
+
 SYN_GROUP = ("fast", "quick")     # "fast" is corpus vocab; "quick" is not
 
 
@@ -1168,6 +1237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_boosting": q_ft_boosting,
         "ft_constant_score": q_ft_constant_score,
         "ft_cardinality": q_ft_cardinality,
+        "ft_significant_terms": q_ft_significant_terms,
+        "ft_filters_agg": q_ft_filters_agg,
+        "ft_composite_agg": q_ft_composite_agg,
+        "ft_term_suggest": q_ft_term_suggest,
         "ft_date_histogram": q_ft_date_histogram,
         "ft_top_hits": q_ft_top_hits,
         "ft_percentiles": q_ft_percentiles,
@@ -1613,6 +1686,90 @@ def oracle_sql() -> dict[str, str]:
                 f"CAST(round(quantile_cont(d.n_chars, {p}) * 1e6) AS BIGINT)"
                 f" AS p{int(round(p * 100))}_e6" for p in PCTS)}
             FROM documents d JOIN hits USING (doc_id)
+        """,
+        "ft_significant_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT doc_id FROM tok WHERE term IN ({cterms})
+                GROUP BY doc_id
+                HAVING count(DISTINCT term) = {len(set(CONJ_QUERY.split()))}
+            ), g AS (
+                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                       (SELECT count(*) FROM hits)::DOUBLE AS nfg
+            ), fg AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df
+                FROM tok JOIN hits USING (doc_id) GROUP BY 1
+            ), bg AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df
+                FROM tok GROUP BY 1
+            ), scored AS (
+                SELECT fg.term, fg.fg_df, bg.bg_df,
+                       (fg.fg_df / g.nfg - bg.bg_df / g.n)
+                       * ((fg.fg_df / g.nfg) / (bg.bg_df / g.n)) AS score
+                FROM fg JOIN bg USING (term) CROSS JOIN g
+            )
+            SELECT term, CAST(round(score * 1e6) AS BIGINT) AS score_e6,
+                   fg_df, bg_df
+            FROM scored WHERE score > 0
+            ORDER BY score DESC, term ASC LIMIT 10
+        """,
+        "ft_filters_agg": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), counts AS (
+                SELECT 'any' AS bucket, count(*)::BIGINT AS doc_count
+                FROM (SELECT DISTINCT doc_id FROM tok
+                      WHERE term IN ({cterms}))
+                UNION ALL
+                SELECT 'flag', count(*)::BIGINT
+                FROM (SELECT DISTINCT doc_id FROM tok
+                      WHERE term IN ({terms}))
+                UNION ALL
+                SELECT 'open', count(*)::BIGINT
+                FROM (SELECT doc_id FROM tok WHERE term IN ({cterms})
+                      GROUP BY doc_id
+                      HAVING count(DISTINCT term)
+                             = {len(set(CONJ_QUERY.split()))})
+            )
+            SELECT bucket, doc_count FROM counts ORDER BY bucket ASC
+        """,
+        "ft_composite_agg": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            )
+            SELECT d.source AS bucket, count(*)::BIGINT AS doc_count
+            FROM documents d JOIN hits USING (doc_id)
+            WHERE d.source IS NOT NULL AND d.source > '{COMPOSITE_AFTER}'
+            GROUP BY 1 ORDER BY bucket ASC LIMIT {COMPOSITE_SIZE}
+        """,
+        "ft_term_suggest": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), vocab AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM tok GROUP BY 1
+            ), inputs(input_term) AS (
+                VALUES {", ".join(f"('{t}')"
+                                  for t in sorted(set(SUGGEST_TEXT.split())))}
+            ), cand AS (
+                SELECT i.input_term, v.term AS suggestion,
+                       levenshtein(i.input_term, v.term)::BIGINT AS dist,
+                       v.df
+                FROM inputs i JOIN vocab v
+                  ON substr(v.term, 1, 1) = substr(i.input_term, 1, 1)
+                WHERE v.term <> i.input_term
+                  AND levenshtein(i.input_term, v.term) <= 2
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY input_term
+                    ORDER BY dist ASC, df DESC, suggestion ASC) AS rn
+                FROM cand
+            )
+            SELECT input_term, suggestion, dist, df
+            FROM ranked WHERE rn <= {SUGGEST_SIZE}
+            ORDER BY input_term, dist, df DESC, suggestion
         """,
         # synonym expansion: the engine token stream for this corpus is
         # exactly CASE fast -> [fast, quick]; the oracle scores the

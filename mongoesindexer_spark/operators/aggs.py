@@ -231,6 +231,93 @@ def search_percentiles_agg(eng: SearchEngine, docs: DataFrame,
         for p in percentiles])
 
 
+def search_filters_agg(eng: SearchEngine,
+                       filters: dict[str, tuple[str, str]]) -> DataFrame:
+    """ES ``filters`` agg: one named bucket per filter query, each
+    bucket's doc_count = that query's hit-set cardinality, bucket name
+    ascending.  Each named filter runs its own term-pushed scan (they
+    are independent queries, exactly ES's per-filter bitset); the union
+    of one-row counts is driver-trivial.
+
+    ``filters``: ``{bucket_name: (query_text, mode)}``.
+    """
+    if not filters:
+        raise ValueError("filters agg needs at least one named filter")
+    parts = []
+    for name in sorted(filters):
+        q, mode = filters[name]
+        parts.append(match_set(eng, q, mode)
+                     .agg(F.count("*").alias("doc_count"))
+                     .select(F.lit(name).alias("bucket"), "doc_count"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("bucket")
+
+
+def search_composite_agg(eng: SearchEngine, query_text: str, field: str,
+                         size: int = 10, after: str | None = None,
+                         normalized: bool = False, mode: str = "or",
+                         min_should_match: int | None = None) -> DataFrame:
+    """ES ``composite`` agg over a keyword sub-field: the full bucket
+    space streamed in deterministic value order with ``after``-key
+    paging — the agg ES built because ``terms`` (size-capped, re-ranked
+    per page) cannot paginate.  Spark shape: one shuffled count per
+    page, the after-key predicate pushed below the aggregation, sort +
+    limit compiling to TakeOrderedAndProject.  Page cost is constant in
+    page count; no state carries between pages — exactly why this shape
+    survives a 10^9-bucket field where a giant terms agg cannot."""
+    from .build_index import read_fields
+    if size <= 0:
+        raise ValueError("size must be positive")
+    sub = f"{field}_{'normalized' if normalized else 'keyword'}"
+    fields = read_fields(eng.cat, eng.spark).select("doc_id", sub)
+    hits = match_set(eng, query_text, mode, min_should_match)
+    vals = fields.join(hits, "doc_id", "semi").filter(F.col(sub).isNotNull())
+    if after is not None:
+        vals = vals.filter(F.col(sub) > F.lit(after))
+    return (vals.groupBy(F.col(sub).alias("bucket"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.asc("bucket")).limit(size))
+
+
+def search_significant_terms_agg(eng: SearchEngine, query_text: str,
+                                 size: int = 10, mode: str = "or",
+                                 min_should_match: int | None = None
+                                 ) -> DataFrame:
+    """ES ``significant_terms`` on the text field: terms over-represented
+    in the hit set vs the whole corpus, scored with the public JLH
+    formula score = (fg% − bg%) × (fg%/bg%), positive-lift terms only,
+    score desc / term asc, top ``size``.
+
+    Foreground df comes from the postings scan semi-joined to the hit
+    set (one shuffled count per term — partial-aggregated map-side);
+    background df is the term_dict broadcast — NO second corpus pass,
+    the same reuse the index build's stats assembly does.  n_docs /
+    hit count are scalar aggregates."""
+    from .build_index import read_flat
+    if size <= 0:
+        raise ValueError("size must be positive")
+    hits = match_set(eng, query_text, mode, min_should_match)
+    n_fg = hits.count()
+    if n_fg == 0:
+        return eng.spark.createDataFrame(
+            [], "term string, score double, fg_df long, bg_df long")
+    n_docs = eng.n_docs
+    fg = (read_flat(eng.cat, eng.spark).select("term", "doc_id")
+          .join(hits, "doc_id", "semi")
+          .groupBy("term").agg(F.count("*").alias("fg_df")))
+    bg = eng.cat.read(eng.spark, "term_dict").select(
+        "term", F.col("df").alias("bg_df"))
+    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df") / F.lit(float(n_docs))
+    return (fg.join(F.broadcast(bg), "term")
+            .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+            .filter(F.col("score") > 0)
+            .select("term", "score", "fg_df", "bg_df")
+            .orderBy(F.desc("score"), F.asc("term")).limit(size))
+
+
 def search_stats_agg(eng: SearchEngine, docs: DataFrame, query_text: str,
                      num_col: str, mode: str = "or",
                      min_should_match: int | None = None) -> DataFrame:

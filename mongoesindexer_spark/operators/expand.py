@@ -1,4 +1,5 @@
-"""Term-expansion queries: ES ``fuzzy`` and ``wildcard``.
+"""Term-expansion queries: ES ``fuzzy``, ``wildcard``, and the ``term``
+suggester (did-you-mean).
 
 ES serves both by expanding the query against the term dictionary
 (Lucene intersects a Levenshtein automaton / wildcard automaton with the
@@ -134,6 +135,59 @@ def fuzzy_topk(spark: SparkSession, index_dir: str, term: str, k: int,
                          filter_field=filter_field,
                          filter_value=filter_value,
                          filter_normalized=filter_normalized)
+
+
+def term_suggest(spark: SparkSession, index_dir: str, text: str,
+                 size: int = 5, max_edits: int = 2,
+                 prefix_length: int = 1,
+                 suggest_mode: str = "missing") -> pd.DataFrame:
+    """ES ``term`` suggester (did-you-mean): per analyzed input term,
+    the closest index-vocabulary terms ranked (edit distance asc, df
+    desc, term asc), top ``size`` each.
+
+    ``suggest_mode="missing"`` (ES default) suggests only for terms
+    ABSENT from the index; ``"always"`` suggests for every term.  The
+    identical term is never its own suggestion.  Candidates come from
+    the same prefix-pruned term_dict range read + vectorized
+    Levenshtein DP as :func:`fuzzy_expand` — a driver-side dictionary
+    scan bounded by ``prefix_length``, no Spark job, no postings
+    touched.  Plain Levenshtein (no transpositions), so DuckDB's
+    ``levenshtein`` is the exact oracle.
+    """
+    if suggest_mode not in ("missing", "always"):
+        raise ValueError("suggest_mode must be 'missing' or 'always'")
+    if not 1 <= max_edits <= 2:
+        raise ValueError("max_edits must be 1 or 2 (ES bounds)")
+    if size <= 0:
+        raise ValueError("size must be positive")
+    from ..functions.analysis import analyze_search
+    eng = get_engine(spark, index_dir)
+    out = []
+    seen = set()
+    for term in analyze_search(text, eng.cfg):
+        if term in seen:
+            continue
+        seen.add(term)
+        if suggest_mode == "missing" \
+                and eng._term_meta([term]).get(term) is not None:
+            continue
+        lo, hi = (term[:prefix_length], term[:prefix_length] + _HI) \
+            if prefix_length > 0 else ("", _HI)
+        vocab = eng._rg_index("term_dict", "term").read_range(
+            lo, hi, ["term", "df"])
+        cand = vocab[vocab["term"].astype(str) != term]
+        if cand.empty:
+            continue
+        dist = levenshtein_batch(term, cand["term"].astype(str))
+        cand = cand.assign(dist=dist)
+        cand = cand[cand["dist"] <= max_edits]
+        cand = cand.sort_values(["dist", "df", "term"],
+                                ascending=[True, False, True]).head(size)
+        for r in cand.itertuples(index=False):
+            out.append({"input_term": term, "suggestion": r.term,
+                        "dist": int(r.dist), "df": int(r.df)})
+    return pd.DataFrame(out, columns=["input_term", "suggestion",
+                                      "dist", "df"])
 
 
 def wildcard_pattern_bounds(pattern: str) -> tuple[str, str]:

@@ -235,6 +235,82 @@ def test_percentiles_agg(spark, agg_index, tiny_pages, oracle_tiny):
         search_percentiles_agg(eng, docs, q, "n_chars", (1.5,))
 
 
+def test_filters_agg(spark, agg_index, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_filters_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    got = search_filters_agg(eng, {
+        "both": (q, "and"), "either": (q, "or")}).toPandas()
+    want = [("both", len(_hit_set(oracle_tiny, q, mode="and"))),
+            ("either", len(_hit_set(oracle_tiny, q)))]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    with pytest.raises(ValueError):
+        search_filters_agg(eng, {})
+
+
+def test_composite_agg_pages_cover_bucket_space(spark, agg_index,
+                                                tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_composite_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    hits = _hit_set(oracle_tiny, q)
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    vc = {}
+    for d in hits:
+        v = rows["lang"].iloc[d]
+        if v is not None and not pd.isna(v):
+            vc[v] = vc.get(v, 0) + 1
+    want = sorted(vc.items())
+
+    # walk the bucket space in size-2 pages via after-keys
+    pages, after = [], None
+    while True:
+        page = search_composite_agg(eng, q, "lang", size=2,
+                                    after=after).toPandas()
+        if page.empty:
+            break
+        pages += [tuple(r) for r in page.itertuples(index=False)]
+        after = page["bucket"].iloc[-1]
+    assert pages == want
+    with pytest.raises(ValueError):
+        search_composite_agg(eng, q, "lang", size=0)
+
+
+def test_significant_terms_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import \
+        search_significant_terms_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    # pick a SELECTIVE term (a corpus-wide one makes every lift exactly
+    # 0 and the agg correctly empty)
+    n = len(tiny_pages)
+    q = sorted(t for t, ds in oracle_tiny.postings.items()
+               if 5 <= len(ds) <= n // 4)[0]
+    got = search_significant_terms_agg(eng, q, size=8).toPandas()
+
+    hits = _hit_set(oracle_tiny, q)
+    want = []
+    for t, ds in oracle_tiny.postings.items():
+        fg = len(set(ds) & hits)
+        if fg == 0:
+            continue
+        fgp, bgp = fg / len(hits), len(ds) / n
+        score = (fgp - bgp) * (fgp / bgp)
+        if score > 0:
+            want.append((t, score, fg, len(ds)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert [(r.term, r.fg_df, r.bg_df) for r in got.itertuples()] \
+        == [(t, fg, bg) for t, _, fg, bg in want[:8]]
+    for g, (_, s, _, _) in zip(got["score"], want):
+        assert abs(g - s) < 1e-9
+    # the query's own term is maximally significant (fg% = 1)
+    assert got["term"].iloc[0] == q
+    with pytest.raises(ValueError):
+        search_significant_terms_agg(eng, q, size=0)
+
+
 def test_match_set_rejects_msm_with_and(spark, agg_index):
     from mongoesindexer_spark.operators.aggs import match_set
     from mongoesindexer_spark.operators.topk import get_engine

@@ -120,3 +120,38 @@ def test_fuzzy_topk_composes_with_filter(spark, tmp_path):
     assert sorted(got["url"]) == ["u0", "u2"]
     allf = fuzzy_topk(spark, d, "alpha", 10, fuzziness=1)
     assert sorted(allf["url"]) == ["u0", "u1", "u2"]
+
+
+def test_term_suggest_matches_bruteforce(spark, tiny_index, tiny_engine,
+                                         oracle_tiny):
+    from mongoesindexer_spark.operators.expand import term_suggest
+    # a misspelling of a vocab term: take any vocab term, mutate a char
+    vocab = {t: len(ds) for t, ds in oracle_tiny.postings.items()}
+    base = sorted(t for t in vocab if len(t) >= 4)[0]
+    misspelled = "x" + base[1:]
+    assert misspelled not in vocab
+    got = term_suggest(spark, tiny_index, misspelled, size=4,
+                       prefix_length=0)
+    brute = [(t, _lev_ref(misspelled, t), df)
+             for t, df in vocab.items()
+             if t != misspelled and _lev_ref(misspelled, t) <= 2]
+    brute.sort(key=lambda x: (x[1], -x[2], x[0]))
+    assert [tuple(r) for r in got[["suggestion", "dist", "df"]]
+            .itertuples(index=False)] == brute[:4]
+    assert (got["input_term"] == misspelled).all()
+
+
+def test_term_suggest_modes(spark, tiny_index, tiny_engine, oracle_tiny):
+    from mongoesindexer_spark.operators.expand import term_suggest
+    present = sorted(oracle_tiny.postings)[0]
+    # missing (default): a term already in the index gets no suggestions
+    assert term_suggest(spark, tiny_index, present).empty
+    # always: suggestions even for present terms, never itself
+    alw = term_suggest(spark, tiny_index, present, suggest_mode="always",
+                       prefix_length=0)
+    assert (alw["suggestion"] != present).all()
+    import pytest as _pt
+    for kwargs in ({"suggest_mode": "phrase"}, {"max_edits": 3},
+                   {"size": 0}):
+        with _pt.raises(ValueError):
+            term_suggest(spark, tiny_index, present, **kwargs)
