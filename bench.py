@@ -390,12 +390,22 @@ def main() -> None:
     results["bm25_msm_suite"] = round(time.perf_counter() - msm_t0, 3)
     shutil.rmtree(title_dir, ignore_errors=True)
 
-    # 3) operator suite (the driver-facing queries at this sf)
+    # 3) operator suite (the driver-facing queries at this sf).  The
+    # ft_* serving entries run against the gate index (disk-cached across
+    # bench runs by _docs_index, so these time the QUERY, not a build;
+    # a cache-miss run shows up as an ft_term_stats outlier).
     suite = [
         "ft_term_stats", "lookup_join", "nested_lookup", "dedup_exact",
         "dedup_fingerprint", "minhash_lsh_pairs", "simhash",
         "ann_cosine_topk", "ann_cosine_ivf", "text_quality", "token_counts",
         "topk_latest_per_user", "stale_filter",
+        # round-4 session-3 surfaces: compound queries, rescoring, the
+        # deeper aggregation set, and the term suggester
+        "ft_dis_max", "ft_boosting", "ft_constant_score",
+        "ft_function_score", "ft_decay_gauss", "ft_cardinality",
+        "ft_significant_terms", "ft_composite_agg", "ft_top_hits",
+        "ft_percentiles", "ft_date_histogram", "ft_filters_agg",
+        "ft_term_suggest",
     ]
     qs = entry_mod.queries()
     for name in suite:
