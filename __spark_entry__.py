@@ -703,6 +703,25 @@ def q_ft_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "df long")
 
 
+MLT_SEED, MLT_TERMS = 7, 5
+
+
+def q_ft_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this``: docs similar to seed doc 7 — its top
+    tf×idf terms (capped at MLT_TERMS, ES max_query_terms) served as a
+    bool-should BM25 page with the seed excluded
+    (operators/mlt.py — ≤1-row _source fetch + term_dict point reads
+    for selection, then the cost-gated WAND serving path)."""
+    from mongoesindexer_spark.operators.mlt import more_like_this_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = more_like_this_topk(spark, idx, _read(spark, sf_dir, "documents"),
+                              MLT_SEED, BM25_K, max_query_terms=MLT_TERMS)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 SYN_GROUP = ("fast", "quick")     # "fast" is corpus vocab; "quick" is not
 
 
@@ -1241,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_filters_agg": q_ft_filters_agg,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_term_suggest": q_ft_term_suggest,
+        "ft_more_like_this": q_ft_more_like_this,
         "ft_date_histogram": q_ft_date_histogram,
         "ft_top_hits": q_ft_top_hits,
         "ft_percentiles": q_ft_percentiles,
@@ -1744,6 +1764,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN hits USING (doc_id)
             WHERE d.source IS NOT NULL AND d.source > '{COMPOSITE_AFTER}'
             GROUP BY 1 ORDER BY bucket ASC LIMIT {COMPOSITE_SIZE}
+        """,
+        "ft_more_like_this": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), tf AS (
+                SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM tok GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, count(*)::BIGINT AS doc_len
+                FROM tok GROUP BY 1
+            ), g AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT sum(doc_len) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), dfreq AS (
+                SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), sel AS (
+                SELECT s.term
+                FROM tf s JOIN dfreq d USING (term) CROSS JOIN g
+                WHERE s.doc_id = {MLT_SEED}
+                ORDER BY s.tf * ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+                         DESC, s.term ASC
+                LIMIT {MLT_TERMS}
+            ), scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (g.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len
+                                              / g.avgdl)) ) AS score
+                FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN g
+                WHERE tf.term IN (SELECT term FROM sel)
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores WHERE doc_id <> {MLT_SEED}
+            ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_term_suggest": f"""
             WITH tok AS (
