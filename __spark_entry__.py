@@ -703,6 +703,27 @@ def q_ft_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "df long")
 
 
+RESCORE_WINDOW, RESCORE_W = 100, 2.0
+
+
+def q_ft_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore`` (query rescorer): the flagship match query's top
+    RESCORE_WINDOW hits re-ranked by the match_phrase rescorer with
+    score_mode=total (final = primary + 2 × phrase score; docs not
+    matching the phrase keep their primary score) — phrase evaluation
+    restricted to the window via allowed_docs
+    (operators/rescore.py)."""
+    from mongoesindexer_spark.operators.rescore import rescore_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = rescore_topk(spark, idx, BM25_QUERY, PHRASE_QUERY, BM25_K,
+                       window_size=RESCORE_WINDOW,
+                       rescore_query_weight=RESCORE_W)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 MLT_SEED, MLT_TERMS = 7, 5
 
 
@@ -1261,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_composite_agg": q_ft_composite_agg,
         "ft_term_suggest": q_ft_term_suggest,
         "ft_more_like_this": q_ft_more_like_this,
+        "ft_rescore": q_ft_rescore,
         "ft_date_histogram": q_ft_date_histogram,
         "ft_top_hits": q_ft_top_hits,
         "ft_percentiles": q_ft_percentiles,
@@ -1764,6 +1786,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN hits USING (doc_id)
             WHERE d.source IS NOT NULL AND d.source > '{COMPOSITE_AFTER}'
             GROUP BY 1 ORDER BY bucket ASC LIMIT {COMPOSITE_SIZE}
+        """,
+        "ft_rescore": f"""
+            WITH toksl AS (
+                SELECT doc_id, {_TOK_DD} AS t FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS term FROM toksl
+            ), tf AS (
+                SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM tok GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, len(t)::BIGINT AS doc_len FROM toksl
+            ), g AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT sum(doc_len) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), dfreq AS (
+                SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), bscores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (g.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                            * tf.tf * 2.2
+                            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len
+                                              / g.avgdl)) ) AS score
+                FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN g
+                WHERE tf.term IN ({terms}) GROUP BY tf.doc_id
+            ), win AS (
+                SELECT doc_id, score FROM bscores
+                ORDER BY score DESC, doc_id ASC LIMIT {RESCORE_WINDOW}
+            ), pfq AS (
+                SELECT doc_id,
+                       len(list_filter(range(1, len(t)),
+                           i -> t[i] = '{_PT[0]}' AND t[i+1] = '{_PT[1]}'
+                           ))::BIGINT AS ptf
+                FROM toksl
+            ), pidf AS (
+                SELECT sum(ln(1 + (g.n - df + 0.5) / (df + 0.5))) AS idf_sum
+                FROM dfreq CROSS JOIN g
+                WHERE term IN ('{_PT[0]}', '{_PT[1]}')
+            ), ps AS (
+                SELECT pfq.doc_id,
+                       pidf.idf_sum * ptf * 2.2
+                       / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len
+                                       / g.avgdl)) AS score
+                FROM pfq JOIN dl USING (doc_id)
+                CROSS JOIN pidf CROSS JOIN g WHERE ptf > 0
+            )
+            SELECT w.doc_id,
+                   CAST(round((w.score + {RESCORE_W} * COALESCE(ps.score, 0))
+                              * 1e4) AS BIGINT) AS score_e4
+            FROM win w LEFT JOIN ps USING (doc_id)
+            ORDER BY w.score + {RESCORE_W} * COALESCE(ps.score, 0) DESC,
+                     w.doc_id ASC
+            LIMIT {BM25_K}
         """,
         "ft_more_like_this": f"""
             WITH tok AS (

@@ -405,7 +405,7 @@ def main() -> None:
         "ft_function_score", "ft_decay_gauss", "ft_cardinality",
         "ft_significant_terms", "ft_composite_agg", "ft_top_hits",
         "ft_percentiles", "ft_date_histogram", "ft_filters_agg",
-        "ft_term_suggest", "ft_more_like_this",
+        "ft_term_suggest", "ft_more_like_this", "ft_rescore",
     ]
     qs = entry_mod.queries()
     for name in suite:

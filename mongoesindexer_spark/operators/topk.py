@@ -726,7 +726,8 @@ class SearchEngine:
                     filter_field: str | None = None,
                     filter_value=None,
                     filter_normalized: bool = False,
-                    slop: int = 0) -> pd.DataFrame:
+                    slop: int = 0,
+                    allowed_docs=None) -> pd.DataFrame:
         """ES ``match_phrase`` (slop=0 default) over positional postings.
         ``slop`` relaxes adjacency to the in-order window rule documented
         on :func:`phrase_topk_arrays`.
@@ -753,6 +754,12 @@ class SearchEngine:
         groups triggers on the same Σ df gate — a head term's encoded
         blocks must not reach the driver at corpus scale.
         ``filter_field``/``search_after``: as in :meth:`topk_wand`.
+        ``allowed_docs``: restrict evaluation to these doc_ids (the
+        rescore-window hook, operators/rescore.py) — candidate
+        intersection and position verify are bounded by the given set;
+        forces the driver kernel, which is sound because the evaluated
+        set is ≤ the caller's window, never the phrase's corpus-wide
+        match set.
         """
         _check_k(k)
         empty = pd.DataFrame(columns=["doc_id", "url", "score"])
@@ -773,7 +780,9 @@ class SearchEngine:
         flt = self._resolve_filter(filter_field, filter_value,
                                    filter_normalized) \
             if filter_field is not None else None
-        if use_segments is None:
+        if allowed_docs is not None:
+            use_segments = False     # evaluated set ≤ caller's window
+        elif use_segments is None:
             total_df = sum(m[1] for m in meta.values())
             use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
         if use_segments:
@@ -787,6 +796,13 @@ class SearchEngine:
         if flt is not None:
             sub, values = flt
             allowed_fn = lambda cand: self._filter_allowed(cand, sub, values)  # noqa: E731
+        if allowed_docs is not None:
+            adocs = np.asarray(allowed_docs, dtype=np.int64)
+            base_fn = allowed_fn
+
+            def allowed_fn(cand, _base=base_fn, _adocs=adocs):
+                sub = cand if _base is None else _base(cand)
+                return sub[np.isin(sub, _adocs)]
         hits = phrase_topk_arrays(terms, idf, by_term, self.avgdl, k,
                                   self.tombstones, after=search_after,
                                   allowed_fn=allowed_fn, slop=slop)
