@@ -299,19 +299,18 @@ def search_significant_terms_agg(eng: SearchEngine, query_text: str,
     if size <= 0:
         raise ValueError("size must be positive")
     hits = match_set(eng, query_text, mode, min_should_match)
-    n_fg = hits.count()
-    if n_fg == 0:
-        return eng.spark.createDataFrame(
-            [], "term string, score double, fg_df long, bg_df long")
-    n_docs = eng.n_docs
+    # the hit count rides the SAME plan as a broadcast one-row frame —
+    # no eager driver job, the whole agg stays one lazy DataFrame
+    nfg = hits.agg(F.count("*").cast("double").alias("nfg"))
     fg = (read_flat(eng.cat, eng.spark).select("term", "doc_id")
           .join(hits, "doc_id", "semi")
           .groupBy("term").agg(F.count("*").alias("fg_df")))
     bg = eng.cat.read(eng.spark, "term_dict").select(
         "term", F.col("df").alias("bg_df"))
-    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
-    bg_pct = F.col("bg_df") / F.lit(float(n_docs))
+    fg_pct = F.col("fg_df") / F.col("nfg")
+    bg_pct = F.col("bg_df") / F.lit(float(eng.n_docs))
     return (fg.join(F.broadcast(bg), "term")
+            .crossJoin(F.broadcast(nfg))
             .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
             .filter(F.col("score") > 0)
             .select("term", "score", "fg_df", "bg_df")
