@@ -686,6 +686,41 @@ def q_ft_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.col("doc_count").cast("long").alias("doc_count"))
 
 
+COMPOSITE_AFTER2 = ("src12", "en")
+
+
+def q_ft_composite_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` with TWO sources (source, lang) and a tuple
+    after-key: the (source, lang) bucket space streamed in
+    lexicographic order from beyond COMPOSITE_AFTER2 — the multi-field
+    form of the pagination-capable agg (operators/aggs.py
+    search_composite_agg)."""
+    from mongoesindexer_spark.operators.aggs import search_composite_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_composite_agg(get_engine(spark, idx), BM25_QUERY,
+                                ("source", "lang"), size=7,
+                                after=COMPOSITE_AFTER2).select(
+        "source", "lang", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+SORT_AFTER = (300, 0)     # (n_chars cursor, doc_id tiebreak)
+
+
+def q_ft_sort_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``sort`` + ``search_after`` on a doc-values field: the next
+    page of the n_chars-ascending ordering from beyond the cursor —
+    the predicate filters below the top-k, so deep pages cost the same
+    as page one (operators/aggs.py search_sort_by_field)."""
+    from mongoesindexer_spark.operators.aggs import search_sort_by_field
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_sort_by_field(
+        get_engine(spark, idx), _read(spark, sf_dir, "documents"),
+        BM25_QUERY, "n_chars", BM25_K, search_after=SORT_AFTER).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 SUGGEST_TEXT, SUGGEST_SIZE = "qery merg", 5
 
 
@@ -1280,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_significant_terms": q_ft_significant_terms,
         "ft_filters_agg": q_ft_filters_agg,
         "ft_composite_agg": q_ft_composite_agg,
+        "ft_composite_multi": q_ft_composite_multi,
+        "ft_sort_after": q_ft_sort_after,
         "ft_term_suggest": q_ft_term_suggest,
         "ft_more_like_this": q_ft_more_like_this,
         "ft_rescore": q_ft_rescore,
@@ -1877,6 +1914,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
             FROM scores WHERE doc_id <> {MLT_SEED}
             ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        "ft_composite_multi": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            )
+            SELECT d.source, d.lang, count(*)::BIGINT AS doc_count
+            FROM documents d JOIN hits USING (doc_id)
+            WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+              AND (d.source > '{COMPOSITE_AFTER2[0]}'
+                   OR (d.source = '{COMPOSITE_AFTER2[0]}'
+                       AND d.lang > '{COMPOSITE_AFTER2[1]}'))
+            GROUP BY 1, 2 ORDER BY d.source ASC, d.lang ASC LIMIT 7
+        """,
+        "ft_sort_after": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            )
+            SELECT d.doc_id, d.n_chars::BIGINT AS n_chars
+            FROM documents d JOIN hits USING (doc_id)
+            WHERE d.n_chars > {SORT_AFTER[0]}
+               OR (d.n_chars = {SORT_AFTER[0]} AND d.doc_id > {SORT_AFTER[1]})
+            ORDER BY d.n_chars ASC, d.doc_id ASC LIMIT {BM25_K}
         """,
         "ft_term_suggest": f"""
             WITH tok AS (

@@ -117,16 +117,31 @@ def search_histogram_agg(eng: SearchEngine, docs: DataFrame,
 def search_sort_by_field(eng: SearchEngine, docs: DataFrame,
                          query_text: str, sort_col: str, k: int,
                          ascending: bool = True, mode: str = "or",
-                         min_should_match: int | None = None) -> DataFrame:
+                         min_should_match: int | None = None,
+                         search_after: "tuple | None" = None) -> DataFrame:
     """ES ``sort`` by a doc-values field instead of _score: the hit set
     ordered by a source column (missing values last, like ES missing:
     "_last"), doc_id asc tiebreak, top ``k`` — compiles to
-    TakeOrderedAndProject, never a global sort materialization."""
+    TakeOrderedAndProject, never a global sort materialization.
+
+    ``search_after=(sort_value, doc_id)``: ES deep paging on a
+    doc-values sort — the cursor predicate filters BELOW the top-k, so
+    page N costs the same as page 1 (the from+size alternative
+    re-ranks N×k rows).  Cursor rows with a NULL sort value are not
+    addressable (ES paginates past missing values with the tiebreak
+    only once the non-null prefix is exhausted — same here, because
+    NULLs sort last and compare false)."""
     hits = match_set(eng, query_text, mode, min_should_match)
+    scoped = docs.select("doc_id", sort_col).join(hits, "doc_id", "semi")
+    if search_after is not None:
+        av, ad = search_after
+        c, d = F.col(sort_col), F.col("doc_id")
+        pred = ((c > F.lit(av)) if ascending else (c < F.lit(av))) \
+            | ((c == F.lit(av)) & (d > F.lit(int(ad))))
+        scoped = scoped.filter(pred)
     order = [F.asc_nulls_last(sort_col) if ascending
              else F.desc_nulls_last(sort_col), F.asc("doc_id")]
-    return (docs.select("doc_id", sort_col).join(hits, "doc_id", "semi")
-            .orderBy(*order).limit(k))
+    return scoped.orderBy(*order).limit(k)
 
 
 def search_cardinality_agg(eng: SearchEngine, query_text: str, field: str,
@@ -255,30 +270,64 @@ def search_filters_agg(eng: SearchEngine,
     return out.orderBy("bucket")
 
 
-def search_composite_agg(eng: SearchEngine, query_text: str, field: str,
-                         size: int = 10, after: str | None = None,
+def _after_predicate(cols, after):
+    """Lexicographic (col_0, …, col_n) > (after_0, …, after_n) — the
+    composite/search_after cursor, written as the OR-of-ANDs Catalyst
+    pushes down (the leading column's range predicate reaches the
+    scan)."""
+    pred = None
+    for i, (c, a) in enumerate(zip(cols, after)):
+        leg = c > F.lit(a)
+        for pc, pa in zip(cols[:i], after[:i]):
+            leg = (pc == F.lit(pa)) & leg
+        pred = leg if pred is None else pred | leg
+    return pred
+
+
+def search_composite_agg(eng: SearchEngine, query_text: str,
+                         field: "str | tuple[str, ...] | list[str]",
+                         size: int = 10,
+                         after: "str | tuple | None" = None,
                          normalized: bool = False, mode: str = "or",
                          min_should_match: int | None = None) -> DataFrame:
-    """ES ``composite`` agg over a keyword sub-field: the full bucket
-    space streamed in deterministic value order with ``after``-key
-    paging — the agg ES built because ``terms`` (size-capped, re-ranked
-    per page) cannot paginate.  Spark shape: one shuffled count per
-    page, the after-key predicate pushed below the aggregation, sort +
-    limit compiling to TakeOrderedAndProject.  Page cost is constant in
-    page count; no state carries between pages — exactly why this shape
-    survives a 10^9-bucket field where a giant terms agg cannot."""
+    """ES ``composite`` agg over one or MORE keyword sub-fields: the
+    full bucket space (value tuples) streamed in deterministic
+    lexicographic order with ``after``-key paging — the agg ES built
+    because ``terms`` (size-capped, re-ranked per page) cannot
+    paginate.  Spark shape: one shuffled count per page, the after-key
+    predicate pushed below the aggregation (its leading-column range
+    leg reaches the scan), sort + limit compiling to
+    TakeOrderedAndProject.  Page cost is constant in page count; no
+    state carries between pages — exactly why this shape survives a
+    10^9-bucket field where a giant terms agg cannot.
+
+    Single ``field`` → column ``bucket``; a list → one output column
+    per source field (ES's composite key object), plus ``doc_count``.
+    """
     from .build_index import read_fields
     if size <= 0:
         raise ValueError("size must be positive")
-    sub = f"{field}_{'normalized' if normalized else 'keyword'}"
-    fields = read_fields(eng.cat, eng.spark).select("doc_id", sub)
+    multi = not isinstance(field, str)
+    names = list(field) if multi else [field]
+    subs = [f"{f}_{'normalized' if normalized else 'keyword'}"
+            for f in names]
+    fields = read_fields(eng.cat, eng.spark).select("doc_id", *subs)
     hits = match_set(eng, query_text, mode, min_should_match)
-    vals = fields.join(hits, "doc_id", "semi").filter(F.col(sub).isNotNull())
+    vals = fields.join(hits, "doc_id", "semi")
+    for s in subs:
+        vals = vals.filter(F.col(s).isNotNull())
     if after is not None:
-        vals = vals.filter(F.col(sub) > F.lit(after))
-    return (vals.groupBy(F.col(sub).alias("bucket"))
-            .agg(F.count("*").alias("doc_count"))
-            .orderBy(F.asc("bucket")).limit(size))
+        ak = tuple(after) if multi else (after,)
+        if len(ak) != len(subs):
+            raise ValueError("after key arity must match the source "
+                             f"fields ({len(subs)})")
+        vals = vals.filter(_after_predicate(
+            [F.col(s) for s in subs], ak))
+    out_cols = ([F.col(s).alias(n) for s, n in zip(subs, names)]
+                if multi else [F.col(subs[0]).alias("bucket")])
+    keyed = vals.groupBy(*out_cols).agg(F.count("*").alias("doc_count"))
+    order = [F.asc(n) for n in (names if multi else ["bucket"])]
+    return keyed.orderBy(*order).limit(size)
 
 
 def search_significant_terms_agg(eng: SearchEngine, query_text: str,

@@ -278,6 +278,85 @@ def test_composite_agg_pages_cover_bucket_space(spark, agg_index,
         search_composite_agg(eng, q, "lang", size=0)
 
 
+def test_composite_multi_source_pages(spark, tiny_pages, oracle_tiny,
+                                      tmp_path_factory, spark_two_kw):
+    from mongoesindexer_spark.operators.aggs import search_composite_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, spark_two_kw)
+    q = "udrndau atreq"
+    hits = _hit_set(oracle_tiny, q)
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    vc = {}
+    for d in hits:
+        lv, uv = rows["lang"].iloc[d], rows["url"].iloc[d][:4]
+        if lv is None or pd.isna(lv):
+            continue
+        vc[(lv, uv)] = vc.get((lv, uv), 0) + 1
+    want = sorted(vc.items())
+
+    pages, after = [], None
+    while True:
+        page = search_composite_agg(eng, q, ("lang", "upre"), size=3,
+                                    after=after).toPandas()
+        if page.empty:
+            break
+        pages += [((r.lang, r.upre), r.doc_count)
+                  for r in page.itertuples()]
+        after = (page["lang"].iloc[-1], page["upre"].iloc[-1])
+    assert pages == want
+    with pytest.raises(ValueError, match="arity"):
+        search_composite_agg(eng, q, ("lang", "upre"), after=("x",))
+
+
+@pytest.fixture(scope="module")
+def spark_two_kw(spark, tiny_dir, tmp_path_factory):
+    """Index with TWO keyword fields (lang + a derived url prefix) for
+    the multi-source composite test."""
+    import os
+    from pyspark.sql import functions as F
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    d = str(tmp_path_factory.mktemp("idx-aggs2"))
+    pages = spark.read.parquet(os.path.join(tiny_dir, "pages.parquet")) \
+        .withColumn("upre", F.substring("url", 1, 4))
+    IndexBuilder(d, n_buckets=8, block_size=32,
+                 keyword_fields=("lang", "upre")).build(spark, pages)
+    return d
+
+
+def test_sort_by_field_search_after(spark, agg_index, tiny_pages,
+                                    oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_sort_by_field
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    nchars = rows["text"].map(
+        lambda t: len(t) if isinstance(t, str) else 0).astype("int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "n_chars": nchars,
+    }))
+    hits = _hit_set(oracle_tiny, q)
+    full = sorted((int(nchars.iloc[d]), d) for d in hits)
+    # page 2 via the cursor == rows 5..9 of the full ordering
+    p1 = search_sort_by_field(eng, docs, q, "n_chars", 5).toPandas()
+    cursor = (int(p1["n_chars"].iloc[-1]), int(p1["doc_id"].iloc[-1]))
+    p2 = search_sort_by_field(eng, docs, q, "n_chars", 5,
+                              search_after=cursor).toPandas()
+    assert [tuple(r) for r in p2[["n_chars", "doc_id"]]
+            .itertuples(index=False)] == full[5:10]
+    # descending cursor pages too
+    d1 = search_sort_by_field(eng, docs, q, "n_chars", 5,
+                              ascending=False).toPandas()
+    dcur = (int(d1["n_chars"].iloc[-1]), int(d1["doc_id"].iloc[-1]))
+    d2 = search_sort_by_field(eng, docs, q, "n_chars", 5, ascending=False,
+                              search_after=dcur).toPandas()
+    dfull = sorted(((-int(nchars.iloc[d]), d) for d in hits))
+    assert [(-v, d_) for v, d_ in
+            ((int(r.n_chars), int(r.doc_id)) for r in d2.itertuples())] \
+        == [(v, d_) for v, d_ in dfull[5:10]]
+
+
 def test_significant_terms_agg(spark, agg_index, tiny_pages, oracle_tiny):
     from mongoesindexer_spark.operators.aggs import \
         search_significant_terms_agg
