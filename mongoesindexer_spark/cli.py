@@ -106,6 +106,34 @@ def main(argv: list[str] | None = None) -> int:
                          "greater (the search_after analog for term "
                          "queries; doc_id asc is the total order)")
 
+    ml = sub.add_parser("mlt",
+                        help="ES more_like_this: docs similar to one doc "
+                             "(tf-idf term selection + should query, "
+                             "seed excluded)")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--pages", required=True,
+                    help="_source parquet carrying (doc_id, text)")
+    ml.add_argument("--doc", type=int, required=True)
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=25)
+    ml.add_argument("--min-term-freq", type=int, default=1)
+    ml.add_argument("--min-doc-freq", type=int, default=1)
+
+    rs = sub.add_parser("rescore",
+                        help="ES rescore: re-rank the match query's top "
+                             "window with a match_phrase rescorer")
+    rs.add_argument("--index", required=True)
+    rs.add_argument("--q", required=True)
+    rs.add_argument("--rescore-q", required=True,
+                    help="the phrase rescorer text")
+    rs.add_argument("--k", type=int, default=10)
+    rs.add_argument("--window", type=int, default=100)
+    rs.add_argument("--query-weight", type=float, default=1.0)
+    rs.add_argument("--rescore-weight", type=float, default=1.0)
+    rs.add_argument("--score-mode", default="total",
+                    choices=["total", "multiply", "max", "min", "avg"])
+    rs.add_argument("--slop", type=int, default=0)
+
     cn = sub.add_parser("count",
                         help="ES _count: number of docs matching the "
                              "query (full hit set, not top-k)")
@@ -246,6 +274,24 @@ def main(argv: list[str] | None = None) -> int:
                          filter_normalized=args.filter_normalized,
                          min_should_match=args.min_should
                          ).show(args.k, truncate=False)
+    elif args.cmd == "mlt":
+        from .operators.mlt import more_like_this_topk
+        pdf = more_like_this_topk(
+            spark, args.index, spark.read.parquet(args.pages), args.doc,
+            args.k, max_query_terms=args.max_terms,
+            min_term_freq=args.min_term_freq,
+            min_doc_freq=args.min_doc_freq)
+        print(pdf.to_string(index=False,
+                            float_format=lambda v: f"{v:.17g}"))
+    elif args.cmd == "rescore":
+        from .operators.rescore import rescore_topk
+        pdf = rescore_topk(spark, args.index, args.q, args.rescore_q,
+                           args.k, window_size=args.window,
+                           query_weight=args.query_weight,
+                           rescore_query_weight=args.rescore_weight,
+                           score_mode=args.score_mode, slop=args.slop)
+        print(pdf.to_string(index=False,
+                            float_format=lambda v: f"{v:.17g}"))
     elif args.cmd == "count":
         from .operators.aggs import search_count
         from .operators.topk import get_engine

@@ -107,3 +107,33 @@ def test_deprecated_config_key_ignored(tmp_path):
                               "totally_unknown": 1}))
     with pytest.raises(ValueError, match="unknown config keys"):
         IndexConfig.from_json(str(p2))
+
+
+def test_cli_mlt_and_rescore(spark, tmp_path, capsys):
+    import pandas as pd
+    from mongoesindexer_spark.cli import main
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+
+    d = str(tmp_path / "idx")
+    rows = [(f"u{i:02d}", "common alpha beta " + f"w{i}" if i % 2 == 0
+             else "common alpha " + f"w{i} beta") for i in range(8)]
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    df = spark.createDataFrame(pdf)
+    IndexBuilder(d, n_buckets=2, index_positions=True).build(spark, df)
+    pages = str(tmp_path / "pages.parquet")
+    pdf2 = pdf.copy()
+    pdf2["doc_id"] = range(len(pdf2))   # url asc == insertion order here
+    spark.createDataFrame(pdf2[["doc_id", "text"]]).write.parquet(pages)
+
+    rc = main(["mlt", "--index", d, "--pages", pages, "--doc", "0",
+               "--k", "5", "--max-terms", "4"])
+    out = capsys.readouterr().out
+    assert rc in (0, None)
+    assert "doc_id" in out and " 0 " not in out.split("\n", 1)[1][:12]
+
+    rc = main(["rescore", "--index", d, "--q", "common",
+               "--rescore-q", "alpha beta", "--k", "4", "--window", "8",
+               "--rescore-weight", "2.0"])
+    out = capsys.readouterr().out
+    assert rc in (0, None)
+    assert "score" in out
