@@ -212,8 +212,11 @@ def search_top_hits_agg(eng: SearchEngine, docs: DataFrame,
     scoped = (docs.select("doc_id", sort_col).join(hits, "doc_id", "semi")
               .join(fields, "doc_id")
               .filter(F.col(sub).isNotNull()))
-    order = [F.asc(sort_col) if ascending else F.desc(sort_col),
-             F.asc("doc_id")]
+    # nulls LAST either way (ES missing: "_last" — Spark's bare asc is
+    # NULLS FIRST, which would hand every bucket's head ranks to docs
+    # with no value)
+    order = [F.asc_nulls_last(sort_col) if ascending
+             else F.desc_nulls_last(sort_col), F.asc("doc_id")]
     w = Window.partitionBy(sub).orderBy(*order)
     return (scoped.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= hits_per_bucket)
@@ -358,7 +361,11 @@ def search_significant_terms_agg(eng: SearchEngine, query_text: str,
         "term", F.col("df").alias("bg_df"))
     fg_pct = F.col("fg_df") / F.col("nfg")
     bg_pct = F.col("bg_df") / F.lit(float(eng.n_docs))
-    return (fg.join(F.broadcast(bg), "term")
+    # no broadcast hint on bg: the term dictionary is corpus-vocabulary-
+    # sized (unbounded at 10^12 docs — a forced broadcast would hit
+    # Spark's 8 GB limit); AQE broadcasts it when it IS small, and the
+    # fg side (hit-set vocabulary) is the naturally bounded one
+    return (fg.join(bg, "term")
             .crossJoin(F.broadcast(nfg))
             .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
             .filter(F.col("score") > 0)

@@ -81,21 +81,16 @@ def levenshtein_batch(query: str, cands: "pd.Series | list[str]"
     return prev[np.arange(len(cands)), lens]
 
 
-def fuzzy_expand(eng: SearchEngine, term: str,
-                 fuzziness: int | str = "AUTO",
-                 prefix_length: int = 0,
-                 max_expansions: int = MAX_EXPANSIONS) -> list[str]:
-    """Index-vocabulary terms within edit distance of ``term``, ranked
-    (distance asc, df desc, term asc), capped at ``max_expansions``.
+def _fuzzy_candidates(eng: SearchEngine, term: str, f: int,
+                      prefix_length: int) -> pd.DataFrame:
+    """Vocabulary terms within edit distance ``f`` of ``term``, ranked
+    (distance asc, df desc, term asc) — columns (term, df, dist).
 
     The candidate read is a term_dict range scan on the shared literal
     prefix (``prefix_length`` > 0) — row-group pruned like every other
-    dictionary point read; candidates are then length-banded
-    (|len − len(term)| ≤ f) before the DP kernel runs."""
-    f = auto_fuzziness(term) if fuzziness == "AUTO" else int(fuzziness)
-    if f == 0:
-        meta = eng._term_meta([term])
-        return [term] if meta.get(term) is not None else []
+    dictionary point read; candidates are length-banded
+    (|len − len(term)| ≤ f, a Levenshtein lower bound) before the DP
+    kernel runs.  Shared by the fuzzy query and the term suggester."""
     lo, hi = (term[:prefix_length], term[:prefix_length] + _HI) \
         if prefix_length > 0 else ("", _HI)
     vocab = eng._rg_index("term_dict", "term").read_range(
@@ -104,12 +99,25 @@ def fuzzy_expand(eng: SearchEngine, term: str,
     keep = (terms.str.len() - len(term)).abs() <= f
     cand = vocab[keep]
     if cand.empty:
-        return []
+        return cand.assign(dist=pd.Series(dtype="int64"))
     dist = levenshtein_batch(term, cand["term"].astype(str))
     cand = cand.assign(dist=dist)
     cand = cand[cand["dist"] <= f]
-    cand = cand.sort_values(["dist", "df", "term"],
+    return cand.sort_values(["dist", "df", "term"],
                             ascending=[True, False, True])
+
+
+def fuzzy_expand(eng: SearchEngine, term: str,
+                 fuzziness: int | str = "AUTO",
+                 prefix_length: int = 0,
+                 max_expansions: int = MAX_EXPANSIONS) -> list[str]:
+    """Index-vocabulary terms within edit distance of ``term``, ranked
+    (distance asc, df desc, term asc), capped at ``max_expansions``."""
+    f = auto_fuzziness(term) if fuzziness == "AUTO" else int(fuzziness)
+    if f == 0:
+        meta = eng._term_meta([term])
+        return [term] if meta.get(term) is not None else []
+    cand = _fuzzy_candidates(eng, term, f, prefix_length)
     return cand["term"].head(max_expansions).tolist()
 
 
@@ -171,18 +179,8 @@ def term_suggest(spark: SparkSession, index_dir: str, text: str,
         if suggest_mode == "missing" \
                 and eng._term_meta([term]).get(term) is not None:
             continue
-        lo, hi = (term[:prefix_length], term[:prefix_length] + _HI) \
-            if prefix_length > 0 else ("", _HI)
-        vocab = eng._rg_index("term_dict", "term").read_range(
-            lo, hi, ["term", "df"])
-        cand = vocab[vocab["term"].astype(str) != term]
-        if cand.empty:
-            continue
-        dist = levenshtein_batch(term, cand["term"].astype(str))
-        cand = cand.assign(dist=dist)
-        cand = cand[cand["dist"] <= max_edits]
-        cand = cand.sort_values(["dist", "df", "term"],
-                                ascending=[True, False, True]).head(size)
+        cand = _fuzzy_candidates(eng, term, max_edits, prefix_length)
+        cand = cand[cand["term"].astype(str) != term].head(size)
         for r in cand.itertuples(index=False):
             out.append({"input_term": term, "suggestion": r.term,
                         "dist": int(r.dist), "df": int(r.df)})

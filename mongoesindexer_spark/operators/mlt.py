@@ -81,7 +81,11 @@ def more_like_this_topk(spark: SparkSession, index_dir: str,
                              min_term_freq, min_doc_freq)
     if not terms:
         return pd.DataFrame(columns=["doc_id", "url", "score"])
-    # k+1 covers the (typical) case of the seed ranking in the page
-    page = eng.topk_wand("", k + 1, analyzed_terms=terms)
+    # k+1 covers the (typical) case of the seed ranking in the page —
+    # capped at max_result_window so a legal k == cap stays legal (that
+    # one edge may return k-1 rows when the seed is in the page)
+    from .topk import MAX_RESULT_WINDOW
+    page = eng.topk_wand("", min(k + 1, MAX_RESULT_WINDOW),
+                         analyzed_terms=terms)
     page = page[page["doc_id"] != int(like_doc_id)].head(k)
     return page.reset_index(drop=True)

@@ -311,6 +311,9 @@ def multi_match_df(engines: dict[str, SearchEngine],
         raise ValueError("multi_match needs at least one field engine")
     if not 0.0 <= tie_breaker <= 1.0:
         raise ValueError("tie_breaker must be in [0, 1]")
+    if isinstance(query_text, dict) and set(query_text) != set(engines):
+        raise ValueError("per-field query mapping must cover exactly the "
+                         f"index fields {sorted(engines)}")
     boosts = boosts or {}
     fields = list(engines)
     parts = []

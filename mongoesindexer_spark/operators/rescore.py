@@ -19,9 +19,9 @@ distribute):
    should-clause over the window).
 3. Combine per ``score_mode`` and cut the top ``k``:
    ``total`` (ES default)  → qw×primary + rw×secondary
-   ``multiply``            → primary × (rw×secondary) when the doc
-   matches the rescorer, else qw×primary (ES applies the rescorer
-   only where it matches)
+   ``multiply``            → (qw×primary) × (rw×secondary) when the
+   doc matches the rescorer, else qw×primary (ES applies the rescorer
+   only where it matches; both weights apply, matching QueryRescorer)
    ``max`` / ``min`` / ``avg`` over (qw×primary, rw×secondary) on
    matching docs, qw×primary otherwise.
 
@@ -46,7 +46,7 @@ def _combine(p: np.ndarray, s: np.ndarray, matched: np.ndarray,
     if mode == "total":
         return pw + sw
     if mode == "multiply":
-        return np.where(matched, p * sw, pw)
+        return np.where(matched, pw * sw, pw)
     if mode == "max":
         return np.where(matched, np.maximum(pw, sw), pw)
     if mode == "min":

@@ -756,10 +756,10 @@ class SearchEngine:
         ``filter_field``/``search_after``: as in :meth:`topk_wand`.
         ``allowed_docs``: restrict evaluation to these doc_ids (the
         rescore-window hook, operators/rescore.py) — candidate
-        intersection and position verify are bounded by the given set;
-        forces the driver kernel, which is sound because the evaluated
-        set is ≤ the caller's window, never the phrase's corpus-wide
-        match set.
+        intersection and position verify are bounded by the given set.
+        The Σdf fan-out gate still applies: a head-term phrase routes
+        to :meth:`topk_segments` with the window broadcast (k-sized),
+        so the term's encoded blocks never reach the driver.
         """
         _check_k(k)
         empty = pd.DataFrame(columns=["doc_id", "url", "score"])
@@ -780,15 +780,14 @@ class SearchEngine:
         flt = self._resolve_filter(filter_field, filter_value,
                                    filter_normalized) \
             if filter_field is not None else None
-        if allowed_docs is not None:
-            use_segments = False     # evaluated set ≤ caller's window
-        elif use_segments is None:
+        if use_segments is None:
             total_df = sum(m[1] for m in meta.values())
             use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
         if use_segments:
             return self.topk_segments(uniq, idf, k, search_after=search_after,
                                       filter_clause=flt, phrase_terms=terms,
-                                      phrase_slop=slop)
+                                      phrase_slop=slop,
+                                      allowed_docs=allowed_docs)
         by_term = self._term_blocks(uniq)
         if len(by_term) < len(uniq):
             return empty
@@ -906,7 +905,8 @@ class SearchEngine:
                       filter_clause: tuple[str, list] | None = None,
                       phrase_terms: list[str] | None = None,
                       min_should: int | None = None,
-                      phrase_slop: int = 0
+                      phrase_slop: int = 0,
+                      allowed_docs=None
                       ) -> pd.DataFrame:
         """ES-shard-style fan-out: per doc-disjoint segment group, score
         top-k locally (same cost-based exhaustive/WAND kernel) inside a
@@ -941,6 +941,13 @@ class SearchEngine:
         ``min_should``: minimum_should_match per group — valid for the
         same doc-disjointness reason: a doc's matched-term count is
         complete within its one group.
+
+        ``allowed_docs``: explicit doc_id whitelist (the rescore-window
+        contract) — broadcast once, each task intersects its own
+        doc-range slice; group slices partition the global set exactly
+        as the postings do, preserving rank identity.  Bounded by the
+        caller's window (≤ max_result_window), so the broadcast is k-
+        sized, never corpus-sized.
         """
         _check_k(k)
         # only terms with a dictionary row are scorable (a fully-
@@ -971,6 +978,12 @@ class SearchEngine:
             fields_paths = [(fidx.paths[fi], *span)
                             for fi, span in spans.items()]
         ts_bc = self.spark.sparkContext.broadcast(self.tombstones)
+        ad_sorted = None
+        if allowed_docs is not None:
+            ad_sorted = np.unique(np.asarray(allowed_docs, dtype=np.int64))
+            if ad_sorted.size == 0:
+                return pd.DataFrame(columns=["doc_id", "url", "score"])
+        ad_bc = self.spark.sparkContext.broadcast(ad_sorted)
         payload = [("\n".join(g),) for g in groups]
         fdf = self.spark.createDataFrame(
             self.spark.sparkContext.parallelize(payload, len(payload)),
@@ -1020,6 +1033,19 @@ class SearchEngine:
                         allowed = frozenset(ft["doc_id"].to_pylist())
                         if not allowed:
                             continue    # no doc in range passes the filter
+                    ad = ad_bc.value
+                    if ad is not None:
+                        # this group's slice of the whitelist — doc-
+                        # disjoint groups partition the global set
+                        glo = min(int(r["first_doc"]) for r in recs)
+                        ghi = max(int(r["last_doc"]) for r in recs)
+                        ga = ad[(ad >= glo) & (ad <= ghi)]
+                        if ga.size == 0:
+                            continue    # no whitelisted doc in this range
+                        allowed = (frozenset(ga.tolist()) if allowed is None
+                                   else allowed & frozenset(ga.tolist()))
+                        if not allowed:
+                            continue
                     if phrase_terms is not None:
                         allowed_fn = None
                         if allowed is not None:

@@ -47,7 +47,7 @@ def _brute(rows, query, phrase, k, window, qw, rw, mode):
             if mode == "total":
                 f = qw * p + rw * s
             elif mode == "multiply":
-                f = p * (rw * s)
+                f = (qw * p) * (rw * s)
             elif mode == "max":
                 f = max(qw * p, rw * s)
             elif mode == "min":
@@ -65,10 +65,12 @@ def _brute(rows, query, phrase, k, window, qw, rw, mode):
 def test_rescore_matches_bruteforce(spark, rs_index, mode):
     from mongoesindexer_spark.operators.rescore import rescore_topk
     d, rows = rs_index
+    # qw != 1 so the weight's application (e.g. inside multiply) is
+    # actually exercised, not multiplied away
     got = rescore_topk(spark, d, "common alpha", "alpha beta", 10,
-                       window_size=18, query_weight=1.0,
+                       window_size=18, query_weight=0.5,
                        rescore_query_weight=3.0, score_mode=mode)
-    want = _brute(rows, "common alpha", "alpha beta", 10, 18, 1.0, 3.0,
+    want = _brute(rows, "common alpha", "alpha beta", 10, 18, 0.5, 3.0,
                   mode)
     assert [int(x) for x in got["doc_id"]] == [d_ for _, d_ in want], mode
     for gs, (ws, _) in zip(got["score"], want):
@@ -92,6 +94,24 @@ def test_rescore_reorders_and_window_cuts(spark, rs_index):
     narrow = rescore_topk(spark, d, "common alpha", "alpha beta", 3,
                           window_size=3, rescore_query_weight=3.0)
     assert set(narrow["doc_id"]) <= set(plain["doc_id"].head(3))
+
+
+def test_phrase_allowed_docs_segment_path_identical(spark, rs_index):
+    """The rescore-window whitelist through the segment fan-out equals
+    the driver kernel (group slices partition the global set)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    d, _ = rs_index
+    eng = get_engine(spark, d)
+    window = eng.topk_wand("common alpha", 12)["doc_id"] \
+        .to_numpy("int64")
+    kern = eng.phrase_topk("alpha beta", 12, allowed_docs=window,
+                           use_segments=False)
+    segs = eng.phrase_topk("alpha beta", 12, allowed_docs=window,
+                           use_segments=True)
+    assert list(kern["doc_id"]) == list(segs["doc_id"])
+    assert np.allclose(kern["score"], segs["score"])
+    assert len(kern) > 0
+    assert set(kern["doc_id"]) <= set(window.tolist())
 
 
 def test_rescore_validation(spark, rs_index):
