@@ -738,6 +738,20 @@ def q_ft_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "df long")
 
 
+REGEXP_PAT = "d.ta|mer.e"
+
+
+def q_ft_regexp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``regexp`` query (constant-score rewrite, full-match
+    anchoring): docs containing any vocabulary term fully matching the
+    pattern — a prefix-pruned term_dict scan + posting-set union
+    (operators/expand.py regexp_match, the wildcard rewrite shape)."""
+    from mongoesindexer_spark.operators.expand import regexp_match
+    idx = _docs_index(spark, sf_dir)
+    pdf = regexp_match(spark, idx, REGEXP_PAT)
+    return spark.createDataFrame(pdf, schema="doc_id long")
+
+
 RESCORE_WINDOW, RESCORE_W = 100, 2.0
 
 
@@ -1325,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percentiles": q_ft_percentiles,
         "ft_fuzzy_topk": q_ft_fuzzy_topk,
         "ft_wildcard_match": q_ft_wildcard_match,
+        "ft_regexp_match": q_ft_regexp_match,
         "ft_phrase_search": q_ft_phrase_search,
         "ft_phrase_slop": q_ft_phrase_slop,
         "ft_phrase_filtered": q_ft_phrase_filtered,
@@ -2129,6 +2144,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id
             FROM (SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents)
             WHERE term LIKE 's_ark' ORDER BY doc_id
+        """,
+        "ft_regexp_match": f"""
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents)
+            WHERE regexp_full_match(term, '{REGEXP_PAT}') ORDER BY doc_id
         """,
         # ES match_phrase: phrase_freq = count of start positions i with
         # t[i]='order' AND t[i+1]='fast'; score = idf_sum × BM25 tf-norm

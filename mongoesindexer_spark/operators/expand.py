@@ -205,16 +205,51 @@ def wildcard_expand(eng: SearchEngine, pattern: str) -> list[str]:
     return sorted(terms)
 
 
-def wildcard_match(spark: SparkSession, index_dir: str, pattern: str
-                   ) -> pd.DataFrame:
-    """ES ``wildcard`` query, constant-score rewrite: the sorted doc_id
-    set containing ANY term matching the glob (a filter, not a scorer).
-    Postings of the matched terms are unioned from the decoded block
-    cache; tombstoned docs are masked like every serving path."""
+def regexp_expand(eng: SearchEngine, pattern: str) -> list[str]:
+    """Vocabulary terms FULLY matching the regex (ES ``regexp`` anchors
+    both ends, Lucene RegExp semantics for the common operators),
+    term-sorted.  The scan is pruned by the pattern's literal prefix —
+    the same bound Lucene gets from its automaton's common prefix."""
+    # literal-prefix pruning is sound only when every alternative shares
+    # it: a top-level '|' lets a branch bypass the leading literals, so
+    # the prune must fall back to the full range (the automaton-common-
+    # prefix computation Lucene does; this is its conservative subset)
+    depth, top_level_alt = 0, False
+    for ch in pattern:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            top_level_alt = True
+            break
+    m = re.match(r"[^\\.\[\]()*+?{}|^$]*", pattern)
+    prefix = "" if top_level_alt else (m.group(0) if m else "")
+    # a quantifier right after the literal run makes its LAST char
+    # optional/repeatable ("ab?c" matches "ac") — drop it from the prune
+    rest = pattern[len(prefix):]
+    if prefix and rest[:1] in ("?", "*", "{"):
+        prefix = prefix[:-1]
+    lo, hi = (prefix, prefix + _HI) if prefix else ("", _HI)
+    vocab = eng._rg_index("term_dict", "term").read_range(lo, hi, ["term"])
+    rx = re.compile(pattern)
+    return sorted(t for t in vocab["term"].astype(str).tolist()
+                  if rx.fullmatch(t))
+
+
+def regexp_match(spark: SparkSession, index_dir: str, pattern: str
+                 ) -> pd.DataFrame:
+    """ES ``regexp`` query, constant-score rewrite (like wildcard): the
+    sorted doc_id set containing ANY term fully matching the regex."""
+    eng = get_engine(spark, index_dir)
+    return _terms_doc_set(eng, regexp_expand(eng, pattern))
+
+
+def _terms_doc_set(eng: SearchEngine, terms: list[str]) -> pd.DataFrame:
+    """Union of the terms' posting doc_ids, tombstone-masked — the
+    constant-score doc set both wildcard and regexp rewrite to."""
     from ..functions.encode import decode_blocks_into
     from .topk import _block_arrays
-    eng = get_engine(spark, index_dir)
-    terms = wildcard_expand(eng, pattern)
     if not terms:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
     by_term = eng._term_blocks(terms)
@@ -228,3 +263,13 @@ def wildcard_match(spark: SparkSession, index_dir: str, pattern: str
         docs = docs[~np.isin(docs, np.fromiter(eng.tombstones,
                                                dtype=np.int64))]
     return pd.DataFrame({"doc_id": docs.astype(np.int64)})
+
+
+def wildcard_match(spark: SparkSession, index_dir: str, pattern: str
+                   ) -> pd.DataFrame:
+    """ES ``wildcard`` query, constant-score rewrite: the sorted doc_id
+    set containing ANY term matching the glob (a filter, not a scorer).
+    Postings of the matched terms are unioned from the decoded block
+    cache; tombstoned docs are masked like every serving path."""
+    eng = get_engine(spark, index_dir)
+    return _terms_doc_set(eng, wildcard_expand(eng, pattern))

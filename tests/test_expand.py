@@ -155,3 +155,29 @@ def test_term_suggest_modes(spark, tiny_index, tiny_engine, oracle_tiny):
                    {"size": 0}):
         with _pt.raises(ValueError):
             term_suggest(spark, tiny_index, present, **kwargs)
+
+
+def test_regexp_expand_and_match(spark, tiny_index, tiny_engine,
+                                 oracle_tiny):
+    from mongoesindexer_spark.operators.expand import (regexp_expand,
+                                                       regexp_match)
+    vocab = set(oracle_tiny.postings)
+    pat = "th.*|.park"
+    want_terms = sorted(t for t in vocab if re.fullmatch(pat, t))
+    assert regexp_expand(tiny_engine, pat) == want_terms
+    got = regexp_match(spark, tiny_index, pat)
+    want_docs = sorted({d for t in want_terms
+                        for d in oracle_tiny.postings[t]})
+    assert [int(x) for x in got["doc_id"]] == want_docs
+    # anchored full-match: a mid-string hit is NOT a match
+    assert "the" not in regexp_expand(tiny_engine, "h")
+
+
+def test_regexp_prefix_prune_soundness(tiny_engine, oracle_tiny):
+    """Pruning must never drop matches: top-level alternation and a
+    quantifier on the literal run both invalidate the naive prefix."""
+    from mongoesindexer_spark.operators.expand import regexp_expand
+    vocab = set(oracle_tiny.postings)
+    for pat in ("th.*|.park", "sp?ark", "spar{0,1}k", "s(p|t)ark"):
+        want = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert regexp_expand(tiny_engine, pat) == want, pat
