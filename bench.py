@@ -406,7 +406,7 @@ def main() -> None:
         "ft_significant_terms", "ft_composite_agg", "ft_top_hits",
         "ft_percentiles", "ft_date_histogram", "ft_filters_agg",
         "ft_term_suggest", "ft_more_like_this", "ft_rescore",
-        "ft_composite_multi", "ft_sort_after",
+        "ft_composite_multi", "ft_sort_after", "ft_regexp_match",
     ]
     qs = entry_mod.queries()
     for name in suite:
