@@ -185,6 +185,19 @@ class RangeClause(__import__("typing").NamedTuple):
     hi: int
 
 
+class ExistsClause(__import__("typing").NamedTuple):
+    """ES ``exists`` query in filter context (``bool.filter: {exists:
+    {field}}``): docs whose sub-field carries a non-null doc value.
+    ``kind`` picks the sub-field family the mapping indexed —
+    ``"keyword"`` (default), ``"normalized"``, or ``"num"`` (a
+    numeric_fields long; ES exists on an integer/date mapping).  Pass
+    as ``filter_value`` with the field's name, like RangeClause; the
+    resolution stays candidate-bounded everywhere (point-read the
+    candidates' fields rows, test non-null — never a corpus scan of
+    the typically-huge exists set)."""
+    kind: str = "keyword"
+
+
 def _query_terms(query_text: str, cfg: AnalyzerConfig) -> list[str]:
     """Search-analyzer terms, deduplicated (a bool query of unique
     TermQueries — duplicate query terms do not double-score in ES)."""
@@ -352,8 +365,12 @@ class SearchEngine:
             sub, values = self._resolve_filter(filter_field, filter_value,
                                                filter_normalized)
             fsrc = read_fields(self.cat, self.spark)
-            pred = F.col(sub).between(values.lo, values.hi) \
-                if isinstance(values, RangeClause) else F.col(sub).isin(values)
+            if isinstance(values, RangeClause):
+                pred = F.col(sub).between(values.lo, values.hi)
+            elif isinstance(values, ExistsClause):
+                pred = F.col(sub).isNotNull()
+            else:
+                pred = F.col(sub).isin(values)
             keep = fsrc.filter(pred).select("doc_id")
             flat = flat.join(keep, "doc_id", "semi")
         if self.tombstones:
@@ -478,6 +495,11 @@ class SearchEngine:
         from ..functions.analysis import normalize
         if isinstance(value, RangeClause):
             sub = f"{field}_num"
+        elif isinstance(value, ExistsClause):
+            if value.kind not in ("keyword", "normalized", "num"):
+                raise ValueError("ExistsClause.kind must be keyword/"
+                                 "normalized/num")
+            sub = f"{field}_{value.kind}"
         else:
             sub = f"{field}_normalized" if normalized else f"{field}_keyword"
         if not self.cat.table_exists("fields"):
@@ -490,7 +512,7 @@ class SearchEngine:
                 f"fields table has no sub-field {sub!r} — was the index "
                 f"built with keyword_fields=({field!r},) (or "
                 f"numeric_fields for range clauses)?")
-        if isinstance(value, RangeClause):
+        if isinstance(value, (RangeClause, ExistsClause)):
             return sub, value
         values = [value] if isinstance(value, str) else list(value)
         if normalized:
@@ -519,6 +541,8 @@ class SearchEngine:
         if isinstance(values, RangeClause):
             v = pdf[sub]
             hit = pdf[(v >= values.lo) & (v <= values.hi)]
+        elif isinstance(values, ExistsClause):
+            hit = pdf[pdf[sub].notna()]
         else:
             hit = pdf[pdf[sub].isin(values)]
         return np.unique(hit["doc_id"].values.astype(np.int64))
@@ -1023,6 +1047,8 @@ class SearchEngine:
                                       >= filter_values.lo)
                                      & (_pds.field(filter_sub)
                                         <= filter_values.hi))
+                        elif isinstance(filter_values, ExistsClause):
+                            vpred = _pds.field(filter_sub).is_valid()
                         else:
                             vpred = _pds.field(filter_sub).isin(filter_values)
                         fexpr = (vpred
