@@ -738,6 +738,26 @@ def q_ft_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "df long")
 
 
+PHRASE_PREFIX_Q = "data s"     # fixed term + one-char prefix (6 expansions)
+
+
+def q_ft_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase_prefix``: docs where "data" is immediately
+    followed by any vocabulary term starting with "s" — the last slot
+    is a term-dictionary prefix expansion merged into one pseudo-term
+    (distinct-position union) riding the standard phrase kernel;
+    idf_sum spans fixed terms + every expansion (Lucene
+    MultiPhraseQuery under BM25; operators/topk.py
+    phrase_prefix_topk)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).phrase_prefix_topk(PHRASE_PREFIX_Q, BM25_K)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 REGEXP_PAT = "d.ta|mer.e"
 
 
@@ -1342,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_regexp_match": q_ft_regexp_match,
         "ft_phrase_search": q_ft_phrase_search,
         "ft_phrase_slop": q_ft_phrase_slop,
+        "ft_phrase_prefix": q_ft_phrase_prefix,
         "ft_phrase_filtered": q_ft_phrase_filtered,
         "ft_keyword_match": q_ft_keyword_match,
         "ft_keyword_normalized": q_ft_keyword_normalized,
@@ -2144,6 +2165,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id
             FROM (SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents)
             WHERE term LIKE 's_ark' ORDER BY doc_id
+        """,
+        "ft_phrase_prefix": f"""
+            WITH toksl AS (
+                SELECT doc_id, {_TOK_DD} AS t FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS term FROM toksl
+            ), dl AS (
+                SELECT doc_id, len(t)::BIGINT AS doc_len FROM toksl
+            ), g AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT sum(doc_len) FROM dl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), dfreq AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM tok GROUP BY 1
+            ), exl AS (
+                SELECT list(term ORDER BY term) AS e FROM (
+                    SELECT DISTINCT term FROM tok WHERE term LIKE 's%'
+                    ORDER BY term LIMIT 50)
+            ), idfs AS (
+                SELECT sum(ln(1 + (g.n - df + 0.5) / (df + 0.5)))
+                           AS idf_sum
+                FROM dfreq CROSS JOIN g CROSS JOIN exl
+                WHERE term = 'data' OR list_contains(exl.e, term)
+            ), pf AS (
+                SELECT toksl.doc_id,
+                       len(list_filter(range(1, len(t)),
+                           i -> t[i] = 'data'
+                                AND list_contains(exl.e, t[i+1])
+                           ))::BIGINT AS ptf
+                FROM toksl CROSS JOIN exl
+            ), scores AS (
+                SELECT pf.doc_id,
+                       idfs.idf_sum * ptf * 2.2
+                       / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len
+                                       / g.avgdl)) AS score
+                FROM pf JOIN dl USING (doc_id)
+                CROSS JOIN idfs CROSS JOIN g WHERE ptf > 0
+            )
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_regexp_match": f"""
             SELECT DISTINCT doc_id

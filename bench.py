@@ -407,6 +407,7 @@ def main() -> None:
         "ft_percentiles", "ft_date_histogram", "ft_filters_agg",
         "ft_term_suggest", "ft_more_like_this", "ft_rescore",
         "ft_composite_multi", "ft_sort_after", "ft_regexp_match",
+        "ft_phrase_prefix",
     ]
     qs = entry_mod.queries()
     for name in suite:

@@ -835,6 +835,68 @@ class SearchEngine:
             columns=["doc_id", "url", "score"],
         )
 
+    def phrase_prefix_topk(self, phrase_text: str, k: int,
+                           max_expansions: int = 50) -> pd.DataFrame:
+        """ES ``match_phrase_prefix``: the phrase's LAST token is a
+        prefix — docs where the fixed terms occur contiguously followed
+        by ANY vocabulary term starting with the prefix (the
+        autocomplete-on-phrases query).
+
+        Semantics (pinned, Lucene MultiPhraseQuery under BM25): the
+        prefix expands against the term dictionary in term order,
+        capped at ``max_expansions`` (ES default 50); the last slot
+        matches if any expansion sits there; phrase_freq counts
+        DISTINCT start positions; idf_sum = Σ idf(fixed terms) +
+        Σ idf(expansions) — MultiPhraseQuery sums term stats over every
+        term in every position.
+
+        Execution: the expansions' postings merge into ONE pseudo-term
+        (doc-sorted union, per-doc distinct position union) that rides
+        the standard phrase kernel unchanged.  Driver-kernel only, cost
+        ∝ the union's Σdf — the same cost profile ES warns about for
+        short prefixes; give the prefix ≥ 2-3 chars at corpus scale
+        (the fixed terms' block-pruned intersection does NOT bound the
+        union decode, because the union must be assembled before the
+        kernel prunes)."""
+        _check_k(k)
+        empty = pd.DataFrame(columns=["doc_id", "url", "score"])
+        if not self.has_positions:
+            raise ValueError(
+                f"index at {self.index_dir!r} was built without positions "
+                "— phrase_prefix queries need position streams")
+        terms = analyze_search(phrase_text, self.cfg)
+        if not terms:
+            return empty
+        fixed, prefix = terms[:-1], terms[-1]
+        exps = self._rg_index("term_dict", "term").read_range(
+            prefix, prefix + chr(0x10FFFF), ["term", "idf"])
+        exps = exps.sort_values("term").head(max_expansions)
+        if exps.empty:
+            return empty
+        ufixed = list(dict.fromkeys(fixed))
+        meta = self._term_meta(ufixed)
+        if any(meta[t] is None for t in ufixed):
+            return empty
+        idf = {t: m[0] for t, m in meta.items()}
+        exp_terms = exps["term"].astype(str).tolist()
+        by_term = self._term_blocks(ufixed + exp_terms)
+        if len([t for t in ufixed if t in by_term]) < len(ufixed):
+            return empty
+        exp_blocks = [b for t in exp_terms for b in by_term.get(t, [])]
+        if not exp_blocks:
+            return empty
+        pseudo = "\x00prefix"          # cannot collide with vocabulary
+        kernel_terms = {t: by_term[t] for t in ufixed}
+        kernel_terms[pseudo] = [_union_positions_block(exp_blocks)]
+        idf[pseudo] = float(exps["idf"].sum())
+        hits = phrase_topk_arrays(fixed + [pseudo], idf, kernel_terms,
+                                  self.avgdl, k, self.tombstones)
+        urls = self.fetch_urls([d for _, d in hits])
+        return pd.DataFrame(
+            [{"doc_id": d, "url": urls.get(d), "score": s}
+             for s, d in hits],
+            columns=["doc_id", "url", "score"])
+
     def explain(self, query_text: str, doc_id: int) -> pd.DataFrame:
         """ES ``_explain``: the per-term BM25 score breakdown for ONE doc
         — ``(term, tf, doc_len, idf, contribution)`` rows, term-sorted,
@@ -1510,6 +1572,45 @@ def _block_arrays(b: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         docs, tfs = decode_block(b["docs_vb"], b["tfs_vb"])
         arrs = b["_arrs"] = (docs, tfs, decode_dls(b["dls_vb"]))
     return arrs
+
+
+def _union_positions_block(blocks: list[dict]) -> dict:
+    """Merge many terms' positional posting blocks into ONE pseudo-term
+    block: doc-sorted union of postings, per-doc DISTINCT union of
+    positions (tf = position count), dl carried through — the
+    MultiPhraseQuery last-slot union, pre-decoded so the phrase kernel
+    consumes it like any block (``_arrs`` + ``_pos`` memoized fields;
+    the varbyte streams are never re-encoded)."""
+    from ..functions.encode import decode_blocks_into
+    decode_blocks_into([b for b in blocks if "_arrs" not in b])
+    doc_parts, pos_parts, dld_parts, dll_parts = [], [], [], []
+    for b in blocks:
+        docs, tfs, dls = _block_arrays(b)
+        flat, _ends = _block_positions(b)
+        doc_parts.append(np.repeat(docs, tfs))   # one row per position
+        pos_parts.append(flat)
+        dld_parts.append(docs)
+        dll_parts.append(dls)
+    all_docs = np.concatenate(doc_parts)
+    all_pos = np.concatenate(pos_parts)
+    order = np.lexsort((all_pos, all_docs))
+    d, p = all_docs[order], all_pos[order]
+    keep = np.ones(d.size, dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1])
+    d, p = d[keep], p[keep]
+    udocs, counts = np.unique(d, return_counts=True)
+    ends = np.cumsum(counts)
+    cd = np.concatenate(dld_parts)
+    cl = np.concatenate(dll_parts)
+    o2 = np.argsort(cd, kind="stable")
+    cds, cls = cd[o2], cl[o2]
+    first = np.ones(cds.size, dtype=bool)
+    first[1:] = cds[1:] != cds[:-1]
+    dls_u = cls[first]                 # aligned with np.unique(cd) == udocs
+    return {"n": int(udocs.size), "first_doc": int(udocs[0]),
+            "last_doc": int(udocs[-1]),
+            "_arrs": (udocs, counts.astype(np.int64), dls_u),
+            "_pos": (p, ends)}
 
 
 def _block_positions(b: dict) -> tuple[np.ndarray, np.ndarray]:

@@ -391,3 +391,62 @@ def test_phrase_slop_kernel_bruteforce_random_corpus():
         assert len(got) == len(want), (phrase, slop)
         for (ws, wd), (gs, gd) in zip(want, got):
             assert wd == gd and abs(ws - gs) < 1e-9
+
+
+def test_phrase_prefix_matches_bruteforce(spark, tiny_index_pos,
+                                          tiny_pages, oracle_tiny):
+    """match_phrase_prefix == brute force over the oracle's position
+    index (fixed terms contiguous, ANY prefix expansion at the last
+    slot, distinct starts; idf_sum over fixed + every expansion)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, tiny_index_pos)
+    oi = oracle_tiny
+    # pick a (bigram) seed: a term that actually precedes some other
+    # term, then query "<first> <one-char prefix of a follower>"
+    first = sorted(t for t, ds in oi.postings.items() if len(ds) >= 5)[0]
+    followers = set()
+    for d, ps in oi.positions[first].items():
+        for t2, dmap in oi.positions.items():
+            if d in dmap and any(p + 1 in dmap[d] for p in ps):
+                followers.add(t2)
+    assert followers
+    # 3-char prefix keeps the true follower inside the max_expansions
+    # cap on this 4k-term vocabulary
+    prefix = sorted(f for f in followers if len(f) >= 3)[0][:3]
+    q = f"{first} {prefix}"
+
+    exps = sorted(t for t in oi.postings if t.startswith(prefix))[:50]
+    idf_sum = oi.idf(first) + sum(oi.idf(e) for e in exps)
+    want = []
+    for d in oi.doc_len:
+        ps = oi.positions.get(first, {}).get(d, [])
+        starts = {p for p in ps
+                  if any(p + 1 in oi.positions.get(e, {}).get(d, [])
+                         for e in exps)}
+        if not starts:
+            continue
+        tf = len(starts)
+        dl = oi.doc_len[d]
+        tfn = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / oi.avgdl))
+        want.append((idf_sum * tfn, d))
+    want.sort(key=lambda x: (-x[0], x[1]))
+    assert want, "seed produced no phrase-prefix matches"
+
+    got = eng.phrase_prefix_topk(q, 15)
+    assert [int(x) for x in got["doc_id"]] == [d for _, d in want[:15]]
+    for gs, (ws, _) in zip(got["score"], want):
+        assert abs(gs - ws) < 1e-6
+
+
+def test_phrase_prefix_expansion_cap_and_validation(spark, tiny_index_pos,
+                                                    oracle_tiny):
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, tiny_index_pos)
+    # cap=1: only the term-sorted FIRST expansion participates
+    oi = oracle_tiny
+    first = sorted(t for t, ds in oi.postings.items() if len(ds) >= 5)[0]
+    got_all = eng.phrase_prefix_topk(f"{first} a", 50)
+    got_one = eng.phrase_prefix_topk(f"{first} a", 50, max_expansions=1)
+    assert len(got_one) <= len(got_all)
+    # unmatched prefix -> empty frame
+    assert eng.phrase_prefix_topk(f"{first} zzzzqqq", 5).empty
