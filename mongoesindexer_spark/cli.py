@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--slop", type=int, default=0,
                    help="with --phrase: in-order window slop (extra "
                         "tokens allowed between phrase terms)")
+    q.add_argument("--phrase-prefix", action="store_true",
+                   help="ES match_phrase_prefix: the LAST token of --q "
+                        "is a prefix expanded against the term "
+                        "dictionary (autocomplete-on-phrases); needs a "
+                        "positional index")
     q.add_argument("--min-should", type=int, default=None, metavar="M",
                    help="ES minimum_should_match: docs must match ≥ M of "
                         "the query's term clauses (mode=or only)")
@@ -244,6 +249,17 @@ def main(argv: list[str] | None = None) -> int:
                              search_after=after, filter_field=ff,
                              filter_value=fv,
                              filter_normalized=args.filter_normalized)
+            print(pdf.to_string(index=False,
+                                float_format=lambda v: f"{v:.17g}"))
+        elif args.phrase_prefix:
+            if (args.min_should is not None or ff is not None
+                    or args.after or args.phrase):
+                raise SystemExit(
+                    "--phrase-prefix composes with none of --phrase/"
+                    "--filter/--filter-range/--min-should/--after")
+            from .operators.topk import get_engine
+            pdf = get_engine(spark, args.index).phrase_prefix_topk(
+                args.q, args.k)
             print(pdf.to_string(index=False,
                                 float_format=lambda v: f"{v:.17g}"))
         elif args.phrase:

@@ -137,3 +137,22 @@ def test_cli_mlt_and_rescore(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc in (0, None)
     assert "score" in out
+
+
+def test_cli_phrase_prefix(spark, tmp_path, capsys):
+    import pandas as pd
+    from mongoesindexer_spark.cli import main
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+
+    d = str(tmp_path / "idxpp")
+    rows = [(f"u{i}", f"alpha beta{i % 2} w{i}") for i in range(6)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+    IndexBuilder(d, n_buckets=2, index_positions=True).build(spark, df)
+    rc = main(["query", "--index", d, "--q", "alpha bet",
+               "--phrase-prefix", "--k", "5"])
+    out = capsys.readouterr().out
+    assert rc in (0, None) and "doc_id" in out and "u0" in out
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["query", "--index", d, "--q", "alpha bet",
+              "--phrase-prefix", "--phrase"])
