@@ -450,3 +450,55 @@ def test_phrase_prefix_expansion_cap_and_validation(spark, tiny_index_pos,
     assert len(got_one) <= len(got_all)
     # unmatched prefix -> empty frame
     assert eng.phrase_prefix_topk(f"{first} zzzzqqq", 5).empty
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(0, 5000), st.integers(1, 4), st.integers(2, 30))
+@settings(max_examples=60, deadline=None)
+def test_union_positions_block_property(seed, n_terms, n_docs):
+    """_union_positions_block == brute-force merge on random positional
+    corpora: doc-sorted posting union, per-doc DISTINCT sorted position
+    union, tf = position count, dl carried through."""
+    from mongoesindexer_spark.functions.encode import (
+        encode_blocks, encode_positions_rows)
+    from mongoesindexer_spark.operators.topk import (
+        _block_arrays, _block_positions, _union_positions_block)
+
+    rng = np.random.RandomState(seed)
+    doc_lens = rng.randint(4, 40, size=n_docs).astype(np.int64)
+    avgdl = float(doc_lens.mean())
+    blocks = []
+    brute: dict[int, set] = {}
+    for _t in range(n_terms):
+        df = rng.randint(1, n_docs + 1)
+        docs = np.sort(rng.choice(n_docs, size=df,
+                                  replace=False)).astype(np.int64)
+        row_ends, flat = [], []
+        for d in docs:
+            npos = rng.randint(1, min(4, doc_lens[d]) + 1)
+            ps = np.sort(rng.choice(doc_lens[d], size=npos,
+                                    replace=False)).astype(np.int64)
+            flat.extend(int(p) for p in ps)
+            row_ends.append(len(flat))
+            brute.setdefault(int(d), set()).update(int(p) for p in ps)
+        tfs = np.diff(np.array([0] + row_ends)).astype(np.int64)
+        pos_rows = encode_positions_rows(
+            np.array(flat, dtype=np.int64),
+            np.array(row_ends, dtype=np.int64))
+        blocks.extend(encode_blocks(docs, tfs, doc_lens[docs], avgdl,
+                                    block_size=8, pos=pos_rows))
+    u = _union_positions_block(blocks)
+    udocs, utfs, udls = _block_arrays(u)
+    uflat, uends = _block_positions(u)
+    want_docs = sorted(brute)
+    assert udocs.tolist() == want_docs
+    assert u["n"] == len(want_docs)
+    assert u["first_doc"] == want_docs[0] and u["last_doc"] == want_docs[-1]
+    for i, d in enumerate(want_docs):
+        s = int(uends[i - 1]) if i else 0
+        assert uflat[s:int(uends[i])].tolist() == sorted(brute[d])
+        assert int(utfs[i]) == len(brute[d])
+        assert int(udls[i]) == int(doc_lens[d])
