@@ -127,17 +127,23 @@ def search_sort_by_field(eng: SearchEngine, docs: DataFrame,
     ``search_after=(sort_value, doc_id)``: ES deep paging on a
     doc-values sort — the cursor predicate filters BELOW the top-k, so
     page N costs the same as page 1 (the from+size alternative
-    re-ranks N×k rows).  Cursor rows with a NULL sort value are not
-    addressable (ES paginates past missing values with the tiebreak
-    only once the non-null prefix is exhausted — same here, because
-    NULLs sort last and compare false)."""
+    re-ranks N×k rows).  The NULL tail stays addressable, matching ES's
+    missing-value sentinel: a non-null cursor also admits every NULL
+    row (they sort after it under missing:"_last"), and a cursor of
+    ``(None, doc_id)`` pages WITHIN the NULL tail by doc_id tiebreak."""
     hits = match_set(eng, query_text, mode, min_should_match)
     scoped = docs.select("doc_id", sort_col).join(hits, "doc_id", "semi")
     if search_after is not None:
         av, ad = search_after
         c, d = F.col(sort_col), F.col("doc_id")
-        pred = ((c > F.lit(av)) if ascending else (c < F.lit(av))) \
-            | ((c == F.lit(av)) & (d > F.lit(int(ad))))
+        if av is None:
+            # cursor already inside the NULL tail (ES's post-max
+            # sentinel): only later NULL rows remain
+            pred = c.isNull() & (d > F.lit(int(ad)))
+        else:
+            pred = ((c > F.lit(av)) if ascending else (c < F.lit(av))) \
+                | ((c == F.lit(av)) & (d > F.lit(int(ad)))) \
+                | c.isNull()
         scoped = scoped.filter(pred)
     order = [F.asc_nulls_last(sort_col) if ascending
              else F.desc_nulls_last(sort_col), F.asc("doc_id")]

@@ -214,8 +214,28 @@ def regexp_expand(eng: SearchEngine, pattern: str) -> list[str]:
     # it: a top-level '|' lets a branch bypass the leading literals, so
     # the prune must fall back to the full range (the automaton-common-
     # prefix computation Lucene does; this is its conservative subset)
+    # the scan must not count escaped parens (\() or parens inside
+    # character classes ([(]) as group opens — either would mask a real
+    # top-level '|' and silently drop that branch's matches
     depth, top_level_alt = 0, False
-    for ch in pattern:
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":
+            i += 1
+            if i < n and pattern[i] == "^":
+                i += 1
+            if i < n and pattern[i] == "]":
+                i += 1
+            while i < n and pattern[i] != "]":
+                if pattern[i] == "\\":
+                    i += 1
+                i += 1
+            i += 1
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -223,6 +243,7 @@ def regexp_expand(eng: SearchEngine, pattern: str) -> list[str]:
         elif ch == "|" and depth == 0:
             top_level_alt = True
             break
+        i += 1
     m = re.match(r"[^\\.\[\]()*+?{}|^$]*", pattern)
     prefix = "" if top_level_alt else (m.group(0) if m else "")
     # a quantifier right after the literal run makes its LAST char

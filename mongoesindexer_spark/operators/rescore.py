@@ -61,16 +61,18 @@ def rescore_topk(spark: SparkSession, index_dir: str, query_text: str,
                  score_mode: str = "total",
                  slop: int = 0) -> pd.DataFrame:
     """Top-k of the primary query's ``window_size`` best hits re-ranked
-    by the phrase rescorer (ties doc_id asc)."""
+    by the phrase rescorer (ties doc_id asc).  ES allows
+    ``window_size < k``: only the window is re-ranked; hits below it
+    keep their primary score and order and follow the rescored window
+    in the final page — emulated here the same way."""
     if score_mode not in SCORE_MODES:
         raise ValueError(f"score_mode must be one of {SCORE_MODES}")
-    if window_size < k:
-        raise ValueError("window_size must be >= k — the page is cut "
-                         "from the rescored window")
     eng = get_engine(spark, index_dir)
-    prim = eng.topk_wand(query_text, window_size)
+    prim = eng.topk_wand(query_text, max(k, window_size))
     if prim.empty:
         return prim
+    tail = prim.iloc[window_size:]
+    prim = prim.iloc[:window_size]
     docs = prim["doc_id"].to_numpy(np.int64)
     ph = eng.phrase_topk(rescore_phrase, window_size,
                          allowed_docs=docs, slop=slop)
@@ -80,9 +82,11 @@ def rescore_topk(spark: SparkSession, index_dir: str, query_text: str,
     matched = np.array([int(d) in smap for d in docs])
     final = _combine(p, s, matched, score_mode,
                      float(query_weight), float(rescore_query_weight))
-    order = np.lexsort((docs, -final))[:k]
+    order = np.lexsort((docs, -final))
     urls = prim["url"].to_numpy(object)
-    return pd.DataFrame(
-        [{"doc_id": int(docs[i]), "url": urls[i],
-          "score": float(final[i])} for i in order],
-        columns=["doc_id", "url", "score"])
+    rows = [{"doc_id": int(docs[i]), "url": urls[i],
+             "score": float(final[i])} for i in order]
+    rows += [{"doc_id": int(d), "url": u, "score": float(s)}
+             for d, u, s in zip(tail["doc_id"], tail["url"],
+                                tail["score"])]
+    return pd.DataFrame(rows[:k], columns=["doc_id", "url", "score"])

@@ -357,6 +357,43 @@ def test_sort_by_field_search_after(spark, agg_index, tiny_pages,
         == [(v, d_) for v, d_ in dfull[5:10]]
 
 
+def test_sort_by_field_search_after_null_tail(spark, agg_index,
+                                              tiny_pages, oracle_tiny):
+    """The NULL tail is reachable (ES missing-value sentinel): a
+    non-null cursor admits the NULL rows, and a (None, doc_id) cursor
+    pages within the tail by doc_id tiebreak."""
+    from mongoesindexer_spark.operators.aggs import search_sort_by_field
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    hits = sorted(_hit_set(oracle_tiny, q))
+    assert len(hits) >= 4
+    # every other hit gets a NULL sort value
+    nullset = set(hits[1::2])
+    vals = pd.Series([None if d in nullset else int(100 + d)
+                      for d in range(len(rows))], dtype="Int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "sv": vals,
+    }))
+    nonnull = sorted((int(vals.iloc[d]), d) for d in hits
+                     if d not in nullset)
+    tail = sorted(d for d in hits if d in nullset)
+    # cursor = last non-null row: the remaining page is the NULL tail
+    cursor = (nonnull[-1][0], nonnull[-1][1])
+    page = search_sort_by_field(eng, docs, q, "sv", len(hits),
+                                search_after=cursor).toPandas()
+    assert [int(x) for x in page["doc_id"]] == tail
+    assert page["sv"].isna().all()
+    # (None, doc_id) cursor pages WITHIN the tail
+    if len(tail) > 1:
+        page2 = search_sort_by_field(
+            eng, docs, q, "sv", len(hits),
+            search_after=(None, tail[0])).toPandas()
+        assert [int(x) for x in page2["doc_id"]] == tail[1:]
+
+
 def test_significant_terms_agg(spark, agg_index, tiny_pages, oracle_tiny):
     from mongoesindexer_spark.operators.aggs import \
         search_significant_terms_agg

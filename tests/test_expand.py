@@ -181,3 +181,17 @@ def test_regexp_prefix_prune_soundness(tiny_engine, oracle_tiny):
     for pat in ("th.*|.park", "sp?ark", "spar{0,1}k", "s(p|t)ark"):
         want = sorted(t for t in vocab if re.fullmatch(pat, t))
         assert regexp_expand(tiny_engine, pat) == want, pat
+
+
+def test_regexp_prune_escapes_and_classes(tiny_engine, oracle_tiny):
+    """Escaped parens and parens inside character classes must not mask
+    a top-level '|' — the prune would keep a branch-local prefix and
+    silently drop the other branch's matches."""
+    from mongoesindexer_spark.operators.expand import regexp_expand
+    vocab = set(oracle_tiny.postings)
+    some = sorted(vocab)[0]          # a real vocab term for the branch
+    for pat in (rf"foo\(x|{some}", rf"x[(ab]y|{some}",
+                rf"a[^)]z|{some}", rf"q[\](]r|{some}"):
+        want = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert some in want          # the dropped-branch term exists
+        assert regexp_expand(tiny_engine, pat) == want, pat

@@ -120,5 +120,22 @@ def test_rescore_validation(spark, rs_index):
     with pytest.raises(ValueError, match="score_mode"):
         rescore_topk(spark, d, "common", "alpha beta", 5,
                      score_mode="sum")
-    with pytest.raises(ValueError, match="window_size"):
-        rescore_topk(spark, d, "common", "alpha beta", 10, window_size=5)
+
+
+def test_rescore_window_smaller_than_k(spark, rs_index):
+    """ES allows window_size < k: only the window is re-ranked; hits
+    below it keep primary score and order after the rescored window."""
+    from mongoesindexer_spark.operators.rescore import rescore_topk
+    from mongoesindexer_spark.operators.topk import get_engine
+    d, rows = rs_index
+    eng = get_engine(spark, d)
+    prim = eng.topk_wand("common alpha", 10)
+    got = rescore_topk(spark, d, "common alpha", "alpha beta", 10,
+                       window_size=4, rescore_query_weight=3.0)
+    assert len(got) == 10
+    # head = the 4 window docs (re-ranked); tail = primary order below
+    assert set(got["doc_id"].head(4)) == set(prim["doc_id"].head(4))
+    tail_got = got.iloc[4:]
+    tail_prim = prim.iloc[4:10]
+    assert list(tail_got["doc_id"]) == list(tail_prim["doc_id"])
+    assert np.allclose(tail_got["score"], tail_prim["score"])
