@@ -407,6 +407,25 @@ def q_ft_bm25_range_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+def q_ft_bm25_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bool: {must: match, must_not: {term}}`` — BM25 top-k
+    EXCLUDING docs whose normalized lang sub-field equals 'en' (the
+    ``deleted: false``-style exclusion the reference's mappings invite,
+    configs/ltd_doc.settings.json:164).  Non-scoring, like all filter
+    context; served through the WAND kernel with candidate-bounded
+    complement resolution (operators/topk.py MustNotClause — NULL
+    sub-fields survive the exclusion, exactly ES)."""
+    from mongoesindexer_spark.operators.topk import MustNotClause, get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).topk_wand(
+        BM25_QUERY, BM25_K, filter_field="lang",
+        filter_value=MustNotClause("en"), filter_normalized=True)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 def q_ft_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool.should ``minimum_should_match``: the flagship 3-term OR
     query restricted to docs matching ≥ 2 of the term clauses, through
@@ -1332,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_match_most": q_ft_multi_match_most,
         "ft_bm25_msm": q_ft_bm25_msm,
         "ft_bm25_range_filtered": q_ft_bm25_range_filtered,
+        "ft_bm25_must_not": q_ft_bm25_must_not,
         "ft_highlight": q_ft_highlight,
         "ft_search_terms_agg": q_ft_search_terms_agg,
         "ft_search_stats_agg": q_ft_search_stats_agg,
@@ -1598,6 +1618,13 @@ def oracle_sql() -> dict[str, str]:
             FROM scores
             WHERE doc_id IN (SELECT doc_id FROM documents
                              WHERE lower(strip_accents(lang)) = 'en')
+            ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        """,
+        "ft_bm25_must_not": bm25_scores.format(terms=terms) + f"""
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores
+            WHERE doc_id NOT IN (SELECT doc_id FROM documents
+                                 WHERE lower(strip_accents(lang)) = 'en')
             ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_bm25_segments_topk": bm25_scores.format(terms=terms) + f"""

@@ -198,6 +198,24 @@ class ExistsClause(__import__("typing").NamedTuple):
     kind: str = "keyword"
 
 
+class MustNotClause(__import__("typing").NamedTuple):
+    """ES ``bool.must_not`` in filter context (``bool: {must: match,
+    must_not: {...}}``): EXCLUDE docs matching the inner clause, never
+    affecting scores — the complement of the equivalent ``filter``
+    (ES executes must_not as a negated filter bitset).  ``inner`` is
+    any positive clause shape this engine's filter context accepts: a
+    term string, a ``terms`` list, a :class:`RangeClause`, or an
+    :class:`ExistsClause` (``MustNotClause(ExistsClause())`` is ES's
+    "field is missing").  Docs with a NULL/absent sub-field never match
+    the inner clause, so they SURVIVE the exclusion — exactly ES's
+    semantics (the reference's mappings invite this shape, e.g. a
+    ``deleted: false`` exclusion, configs/ltd_doc.settings.json:164).
+    Resolution stays candidate-bounded on every serving path: the
+    banned set is only ever materialized for the query's candidate doc
+    range, never the clause's corpus-wide match count."""
+    inner: object
+
+
 def _query_terms(query_text: str, cfg: AnalyzerConfig) -> list[str]:
     """Search-analyzer terms, deduplicated (a bool query of unique
     TermQueries — duplicate query terms do not double-score in ES)."""
@@ -365,14 +383,23 @@ class SearchEngine:
             sub, values = self._resolve_filter(filter_field, filter_value,
                                                filter_normalized)
             fsrc = read_fields(self.cat, self.spark)
-            if isinstance(values, RangeClause):
-                pred = F.col(sub).between(values.lo, values.hi)
-            elif isinstance(values, ExistsClause):
+            negate = isinstance(values, MustNotClause)
+            inner = values.inner if negate else values
+            if isinstance(inner, RangeClause):
+                pred = F.col(sub).between(inner.lo, inner.hi)
+            elif isinstance(inner, ExistsClause):
                 pred = F.col(sub).isNotNull()
             else:
-                pred = F.col(sub).isin(values)
-            keep = fsrc.filter(pred).select("doc_id")
-            flat = flat.join(keep, "doc_id", "semi")
+                pred = F.col(sub).isin(inner)
+            if negate:
+                # must_not: anti-join against the MATCHING set so
+                # NULL-sub-field docs survive (a negated predicate would
+                # drop them — NULL compares to NULL, not False)
+                drop = fsrc.filter(pred).select("doc_id")
+                flat = flat.join(drop, "doc_id", "left_anti")
+            else:
+                keep = fsrc.filter(pred).select("doc_id")
+                flat = flat.join(keep, "doc_id", "semi")
         if self.tombstones:
             ts = self.spark.createDataFrame(
                 [(int(d),) for d in self.tombstones], "doc_id long")
@@ -493,6 +520,13 @@ class SearchEngine:
         shared by every serving path so the clause means the same thing
         everywhere.  Returns ``(subcol, values)``."""
         from ..functions.analysis import normalize
+        if isinstance(value, MustNotClause):
+            # resolve the inner clause exactly as a positive filter
+            # (same sub-field checks, same analyzer folding), then wrap
+            # the resolved values back so serving paths see the negation
+            sub, inner = self._resolve_filter(field, value.inner,
+                                              normalized)
+            return sub, MustNotClause(inner)
         if isinstance(value, RangeClause):
             sub = f"{field}_num"
         elif isinstance(value, ExistsClause):
@@ -536,6 +570,12 @@ class SearchEngine:
         (:meth:`topk_segments`)."""
         if cand.size == 0:
             return cand.astype(np.int64)
+        if isinstance(values, MustNotClause):
+            # must_not = complement within the candidates: docs whose
+            # sub-field is NULL/absent never match the inner clause, so
+            # they survive — exactly ES (see MustNotClause)
+            banned = self._filter_allowed(cand, sub, values.inner)
+            return np.setdiff1d(cand.astype(np.int64), banned)
         pdf = self._rg_index("fields", "doc_id").read_isin(
             [int(d) for d in cand], ["doc_id", sub])
         if isinstance(values, RangeClause):
@@ -1100,27 +1140,48 @@ class SearchEngine:
                         # footer spans) and pushes range + value predicates
                         lo = min(int(r["first_doc"]) for r in recs)
                         hi = max(int(r["last_doc"]) for r in recs)
+                        negate = isinstance(filter_values, MustNotClause)
+                        fvals = filter_values.inner if negate \
+                            else filter_values
                         sel = [p for p, flo, fhi in fields_paths
                                if flo is None or not (fhi < lo or flo > hi)]
-                        if not sel:
+                        if not sel and not negate:
                             continue    # no fields rows in this doc range
-                        if isinstance(filter_values, RangeClause):
+                        if isinstance(fvals, RangeClause):
                             vpred = ((_pds.field(filter_sub)
-                                      >= filter_values.lo)
+                                      >= fvals.lo)
                                      & (_pds.field(filter_sub)
-                                        <= filter_values.hi))
-                        elif isinstance(filter_values, ExistsClause):
+                                        <= fvals.hi))
+                        elif isinstance(fvals, ExistsClause):
                             vpred = _pds.field(filter_sub).is_valid()
                         else:
-                            vpred = _pds.field(filter_sub).isin(filter_values)
+                            vpred = _pds.field(filter_sub).isin(fvals)
                         fexpr = (vpred
                                  & (_pds.field("doc_id") >= lo)
                                  & (_pds.field("doc_id") <= hi))
-                        ft = _pds.dataset(sel, format="parquet").to_table(
-                            filter=fexpr, columns=["doc_id"])
-                        allowed = frozenset(ft["doc_id"].to_pylist())
-                        if not allowed:
-                            continue    # no doc in range passes the filter
+                        match = np.empty(0, dtype=np.int64)
+                        if sel:
+                            ft = _pds.dataset(sel, format="parquet") \
+                                .to_table(filter=fexpr,
+                                          columns=["doc_id"])
+                            match = ft["doc_id"].to_numpy(
+                                zero_copy_only=False).astype(np.int64)
+                        if negate:
+                            # must_not: complement of the in-range
+                            # matching set, within THIS group's candidate
+                            # postings (arrays already decoded in-task,
+                            # so the complement is vectorized and range-
+                            # bounded, never corpus-bounded)
+                            cand = np.unique(np.concatenate(
+                                [_block_arrays(r)[0] for r in recs]))
+                            keep = cand[~np.isin(cand, match)]
+                            if keep.size == 0:
+                                continue
+                            allowed = frozenset(keep.tolist())
+                        else:
+                            allowed = frozenset(match.tolist())
+                            if not allowed:
+                                continue  # no in-range doc passes filter
                     ad = ad_bc.value
                     if ad is not None:
                         # this group's slice of the whitelist — doc-
