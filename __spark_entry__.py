@@ -687,6 +687,49 @@ def q_ft_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.col("doc_count").cast("long").alias("doc_count"))
 
 
+def q_ft_terms_avg_subagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` agg with metric sub-aggregations — the most common
+    ES agg composition (``aggs: {terms: {field: source}, aggs: {m:
+    {avg: n_chars}}}``): per source-bucket doc_count plus
+    avg/sum/min/max of n_chars over the flagship query's hit set, ES
+    bucket order.  One shuffle computes every metric together with the
+    counts (operators/aggs.py search_terms_metric_agg).  avg is
+    emitted as round(avg*1e4) over the exact integer sum/count so the
+    DuckDB oracle hashes identically."""
+    from mongoesindexer_spark.operators.aggs import search_terms_metric_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    out = search_terms_metric_agg(
+        get_engine(spark, idx), _read(spark, sf_dir, "documents"),
+        BM25_QUERY, "source", "n_chars",
+        metrics=("avg", "sum", "min", "max"), size=10)
+    return out.select(
+        "value", F.col("doc_count").cast("long").alias("doc_count"),
+        F.round(F.col("avg_n_chars") * 1e4).cast("long").alias("avg_e4"),
+        F.col("sum_n_chars").cast("long").alias("sum_nc"),
+        F.col("min_n_chars").cast("long").alias("min_nc"),
+        F.col("max_n_chars").cast("long").alias("max_nc"))
+
+
+RANGE_AGG_RANGES = [(None, 200.0), (200.0, 350.0), (350.0, None),
+                    (150.0, 400.0)]
+
+
+def q_ft_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` agg on ``n_chars`` over the flagship query's hit
+    set: named from-inclusive/to-exclusive buckets (open ends,
+    overlaps allowed, every declared bucket returned) — one conditional
+    global aggregate, N ranges ≠ N scans (operators/aggs.py
+    search_range_agg)."""
+    from mongoesindexer_spark.operators.aggs import search_range_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_range_agg(
+        get_engine(spark, idx), _read(spark, sf_dir, "documents"),
+        BM25_QUERY, "n_chars", RANGE_AGG_RANGES).select(
+        "key", F.col("doc_count").cast("long").alias("doc_count"))
+
+
 COMPOSITE_AFTER, COMPOSITE_SIZE = "src12", 5
 
 
@@ -1368,6 +1411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_cardinality": q_ft_cardinality,
         "ft_significant_terms": q_ft_significant_terms,
         "ft_filters_agg": q_ft_filters_agg,
+        "ft_terms_avg_subagg": q_ft_terms_avg_subagg,
+        "ft_range_agg": q_ft_range_agg,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
         "ft_sort_after": q_ft_sort_after,
@@ -1855,6 +1900,44 @@ def oracle_sql() -> dict[str, str]:
                    fg_df, bg_df
             FROM scored WHERE score > 0
             ORDER BY score DESC, term ASC LIMIT 10
+        """,
+        "ft_terms_avg_subagg": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            )
+            SELECT d.source AS value, count(*)::BIGINT AS doc_count,
+                   CAST(round(avg(d.n_chars) * 1e4) AS BIGINT) AS avg_e4,
+                   sum(d.n_chars)::BIGINT AS sum_nc,
+                   min(d.n_chars)::BIGINT AS min_nc,
+                   max(d.n_chars)::BIGINT AS max_nc
+            FROM documents d JOIN hits USING (doc_id)
+            WHERE d.source IS NOT NULL
+            GROUP BY 1 ORDER BY doc_count DESC, value ASC LIMIT 10
+        """,
+        "ft_range_agg": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            ), v AS (
+                SELECT d.n_chars AS nv
+                FROM documents d JOIN hits USING (doc_id)
+                WHERE d.n_chars IS NOT NULL
+            )
+            SELECT * FROM (
+                SELECT '*-200.0' AS "key",
+                       (count(*) FILTER (WHERE nv < 200))::BIGINT
+                           AS doc_count FROM v
+                UNION ALL SELECT '200.0-350.0',
+                       (count(*) FILTER (WHERE nv >= 200 AND nv < 350))::BIGINT
+                       FROM v
+                UNION ALL SELECT '350.0-*',
+                       (count(*) FILTER (WHERE nv >= 350))::BIGINT FROM v
+                UNION ALL SELECT '150.0-400.0',
+                       (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
+                       FROM v)
         """,
         "ft_filters_agg": f"""
             WITH tok AS (

@@ -94,6 +94,91 @@ def search_terms_agg(eng: SearchEngine, query_text: str, field: str,
             .limit(size))
 
 
+def search_terms_metric_agg(eng: SearchEngine, docs: DataFrame,
+                            query_text: str, group_field: str,
+                            num_col: str,
+                            metrics: tuple[str, ...] = ("avg",),
+                            size: int = 10, normalized: bool = False,
+                            mode: str = "or",
+                            min_should_match: int | None = None
+                            ) -> DataFrame:
+    """ES ``terms`` agg with METRIC SUB-AGGREGATIONS — the single most
+    common ES agg composition (``aggs: {terms: {...}, aggs: {m: {avg:
+    ...}}}``; the reference's integer mappings exist to serve it,
+    configs/cld_doc.config.json:324-331): per keyword bucket over the
+    hit set, ``doc_count`` plus the requested metrics of a numeric
+    source column, ES bucket order (count desc, value asc), top
+    ``size`` buckets.
+
+    ``metrics``: any of ``avg``/``sum``/``min``/``max`` — output
+    columns ``<metric>_<num_col>``.  NULL metric values are ignored by
+    the metrics but still counted in ``doc_count``, exactly ES (the
+    sub-agg reports its own smaller count; here doc_count is the
+    bucket's).
+
+    One shuffle derives the hit set, one computes every bucket's
+    doc_count AND all metrics together (map-side partial aggregation) —
+    adding metrics costs zero extra passes over the same two-phase
+    shape ES executes per shard + coordinator merge."""
+    from .build_index import read_fields
+    allowed = ("avg", "sum", "min", "max")
+    bad = [m for m in metrics if m not in allowed]
+    if bad or not metrics:
+        raise ValueError(f"metrics must be non-empty, each of {allowed}")
+    sub = f"{group_field}_{'normalized' if normalized else 'keyword'}"
+    fields = read_fields(eng.cat, eng.spark).select("doc_id", sub)
+    hits = match_set(eng, query_text, mode, min_should_match)
+    scoped = (docs.select("doc_id", num_col)
+              .join(hits, "doc_id", "semi")
+              .join(fields, "doc_id")
+              .filter(F.col(sub).isNotNull()))
+    aggs = [F.count("*").alias("doc_count")]
+    for m in metrics:
+        fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[m]
+        aggs.append(fn(num_col).alias(f"{m}_{num_col}"))
+    return (scoped.groupBy(F.col(sub).alias("value")).agg(*aggs)
+            .orderBy(F.desc("doc_count"), F.asc("value")).limit(size))
+
+
+def search_range_agg(eng: SearchEngine, docs: DataFrame, query_text: str,
+                     num_col: str,
+                     ranges: "list[tuple[float | None, float | None]]",
+                     mode: str = "or",
+                     min_should_match: int | None = None) -> DataFrame:
+    """ES ``range`` agg: named bucket ranges over a numeric doc value
+    of the hit set — the faceting companion to the histogram, ES bucket
+    key format (``*-100.0``, ``100.0-200.0``, ``200.0-*``; ``from``
+    inclusive, ``to`` exclusive).  Unlike the histogram, EVERY declared
+    bucket is returned (ES range aggs have no min_doc_count) and ranges
+    MAY overlap — a doc counts in each range containing it.
+
+    One pass: each range is a conditional sum inside a single global
+    aggregate (map-side partials), then the one-row result unpivots to
+    (key, doc_count) rows via ``stack`` — N ranges never cost N scans,
+    and nothing hit-set-sized reaches the driver."""
+    if not ranges:
+        raise ValueError("range agg needs at least one range")
+    hits = match_set(eng, query_text, mode, min_should_match)
+    scoped = (docs.select("doc_id", num_col).join(hits, "doc_id", "semi")
+              .filter(F.col(num_col).isNotNull()))
+    aggs, keys = [], []
+    for i, (frm, to) in enumerate(ranges):
+        cond = F.lit(True)
+        if frm is not None:
+            cond = cond & (F.col(num_col) >= float(frm))
+        if to is not None:
+            cond = cond & (F.col(num_col) < float(to))
+        # coalesce: an empty hit set must yield 0-count buckets, not NULL
+        aggs.append(F.coalesce(F.sum(F.when(cond, 1).otherwise(0)),
+                               F.lit(0)).cast("long").alias(f"_b{i}"))
+        keys.append(f"{'*' if frm is None else float(frm)}-"
+                    f"{'*' if to is None else float(to)}")
+    row = scoped.agg(*aggs)
+    stack = ", ".join(f"'{k}', _b{i}" for i, k in enumerate(keys))
+    return row.select(F.expr(
+        f"stack({len(keys)}, {stack}) AS (key, doc_count)"))
+
+
 def search_histogram_agg(eng: SearchEngine, docs: DataFrame,
                          query_text: str, num_col: str, interval: int,
                          mode: str = "or",
@@ -259,24 +344,51 @@ def search_filters_agg(eng: SearchEngine,
                        filters: dict[str, tuple[str, str]]) -> DataFrame:
     """ES ``filters`` agg: one named bucket per filter query, each
     bucket's doc_count = that query's hit-set cardinality, bucket name
-    ascending.  Each named filter runs its own term-pushed scan (they
-    are independent queries, exactly ES's per-filter bitset); the union
-    of one-row counts is driver-trivial.
+    ascending.  ``filters``: ``{bucket_name: (query_text, mode)}``.
 
-    ``filters``: ``{bucket_name: (query_text, mode)}``.
+    SINGLE segment pass, like ES's per-segment evaluation of all filter
+    bitsets at once: ONE postings scan pushed to the union of every
+    bucket's terms, one doc_id aggregation computing each bucket's
+    matched-term count, then each bucket's predicate (``or``: ≥1
+    matched, ``and``: all matched) as a conditional sum in one global
+    aggregate — N buckets never cost N scans (a 20-filter dashboard
+    pays one pass, not 20).  The one-row result unpivots driver-trivially
+    via ``stack``; buckets whose query analyzes to no live terms count 0.
     """
     if not filters:
         raise ValueError("filters agg needs at least one named filter")
-    parts = []
-    for name in sorted(filters):
-        q, mode = filters[name]
-        parts.append(match_set(eng, q, mode)
-                     .agg(F.count("*").alias("doc_count"))
-                     .select(F.lit(name).alias("bucket"), "doc_count"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("bucket")
+    from .build_index import read_flat
+    names = sorted(filters)
+    terms_by = {n: _query_terms(filters[n][0], eng.cfg) for n in names}
+    union_terms = sorted({t for ts in terms_by.values() for t in ts})
+    if not union_terms:
+        row = eng.spark.range(1)
+    else:
+        flat = (read_flat(eng.cat, eng.spark)
+                .filter(F.col("term").isin(union_terms))
+                .select("term", "doc_id"))
+        if eng.tombstones:
+            ts = eng.spark.createDataFrame(
+                [(int(d),) for d in sorted(eng.tombstones)], "doc_id long")
+            flat = flat.join(F.broadcast(ts), "doc_id", "left_anti")
+        counts = [F.sum(F.when(F.col("term").isin(ts), 1).otherwise(0))
+                  .alias(f"_n{i}") if ts else F.lit(0).alias(f"_n{i}")
+                  for i, ts in enumerate(terms_by[n] for n in names)]
+        perdoc = flat.groupBy("doc_id").agg(*counts)
+        conds = []
+        for i, n in enumerate(names):
+            q, mode = filters[n]
+            need = len(terms_by[n]) if mode == "and" else 1
+            hit = (F.col(f"_n{i}") >= need) if terms_by[n] else F.lit(False)
+            conds.append(F.coalesce(F.sum(F.when(hit, 1).otherwise(0)),
+                                    F.lit(0)).cast("long").alias(f"_b{i}"))
+        row = perdoc.agg(*conds)
+    stack = ", ".join(
+        f"'{n}', " + (f"_b{i}" if union_terms else "CAST(0 AS BIGINT)")
+        for i, n in enumerate(names))
+    return (row.select(F.expr(
+        f"stack({len(names)}, {stack}) AS (bucket, doc_count)"))
+        .orderBy("bucket"))
 
 
 def _after_predicate(cols, after):
@@ -339,6 +451,41 @@ def search_composite_agg(eng: SearchEngine, query_text: str,
     return keyed.orderBy(*order).limit(size)
 
 
+def _driver_hit_ids(eng: SearchEngine, terms: list[str], mode: str,
+                    min_should_match: int | None) -> "object | None":
+    """The query's hit-set doc_ids computed DRIVER-SIDE from the decoded
+    posting blocks — exactly the candidate set the serving kernels
+    decode — or None when the candidate posting count exceeds
+    SEGMENT_FANOUT_CUTOFF (the engine's one cost model for what may
+    materialize on the driver).  Tombstone-masked.  Used by aggs whose
+    distributed shape can replace a shuffled semi-join with a broadcast
+    of these ids when the hit set is kernel-bounded."""
+    import numpy as np
+
+    from .topk import SEGMENT_FANOUT_CUTOFF, _block_arrays
+    from ..functions.encode import decode_blocks_into
+    meta = eng._term_meta(terms)
+    live = [t for t in terms if meta.get(t) is not None]
+    if not live:
+        return np.empty(0, dtype=np.int64)
+    if sum(meta[t][1] for t in live) >= SEGMENT_FANOUT_CUTOFF:
+        return None
+    by_term = eng._term_blocks(live)
+    decode_blocks_into([b for bl in by_term.values() for b in bl
+                        if "_arrs" not in b])
+    per_term = [np.concatenate([_block_arrays(b)[0] for b in bl])
+                for bl in by_term.values() if bl]
+    if not per_term:
+        return np.empty(0, dtype=np.int64)
+    ids, counts = np.unique(np.concatenate(per_term), return_counts=True)
+    need = len(terms) if mode == "and" else (min_should_match or 1)
+    ids = ids[counts >= need]
+    if eng.tombstones:
+        ids = ids[~np.isin(ids, np.fromiter(eng.tombstones,
+                                            dtype=np.int64))]
+    return ids.astype(np.int64)
+
+
 def search_significant_terms_agg(eng: SearchEngine, query_text: str,
                                  size: int = 10, mode: str = "or",
                                  min_should_match: int | None = None
@@ -349,20 +496,51 @@ def search_significant_terms_agg(eng: SearchEngine, query_text: str,
     score desc / term asc, top ``size``.
 
     Foreground df comes from the postings scan semi-joined to the hit
-    set (one shuffled count per term — partial-aggregated map-side);
-    background df is the term_dict broadcast — NO second corpus pass,
-    the same reuse the index build's stats assembly does.  n_docs /
-    hit count are scalar aggregates."""
+    set; background df is the term_dict — NO second corpus pass, the
+    same reuse the index build's stats assembly does.  n_docs / hit
+    count are scalar aggregates.
+
+    Plan shape is hit-set-bounded where it can be: when the query's
+    candidate postings fit the kernel locus (< SEGMENT_FANOUT_CUTOFF),
+    the hit ids are computed driver-side from the already-decoded
+    blocks and BROADCAST, so the corpus-sized postings scan is filtered
+    map-side (doc_id range pushed to parquet + broadcast hash semi) and
+    NEVER shuffles — the shuffled-semi-join alternative re-partitions
+    the whole postings table by doc_id per query.  Above the cutoff the
+    distributed match_set semi-join shape stays (both sides genuinely
+    large; AQE picks the join strategy).  The residual full-scan cost
+    of the foreground pass is the term-keyed-layout price ES avoids
+    with doc-keyed fielddata; a doc-keyed postings mirror would bound
+    it and is a documented design note, not a default, since it doubles
+    index storage."""
     from .build_index import read_flat
     if size <= 0:
         raise ValueError("size must be positive")
-    hits = match_set(eng, query_text, mode, min_should_match)
-    # the hit count rides the SAME plan as a broadcast one-row frame —
-    # no eager driver job, the whole agg stays one lazy DataFrame
-    nfg = hits.agg(F.count("*").cast("double").alias("nfg"))
-    fg = (read_flat(eng.cat, eng.spark).select("term", "doc_id")
-          .join(hits, "doc_id", "semi")
-          .groupBy("term").agg(F.count("*").alias("fg_df")))
+    terms = _query_terms(query_text, eng.cfg)
+    ids = _driver_hit_ids(eng, terms, mode, min_should_match) if terms \
+        else None
+    if ids is not None:
+        import pandas as pd
+        if ids.size == 0:
+            return eng.spark.createDataFrame(
+                [], "term string, score double, fg_df long, bg_df long")
+        hits = eng.spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids}))
+        nfg = eng.spark.createDataFrame(
+            [(float(ids.size),)], "nfg double")
+        fg = (read_flat(eng.cat, eng.spark).select("term", "doc_id")
+              .filter(F.col("doc_id").between(int(ids.min()),
+                                              int(ids.max())))
+              .join(F.broadcast(hits), "doc_id", "semi")
+              .groupBy("term").agg(F.count("*").alias("fg_df")))
+    else:
+        hits = match_set(eng, query_text, mode, min_should_match)
+        # the hit count rides the SAME plan as a broadcast one-row
+        # frame — no eager driver job, the agg stays one lazy DataFrame
+        nfg = hits.agg(F.count("*").cast("double").alias("nfg"))
+        fg = (read_flat(eng.cat, eng.spark).select("term", "doc_id")
+              .join(hits, "doc_id", "semi")
+              .groupBy("term").agg(F.count("*").alias("fg_df")))
     bg = eng.cat.read(eng.spark, "term_dict").select(
         "term", F.col("df").alias("bg_df"))
     fg_pct = F.col("fg_df") / F.col("nfg")

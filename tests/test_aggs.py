@@ -249,6 +249,114 @@ def test_filters_agg(spark, agg_index, oracle_tiny):
         search_filters_agg(eng, {})
 
 
+def test_filters_agg_disjoint_and_dead_buckets(spark, agg_index,
+                                               oracle_tiny):
+    """Single-pass filters agg: buckets with different term sets stay
+    independent; a bucket whose query has no live terms counts 0."""
+    from mongoesindexer_spark.operators.aggs import search_filters_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    got = search_filters_agg(eng, {
+        "a": ("udrndau", "or"), "b": ("atreq kni", "and"),
+        "dead": ("zzznotaterm", "or")}).toPandas()
+    want = [("a", len(_hit_set(oracle_tiny, "udrndau"))),
+            ("b", len(_hit_set(oracle_tiny, "atreq kni", mode="and"))),
+            ("dead", 0)]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_terms_metric_subagg_matches_bruteforce(spark, agg_index,
+                                                tiny_pages, oracle_tiny):
+    """ES terms + metric sub-aggs: per-bucket avg/sum/min/max of a
+    numeric column, doc_count per bucket, ES bucket order."""
+    from mongoesindexer_spark.operators.aggs import search_terms_metric_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    nchars = rows["text"].map(
+        lambda t: len(t) if isinstance(t, str) else 0).astype("int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "n_chars": nchars,
+    }))
+    got = search_terms_metric_agg(
+        eng, docs, q, "lang", "n_chars",
+        metrics=("avg", "sum", "min", "max"), size=5).toPandas()
+    hits = _hit_set(oracle_tiny, q)
+    by_lang = {}
+    for d in hits:
+        lg = rows["lang"].iloc[d]
+        if lg is None or pd.isna(lg):
+            continue
+        by_lang.setdefault(lg, []).append(int(nchars.iloc[d]))
+    want = sorted(((lg, vs) for lg, vs in by_lang.items()),
+                  key=lambda x: (-len(x[1]), x[0]))[:5]
+    assert list(got["value"]) == [lg for lg, _ in want]
+    for r, (_, vs) in zip(got.itertuples(), want):
+        assert r.doc_count == len(vs)
+        assert abs(r.avg_n_chars - sum(vs) / len(vs)) < 1e-9
+        assert r.sum_n_chars == sum(vs)
+        assert r.min_n_chars == min(vs)
+        assert r.max_n_chars == max(vs)
+    with pytest.raises(ValueError):
+        search_terms_metric_agg(eng, docs, q, "lang", "n_chars",
+                                metrics=("median",))
+
+
+def test_range_agg_matches_bruteforce(spark, agg_index, tiny_pages,
+                                      oracle_tiny):
+    """ES range agg: from-inclusive / to-exclusive, open ends,
+    overlapping ranges allowed, every declared bucket returned (empty
+    ⇒ 0), NULL values ignored."""
+    from mongoesindexer_spark.operators.aggs import search_range_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    vals = pd.Series([None if i % 7 == 0 else
+                      len(rows["text"].iloc[i] or "")
+                      for i in range(len(rows))], dtype="Int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "nv": vals,
+    }))
+    ranges = [(None, 300.0), (250.0, 400.0), (400.0, None),
+              (10_000.0, None)]           # overlap + guaranteed-empty
+    got = search_range_agg(eng, docs, q, "nv", ranges).toPandas()
+    hits = _hit_set(oracle_tiny, q)
+    hv = [int(vals.iloc[d]) for d in hits if not pd.isna(vals.iloc[d])]
+    want = [("*-300.0", sum(1 for v in hv if v < 300)),
+            ("250.0-400.0", sum(1 for v in hv if 250 <= v < 400)),
+            ("400.0-*", sum(1 for v in hv if v >= 400)),
+            ("10000.0-*", 0)]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert want[-1][1] == 0
+    with pytest.raises(ValueError):
+        search_range_agg(eng, docs, q, "nv", [])
+
+
+def test_significant_terms_loci_agree(spark, agg_index, oracle_tiny,
+                                      monkeypatch):
+    """The driver-broadcast fast path and the distributed semi-join
+    shape return identical buckets (the cutoff only moves the locus)."""
+    import mongoesindexer_spark.operators.topk as topk_mod
+    from mongoesindexer_spark.operators.aggs import \
+        search_significant_terms_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    n = len(oracle_tiny.doc_len)
+    q = sorted(t for t, ds in oracle_tiny.postings.items()
+               if 5 <= len(ds) <= n // 4)[0]
+    fast = search_significant_terms_agg(eng, q, size=8).toPandas()
+    monkeypatch.setattr(topk_mod, "SEGMENT_FANOUT_CUTOFF", 1)
+    dist = search_significant_terms_agg(eng, q, size=8).toPandas()
+    assert list(fast["term"]) == list(dist["term"])
+    assert list(fast["fg_df"]) == list(dist["fg_df"])
+    assert list(fast["bg_df"]) == list(dist["bg_df"])
+    assert np.allclose(fast["score"], dist["score"])
+
+
 def test_composite_agg_pages_cover_bucket_space(spark, agg_index,
                                                 tiny_pages, oracle_tiny):
     from mongoesindexer_spark.operators.aggs import search_composite_agg
