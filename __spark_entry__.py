@@ -711,6 +711,41 @@ def q_ft_terms_avg_subagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_n_chars").cast("long").alias("max_nc"))
 
 
+SUGGEST_INPUT = "table scal"     # 'scal' is OOV at every sf; candidates
+                                 # scan (dist 1, bigram-backed) + small
+
+
+def q_ft_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``phrase`` suggester (operators/suggest.py): single-slot
+    corrections of 'table scal' ranked by the Stupid-Backoff bigram
+    model over EXACT bigram cfs from positional postings.  The gate
+    emits the integer scoring inputs (dist, cand_cf, big_cf) plus an
+    EXACT integer rank key — score × T² × 10 (bigram path: big_cf·T·10;
+    backoff path: 4·cf_prev·cand_cf, α=0.4 → ×10 keeps integrality) —
+    so the oracle hashes with no float transcendentals."""
+    import numpy as np
+    import pandas as _pd
+    from mongoesindexer_spark.operators.suggest import (_total_tokens,
+                                                        _unigram_stats,
+                                                        phrase_suggest)
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = phrase_suggest(spark, idx, SUGGEST_INPUT, size=5)
+    eng = get_engine(spark, idx)
+    prev = SUGGEST_INPUT.split()[0]
+    cf_prev = _unigram_stats(eng, [prev])[prev][0]
+    total = _total_tokens(eng)
+    big = pdf["big_cf"].to_numpy("int64")
+    cand = pdf["cand_cf"].to_numpy("int64")
+    key = np.where(big > 0, big * total * 10, 4 * cf_prev * cand)
+    out = _pd.DataFrame({
+        "suggestion": pdf["suggestion"], "dist": pdf["dist"],
+        "cand_cf": cand, "big_cf": big, "score_key": key})
+    return spark.createDataFrame(
+        out, schema="suggestion string, dist long, cand_cf long, "
+                    "big_cf long, score_key long")
+
+
 RANGE_AGG_RANGES = [(None, 200.0), (200.0, 350.0), (350.0, None),
                     (150.0, 400.0)]
 
@@ -1413,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_filters_agg": q_ft_filters_agg,
         "ft_terms_avg_subagg": q_ft_terms_avg_subagg,
         "ft_range_agg": q_ft_range_agg,
+        "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
         "ft_sort_after": q_ft_sort_after,
@@ -1938,6 +1974,39 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT '150.0-400.0',
                        (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
                        FROM v)
+        """,
+        "ft_phrase_suggest": f"""
+            WITH toksl AS (
+                SELECT doc_id, {_TOK_DD} AS t FROM documents
+            ), uni AS (
+                SELECT term, count(*)::BIGINT AS cf
+                FROM (SELECT unnest(t) AS term FROM toksl) GROUP BY 1
+            ), tot AS (
+                SELECT sum(len(t))::BIGINT AS total FROM toksl
+            ), big AS (
+                SELECT nxt AS term, count(*)::BIGINT AS big_cf FROM (
+                    SELECT unnest(list_transform(
+                        list_filter(range(1, len(t)),
+                                    i -> t[i] = 'table'),
+                        i -> t[i+1])) AS nxt FROM toksl) GROUP BY 1
+            ), prevcf AS (
+                SELECT cf AS cf_prev FROM uni WHERE term = 'table'
+            ), cand AS (
+                SELECT term, cf,
+                       levenshtein(term, 'scal')::BIGINT AS dist
+                FROM uni
+                WHERE substr(term, 1, 1) = 's' AND term <> 'scal'
+                  AND levenshtein(term, 'scal') <= 2
+            )
+            SELECT 'table ' || c.term AS suggestion, c.dist,
+                   c.cf AS cand_cf,
+                   COALESCE(b.big_cf, 0)::BIGINT AS big_cf,
+                   (CASE WHEN COALESCE(b.big_cf, 0) > 0
+                         THEN COALESCE(b.big_cf, 0) * t.total * 10
+                         ELSE 4 * p.cf_prev * c.cf END)::BIGINT
+                       AS score_key
+            FROM cand c LEFT JOIN big b USING (term)
+            CROSS JOIN tot t CROSS JOIN prevcf p
         """,
         "ft_filters_agg": f"""
             WITH tok AS (
