@@ -408,6 +408,10 @@ def main() -> None:
         "ft_term_suggest", "ft_more_like_this", "ft_rescore",
         "ft_composite_multi", "ft_sort_after", "ft_regexp_match",
         "ft_phrase_prefix",
+        # round-5 surfaces: must_not exclusion, terms+metric sub-aggs,
+        # range agg, phrase suggester
+        "ft_bm25_must_not", "ft_terms_avg_subagg", "ft_range_agg",
+        "ft_phrase_suggest",
     ]
     qs = entry_mod.queries()
     for name in suite:

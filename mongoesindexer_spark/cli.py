@@ -11,7 +11,11 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
              [--min-should M]                # ES minimum_should_match
              [--fuzzy AUTO|N]                # ES fuzzy term query
              [--wildcard]                    # ES wildcard (--q is a glob)
+             [--must-not lang:en]            # ES bool.must_not exclusion
+             [--must-not-exists tag]         # ES must_not exists (missing)
   ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
+  ... suggest-phrase --index /path/index --q "table scal" [--size 3]
+                     [--always] [--collate]  # ES phrase suggester
   ... keyword --index /path/index --field lang --value EN [--normalized]  # term query (T8)
   ... count  --index /path/index --q "terms"    # ES _count (full hit set)
   ... explain --index /path/index --q "terms" --doc 42  # ES _explain
@@ -87,6 +91,31 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--filter-normalized", action="store_true",
                    help="match the filter on <field>.normalized (values "
                         "folded through keyword/lowercase/asciifold)")
+    q.add_argument("--must-not", default=None,
+                   metavar="FIELD:VALUE[,VALUE…]",
+                   help="ES bool.must_not: EXCLUDE docs whose keyword "
+                        "sub-field equals one of the values (non-scoring "
+                        "complement; docs missing the sub-field survive)")
+    q.add_argument("--must-not-exists", default=None, metavar="FIELD",
+                   help="ES must_not exists: keep only docs MISSING the "
+                        "sub-field's doc value")
+
+    sp = sub.add_parser("suggest-phrase",
+                        help="ES phrase suggester: whole-input "
+                             "did-you-mean, single-slot corrections "
+                             "ranked by a Stupid-Backoff bigram model "
+                             "from positional postings (Q35)")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--q", required=True)
+    sp.add_argument("--size", type=int, default=3)
+    sp.add_argument("--max-edits", type=int, default=2)
+    sp.add_argument("--always", action="store_true",
+                    help="suggest_mode=always: correct in-vocabulary "
+                         "slots too (real-word errors); default only "
+                         "out-of-vocabulary slots")
+    sp.add_argument("--collate", action="store_true",
+                    help="keep only suggestions whose corrected bigrams "
+                         "occur in the corpus")
 
     sg = sub.add_parser("suggest",
                         help="completion suggester (T7): top-k terms for "
@@ -227,6 +256,23 @@ def main(argv: list[str] | None = None) -> int:
                 fv = RangeClause(int(lo), int(hi))
             except ValueError:
                 raise SystemExit("--filter-range wants FIELD:LO:HI")
+        if args.must_not or args.must_not_exists:
+            from .operators.topk import ExistsClause, MustNotClause
+            if ff is not None:
+                raise SystemExit("--must-not composes with neither "
+                                 "--filter nor --filter-range (one "
+                                 "filter clause per query)")
+            if args.must_not and args.must_not_exists:
+                raise SystemExit("--must-not and --must-not-exists are "
+                                 "exclusive")
+            if args.must_not:
+                ff, _, vals = args.must_not.partition(":")
+                if not _ or not vals:
+                    raise SystemExit(
+                        "--must-not wants FIELD:VALUE[,VALUE…]")
+                fv = MustNotClause(vals.split(","))
+            else:
+                ff, fv = args.must_not_exists, MustNotClause(ExistsClause())
         if args.wildcard:
             # constant-score doc set: none of the scoring-path flags apply
             if (ff is not None or args.min_should is not None
@@ -323,6 +369,15 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.topk import get_engine
         pdf = get_engine(spark, args.index).suggest(args.prefix, args.k)
         print(pdf.to_string(index=False))
+    elif args.cmd == "suggest-phrase":
+        from .operators.suggest import phrase_suggest
+        pdf = phrase_suggest(
+            spark, args.index, args.q, size=args.size,
+            max_edits=args.max_edits,
+            suggest_mode="always" if args.always else "missing",
+            collate=args.collate)
+        print(pdf.to_string(index=False,
+                            float_format=lambda v: f"{v:.17g}"))
     elif args.cmd == "keyword":
         from .operators.topk import get_engine
         pdf = get_engine(spark, args.index).keyword_term(

@@ -156,3 +156,40 @@ def test_cli_phrase_prefix(spark, tmp_path, capsys):
     with _pt.raises(SystemExit):
         main(["query", "--index", d, "--q", "alpha bet",
               "--phrase-prefix", "--phrase"])
+
+
+def test_cli_must_not_and_suggest_phrase(spark, tmp_path, capsys):
+    import pandas as pd
+    from mongoesindexer_spark.cli import main
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+
+    d = str(tmp_path / "idxmn")
+    rows = [(f"u{i}", "apache spark data " + ("spare " if i % 2 else "")
+             + f"wz{chr(97 + i)}", "t0" if i % 3 == 0 else None)
+            for i in range(9)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text", "tag"]))
+    IndexBuilder(d, n_buckets=2, keyword_fields=("tag",),
+                 index_positions=True).build(spark, df)
+    # must_not term: t0-tagged docs excluded, NULL-tag docs kept
+    rc = main(["query", "--index", d, "--q", "data", "--wand",
+               "--must-not", "tag:t0", "--k", "9"])
+    out = capsys.readouterr().out
+    assert rc in (0, None) and "u0" not in out.split() and "u1" in out
+    # must_not exists: only docs MISSING tag remain
+    rc = main(["query", "--index", d, "--q", "data", "--wand",
+               "--must-not-exists", "tag", "--k", "9"])
+    out = capsys.readouterr().out
+    assert rc in (0, None) and "u3" not in out.split() and "u1" in out
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["query", "--index", d, "--q", "data",
+              "--must-not", "tag:t0", "--filter", "tag:t0"])
+    with _pt.raises(SystemExit):
+        main(["query", "--index", d, "--q", "data",
+              "--must-not", "tag:t0", "--must-not-exists", "tag"])
+    # phrase suggester over the CLI
+    rc = main(["suggest-phrase", "--index", d, "--q", "apache sparc",
+               "--size", "3"])
+    out = capsys.readouterr().out
+    assert rc in (0, None) and "apache spark" in out
