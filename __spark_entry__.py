@@ -711,6 +711,29 @@ def q_ft_terms_avg_subagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_n_chars").cast("long").alias("max_nc"))
 
 
+def q_ft_bm25_bool_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ES bool filter context — SEVERAL clauses together
+    (``bool: {must: match, filter: [term], must_not: [range]}``): BM25
+    top-k restricted to normalized lang='en' AND excluding docs with
+    n_chars in [RANGE_LO, RANGE_HI].  Clause conjunction folds
+    candidate-bounded on the driver kernel and per-task on the fan-out
+    (operators/topk.py `filters` param; test_bool_filters.py pins all
+    four serving paths)."""
+    from mongoesindexer_spark.operators.topk import (MustNotClause,
+                                                     RangeClause,
+                                                     get_engine)
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).topk_wand(
+        BM25_QUERY, BM25_K,
+        filters=[("lang", "en", True),
+                 ("n_chars", MustNotClause(RangeClause(RANGE_LO,
+                                                       RANGE_HI)))])
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 SUGGEST_INPUT = "table scal"     # 'scal' is OOV at every sf; candidates
                                  # scan (dist 1, bigram-backed) + small
 
@@ -1449,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_avg_subagg": q_ft_terms_avg_subagg,
         "ft_range_agg": q_ft_range_agg,
         "ft_phrase_suggest": q_ft_phrase_suggest,
+        "ft_bm25_bool_filters": q_ft_bm25_bool_filters,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
         "ft_sort_after": q_ft_sort_after,
@@ -1974,6 +1998,16 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT '150.0-400.0',
                        (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
                        FROM v)
+        """,
+        "ft_bm25_bool_filters": bm25_scores.format(terms=terms) + f"""
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores
+            WHERE doc_id IN (SELECT doc_id FROM documents
+                             WHERE lower(strip_accents(lang)) = 'en')
+              AND doc_id NOT IN (SELECT doc_id FROM documents
+                                 WHERE n_chars BETWEEN {RANGE_LO}
+                                                   AND {RANGE_HI})
+            ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_phrase_suggest": f"""
             WITH toksl AS (

@@ -364,7 +364,8 @@ class SearchEngine:
                 filter_field: str | None = None,
                 filter_value=None,
                 filter_normalized: bool = False,
-                min_should_match: int | None = None) -> DataFrame:
+                min_should_match: int | None = None,
+                filters: "list[tuple] | None" = None) -> DataFrame:
         """``search_after``: deep-paging cursor (see :meth:`topk_wand`).
         On this analytics path the cursor's score equality is only exact
         against scores from the SAME path (Spark float aggregation order
@@ -379,27 +380,28 @@ class SearchEngine:
         _check_k(k)
         terms = _query_terms(query_text, self.cfg)
         flat = read_flat(self.cat, self.spark).filter(F.col("term").isin(terms))
-        if filter_field is not None:
-            sub, values = self._resolve_filter(filter_field, filter_value,
-                                               filter_normalized)
+        flt_list = self._resolve_filter_list(filter_field, filter_value,
+                                             filter_normalized, filters)
+        if flt_list:
             fsrc = read_fields(self.cat, self.spark)
-            negate = isinstance(values, MustNotClause)
-            inner = values.inner if negate else values
-            if isinstance(inner, RangeClause):
-                pred = F.col(sub).between(inner.lo, inner.hi)
-            elif isinstance(inner, ExistsClause):
-                pred = F.col(sub).isNotNull()
-            else:
-                pred = F.col(sub).isin(inner)
-            if negate:
-                # must_not: anti-join against the MATCHING set so
-                # NULL-sub-field docs survive (a negated predicate would
-                # drop them — NULL compares to NULL, not False)
-                drop = fsrc.filter(pred).select("doc_id")
-                flat = flat.join(drop, "doc_id", "left_anti")
-            else:
-                keep = fsrc.filter(pred).select("doc_id")
-                flat = flat.join(keep, "doc_id", "semi")
+            for sub, values in flt_list:
+                negate = isinstance(values, MustNotClause)
+                inner = values.inner if negate else values
+                if isinstance(inner, RangeClause):
+                    pred = F.col(sub).between(inner.lo, inner.hi)
+                elif isinstance(inner, ExistsClause):
+                    pred = F.col(sub).isNotNull()
+                else:
+                    pred = F.col(sub).isin(inner)
+                if negate:
+                    # must_not: anti-join against the MATCHING set so
+                    # NULL-sub-field docs survive (a negated predicate
+                    # would drop them — NULL compares to NULL, not False)
+                    drop = fsrc.filter(pred).select("doc_id")
+                    flat = flat.join(drop, "doc_id", "left_anti")
+                else:
+                    keep = fsrc.filter(pred).select("doc_id")
+                    flat = flat.join(keep, "doc_id", "semi")
         if self.tombstones:
             ts = self.spark.createDataFrame(
                 [(int(d),) for d in self.tombstones], "doc_id long")
@@ -553,6 +555,37 @@ class SearchEngine:
             values = [normalize(v) for v in values]
         return sub, sorted(set(values))
 
+    def _resolve_filter_list(self, filter_field, filter_value,
+                             filter_normalized,
+                             filters) -> "list[tuple[str, object]] | None":
+        """Merge the legacy single-clause args and the ``filters`` list
+        into one resolved ``[(subcol, values), ...]`` CONJUNCTION — the
+        full ES ``bool`` filter context, where several ``filter`` and
+        ``must_not`` clauses apply together.  ``filters`` elements are
+        ``(field, value)`` or ``(field, value, normalized)``; each value
+        is any clause shape ``_resolve_filter`` accepts (term, terms
+        list, RangeClause, ExistsClause, MustNotClause)."""
+        out = []
+        if filter_field is not None:
+            out.append(self._resolve_filter(filter_field, filter_value,
+                                            filter_normalized))
+        for c in (filters or []):
+            f, v, *n = c
+            out.append(self._resolve_filter(f, v, bool(n[0]) if n
+                                            else False))
+        return out or None
+
+    def _filter_allowed_list(self, cand: "np.ndarray",
+                             clauses) -> "np.ndarray":
+        """Conjunction fold of :meth:`_filter_allowed` — each clause
+        restricts the previous clause's survivors, so cost stays
+        candidate-bounded and shrinks per clause."""
+        for sub, values in clauses:
+            if cand.size == 0:
+                break
+            cand = self._filter_allowed(cand, sub, values)
+        return cand
+
     def _filter_allowed(self, cand: "np.ndarray", sub: str,
                         values: list) -> "np.ndarray":
         """ES filter-context resolution, CANDIDATE-BOUNDED: the sorted
@@ -655,7 +688,8 @@ class SearchEngine:
                   filter_value=None,
                   filter_normalized: bool = False,
                   analyzed_terms: list[str] | None = None,
-                  min_should_match: int | None = None
+                  min_should_match: int | None = None,
+                  filters: "list[tuple] | None" = None
                   ) -> pd.DataFrame:
         """Top-k over the encoded blocks, cost-based (Lucene-style): when
         the candidate postings are few (< EXHAUSTIVE_CUTOFF), decode them
@@ -726,9 +760,8 @@ class SearchEngine:
         # never reach len(analyzed))
         if not terms or (mode == "and" and len(terms) < len(analyzed)):
             return pd.DataFrame(columns=["doc_id", "url", "score"])
-        flt = self._resolve_filter(filter_field, filter_value,
-                                   filter_normalized) \
-            if filter_field is not None else None
+        flt = self._resolve_filter_list(filter_field, filter_value,
+                                        filter_normalized, filters)
         if use_segments is None:
             total_df = sum(m[1] for m in meta.values() if m is not None)
             use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
@@ -750,9 +783,9 @@ class SearchEngine:
         allowed_arr = allowed_set = None
         if flt is not None:
             cand = [_block_arrays(b)[0] for bl in by_term.values() for b in bl]
-            allowed_arr = self._filter_allowed(
+            allowed_arr = self._filter_allowed_list(
                 np.unique(np.concatenate(cand)) if cand
-                else np.empty(0, np.int64), *flt)
+                else np.empty(0, np.int64), flt)
             if allowed_arr.size == 0:
                 return pd.DataFrame(columns=["doc_id", "url", "score"])
             allowed_set = frozenset(allowed_arr.tolist())
@@ -791,7 +824,8 @@ class SearchEngine:
                     filter_value=None,
                     filter_normalized: bool = False,
                     slop: int = 0,
-                    allowed_docs=None) -> pd.DataFrame:
+                    allowed_docs=None,
+                    filters: "list[tuple] | None" = None) -> pd.DataFrame:
         """ES ``match_phrase`` (slop=0 default) over positional postings.
         ``slop`` relaxes adjacency to the in-order window rule documented
         on :func:`phrase_topk_arrays`.
@@ -841,9 +875,8 @@ class SearchEngine:
         if any(meta[t] is None for t in uniq):
             return empty    # a term absent from the corpus ⇒ no phrase match
         idf = {t: m[0] for t, m in meta.items()}
-        flt = self._resolve_filter(filter_field, filter_value,
-                                   filter_normalized) \
-            if filter_field is not None else None
+        flt = self._resolve_filter_list(filter_field, filter_value,
+                                        filter_normalized, filters)
         if use_segments is None:
             total_df = sum(m[1] for m in meta.values())
             use_segments = total_df >= SEGMENT_FANOUT_CUTOFF
@@ -857,8 +890,7 @@ class SearchEngine:
             return empty
         allowed_fn = None
         if flt is not None:
-            sub, values = flt
-            allowed_fn = lambda cand: self._filter_allowed(cand, sub, values)  # noqa: E731
+            allowed_fn = lambda cand: self._filter_allowed_list(cand, flt)  # noqa: E731
         if allowed_docs is not None:
             adocs = np.asarray(allowed_docs, dtype=np.int64)
             base_fn = allowed_fn
@@ -1028,7 +1060,7 @@ class SearchEngine:
     def topk_segments(self, terms: list[str], idf_by_term: dict[str, float],
                       k: int, mode: str = "or",
                       search_after: tuple[float, int] | None = None,
-                      filter_clause: tuple[str, list] | None = None,
+                      filter_clause: "tuple | list | None" = None,
                       phrase_terms: list[str] | None = None,
                       min_should: int | None = None,
                       phrase_slop: int = 0,
@@ -1049,13 +1081,15 @@ class SearchEngine:
         postings for ALL terms live in exactly one doc-disjoint group, so
         per-group intersections partition the global intersection.
 
-        ``filter_clause``: resolved ``(subcol, values)`` from
-        :meth:`_resolve_filter` — each task reads the ``fields`` rows for
-        ITS candidate doc range (doc_id range + value predicates pushed
-        to parquet), so per-task filter cost ∝ the group's range, never
-        the filter's corpus-wide match count; the driver still receives
-        only ≤ k rows per group.  Group allowed-sets partition the global
-        filter set exactly as the postings do, preserving rank identity.
+        ``filter_clause``: one resolved ``(subcol, values)`` from
+        :meth:`_resolve_filter`, or a LIST of them (the ES bool
+        conjunction of several filter/must_not clauses) — each task
+        reads the ``fields`` rows for ITS candidate doc range (doc_id
+        range + value predicates pushed to parquet), so per-task filter
+        cost ∝ the group's range, never the filter's corpus-wide match
+        count; the driver still receives only ≤ k rows per group.
+        Group allowed-sets partition the global filter set exactly as
+        the postings do, preserving rank identity.
 
         ``phrase_terms``: run the phrase kernel per group instead of the
         WAND/conjunctive kernels (``terms`` is then the deduplicated term
@@ -1083,10 +1117,14 @@ class SearchEngine:
         if not groups:
             return pd.DataFrame(columns=["doc_id", "url", "score"])
         avgdl = self.avgdl
-        filter_sub, filter_values = filter_clause if filter_clause \
-            else (None, None)
+        if filter_clause is None:
+            filter_clauses: list[tuple[str, object]] = []
+        elif isinstance(filter_clause, tuple):
+            filter_clauses = [filter_clause]
+        else:
+            filter_clauses = list(filter_clause)
         fields_paths: list[tuple[str, int, int]] = []
-        if filter_clause:
+        if filter_clauses:
             # per-file doc_id spans from the resident footer directory, so
             # each fan-out task opens ONLY the fields files overlapping
             # its doc range — at 10^12 docs the fields table is millions
@@ -1133,55 +1171,63 @@ class SearchEngine:
                         continue        # some term absent ⇒ empty group
                     decode_blocks_into(recs)
                     allowed = None
-                    if filter_sub is not None:
+                    if filter_clauses:
                         # this group's candidate doc range: fields rows
-                        # outside it cannot matter, so the read opens only
-                        # the span-overlapping files (driver-computed
-                        # footer spans) and pushes range + value predicates
+                        # outside it cannot matter, so each clause's read
+                        # opens only the span-overlapping files (driver-
+                        # computed footer spans) and pushes range + value
+                        # predicates; clauses intersect (ES bool AND)
                         lo = min(int(r["first_doc"]) for r in recs)
                         hi = max(int(r["last_doc"]) for r in recs)
-                        negate = isinstance(filter_values, MustNotClause)
-                        fvals = filter_values.inner if negate \
-                            else filter_values
                         sel = [p for p, flo, fhi in fields_paths
                                if flo is None or not (fhi < lo or flo > hi)]
-                        if not sel and not negate:
-                            continue    # no fields rows in this doc range
-                        if isinstance(fvals, RangeClause):
-                            vpred = ((_pds.field(filter_sub)
-                                      >= fvals.lo)
-                                     & (_pds.field(filter_sub)
-                                        <= fvals.hi))
-                        elif isinstance(fvals, ExistsClause):
-                            vpred = _pds.field(filter_sub).is_valid()
-                        else:
-                            vpred = _pds.field(filter_sub).isin(fvals)
-                        fexpr = (vpred
-                                 & (_pds.field("doc_id") >= lo)
-                                 & (_pds.field("doc_id") <= hi))
-                        match = np.empty(0, dtype=np.int64)
-                        if sel:
-                            ft = _pds.dataset(sel, format="parquet") \
-                                .to_table(filter=fexpr,
-                                          columns=["doc_id"])
-                            match = ft["doc_id"].to_numpy(
-                                zero_copy_only=False).astype(np.int64)
-                        if negate:
-                            # must_not: complement of the in-range
-                            # matching set, within THIS group's candidate
-                            # postings (arrays already decoded in-task,
-                            # so the complement is vectorized and range-
-                            # bounded, never corpus-bounded)
-                            cand = np.unique(np.concatenate(
-                                [_block_arrays(r)[0] for r in recs]))
-                            keep = cand[~np.isin(cand, match)]
-                            if keep.size == 0:
-                                continue
-                            allowed = frozenset(keep.tolist())
-                        else:
-                            allowed = frozenset(match.tolist())
+                        cand_arr = None   # lazy: only must_not needs it
+                        dead = False
+                        for fsub, fvalues in filter_clauses:
+                            negate = isinstance(fvalues, MustNotClause)
+                            fvals = fvalues.inner if negate else fvalues
+                            if not sel and not negate:
+                                dead = True   # no fields rows in range
+                                break
+                            if isinstance(fvals, RangeClause):
+                                vpred = ((_pds.field(fsub) >= fvals.lo)
+                                         & (_pds.field(fsub)
+                                            <= fvals.hi))
+                            elif isinstance(fvals, ExistsClause):
+                                vpred = _pds.field(fsub).is_valid()
+                            else:
+                                vpred = _pds.field(fsub).isin(fvals)
+                            fexpr = (vpred
+                                     & (_pds.field("doc_id") >= lo)
+                                     & (_pds.field("doc_id") <= hi))
+                            match = np.empty(0, dtype=np.int64)
+                            if sel:
+                                ft = _pds.dataset(sel, format="parquet") \
+                                    .to_table(filter=fexpr,
+                                              columns=["doc_id"])
+                                match = ft["doc_id"].to_numpy(
+                                    zero_copy_only=False).astype(np.int64)
+                            if negate:
+                                # must_not: complement of the in-range
+                                # matching set within THIS group's
+                                # candidate postings (arrays already
+                                # decoded in-task — vectorized, range-
+                                # bounded, never corpus-bounded)
+                                if cand_arr is None:
+                                    cand_arr = np.unique(np.concatenate(
+                                        [_block_arrays(r)[0]
+                                         for r in recs]))
+                                keep = cand_arr[~np.isin(cand_arr, match)]
+                                this = frozenset(keep.tolist())
+                            else:
+                                this = frozenset(match.tolist())
+                            allowed = this if allowed is None \
+                                else allowed & this
                             if not allowed:
-                                continue  # no in-range doc passes filter
+                                dead = True
+                                break
+                        if dead:
+                            continue
                     ad = ad_bc.value
                     if ad is not None:
                         # this group's slice of the whitelist — doc-
@@ -1294,7 +1340,8 @@ def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
                  filter_field: str | None = None,
                  filter_value=None,
                  filter_normalized: bool = False,
-                 min_should_match: int | None = None) -> DataFrame:
+                 min_should_match: int | None = None,
+                 filters: "list[tuple] | None" = None) -> DataFrame:
     """Score with pure DataFrame ops over ``postings_flat``.
 
     The term filter is an ``isin`` over ≤|q| terms → pushed into the
@@ -1310,7 +1357,7 @@ def bm25_topk_df(spark: SparkSession, index_dir: str, query_text: str, k: int,
         query_text, k, mode, search_after=search_after,
         filter_field=filter_field, filter_value=filter_value,
         filter_normalized=filter_normalized,
-        min_should_match=min_should_match)
+        min_should_match=min_should_match, filters=filters)
 
 
 # ---------------------------------------------------------------------------
@@ -1972,7 +2019,8 @@ def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
                    filter_field: str | None = None,
                    filter_value=None,
                    filter_normalized: bool = False,
-                   min_should_match: int | None = None
+                   min_should_match: int | None = None,
+                   filters: "list[tuple] | None" = None
                    ) -> pd.DataFrame:
     """Top-k via block-max WAND over the encoded ``postings_blocks``.
 
@@ -1986,7 +2034,7 @@ def bm25_topk_wand(spark: SparkSession, index_dir: str, query_text: str, k: int,
         query_text, k, mode=mode, search_after=search_after,
         filter_field=filter_field, filter_value=filter_value,
         filter_normalized=filter_normalized,
-        min_should_match=min_should_match)
+        min_should_match=min_should_match, filters=filters)
 
 
 def bm25_phrase_topk(spark: SparkSession, index_dir: str, phrase_text: str,
@@ -1995,10 +2043,11 @@ def bm25_phrase_topk(spark: SparkSession, index_dir: str, phrase_text: str,
                      filter_field: str | None = None,
                      filter_value=None,
                      filter_normalized: bool = False,
-                     slop: int = 0) -> pd.DataFrame:
+                     slop: int = 0,
+                     filters: "list[tuple] | None" = None) -> pd.DataFrame:
     """ES ``match_phrase`` top-k over a positional index (see
     :meth:`SearchEngine.phrase_topk`)."""
     return get_engine(spark, index_dir, cfg).phrase_topk(
         phrase_text, k, search_after=search_after,
         filter_field=filter_field, filter_value=filter_value,
-        filter_normalized=filter_normalized, slop=slop)
+        filter_normalized=filter_normalized, slop=slop, filters=filters)
