@@ -13,6 +13,7 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
              [--wildcard]                    # ES wildcard (--q is a glob)
              [--must-not lang:en]            # ES bool.must_not exclusion
              [--must-not-exists tag]         # ES must_not exists (missing)
+             (filter flags repeat + compose: the full ES bool conjunction)
   ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
   ... suggest-phrase --index /path/index --q "table scal" [--size 3]
                      [--always] [--collate]  # ES phrase suggester
@@ -63,13 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
                    help="search_after cursor: the previous page's last "
                         "score,doc_id — returns the next k (deep paging)")
-    q.add_argument("--filter-range", default=None, metavar="FIELD:LO:HI",
+    q.add_argument("--filter-range", action="append", default=None,
+                   metavar="FIELD:LO:HI",
                    help="ES range filter context over a numeric_fields "
-                        "column: docs with LO <= <field> <= HI")
-    q.add_argument("--filter", default=None, metavar="FIELD:VALUE[,VALUE…]",
+                        "column: docs with LO <= <field> <= HI "
+                        "(repeatable; all filter clauses AND together)")
+    q.add_argument("--filter", action="append", default=None,
+                   metavar="FIELD:VALUE[,VALUE…]",
                    help="ES bool filter context: restrict to docs whose "
                         "keyword sub-field equals one of the values "
-                        "(non-scoring)")
+                        "(non-scoring; repeatable — clauses AND)")
     q.add_argument("--slop", type=int, default=0,
                    help="with --phrase: in-order window slop (extra "
                         "tokens allowed between phrase terms)")
@@ -91,11 +95,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--filter-normalized", action="store_true",
                    help="match the filter on <field>.normalized (values "
                         "folded through keyword/lowercase/asciifold)")
-    q.add_argument("--must-not", default=None,
+    q.add_argument("--must-not", action="append", default=None,
                    metavar="FIELD:VALUE[,VALUE…]",
                    help="ES bool.must_not: EXCLUDE docs whose keyword "
                         "sub-field equals one of the values (non-scoring "
-                        "complement; docs missing the sub-field survive)")
+                        "complement; docs missing the sub-field survive; "
+                        "repeatable, composes with --filter/--filter-range)")
     q.add_argument("--must-not-exists", default=None, metavar="FIELD",
                    help="ES must_not exists: keep only docs MISSING the "
                         "sub-field's doc value")
@@ -241,38 +246,33 @@ def main(argv: list[str] | None = None) -> int:
         if args.after:
             s, d = args.after.split(",")
             after = (float(s), int(d))
-        ff = fv = None
-        if args.filter:
-            ff, _, vals = args.filter.partition(":")
+        # every --filter/--filter-range/--must-not[-exists] becomes one
+        # clause in the ES bool conjunction (repeatable flags)
+        from .operators.topk import (ExistsClause, MustNotClause,
+                                     RangeClause)
+        clauses = []
+        for spec in (args.filter or []):
+            f, _, vals = spec.partition(":")
             if not _ or not vals:
                 raise SystemExit("--filter wants FIELD:VALUE[,VALUE…]")
-            fv = vals.split(",")
-        if args.filter_range:
-            if args.filter:
-                raise SystemExit("--filter and --filter-range are exclusive")
-            from .operators.topk import RangeClause
+            clauses.append((f, vals.split(","), args.filter_normalized))
+        for spec in (args.filter_range or []):
             try:
-                ff, lo, hi = args.filter_range.split(":")
-                fv = RangeClause(int(lo), int(hi))
+                f, lo, hi = spec.split(":")
+                clauses.append((f, RangeClause(int(lo), int(hi))))
             except ValueError:
                 raise SystemExit("--filter-range wants FIELD:LO:HI")
-        if args.must_not or args.must_not_exists:
-            from .operators.topk import ExistsClause, MustNotClause
-            if ff is not None:
-                raise SystemExit("--must-not composes with neither "
-                                 "--filter nor --filter-range (one "
-                                 "filter clause per query)")
-            if args.must_not and args.must_not_exists:
-                raise SystemExit("--must-not and --must-not-exists are "
-                                 "exclusive")
-            if args.must_not:
-                ff, _, vals = args.must_not.partition(":")
-                if not _ or not vals:
-                    raise SystemExit(
-                        "--must-not wants FIELD:VALUE[,VALUE…]")
-                fv = MustNotClause(vals.split(","))
-            else:
-                ff, fv = args.must_not_exists, MustNotClause(ExistsClause())
+        for spec in (args.must_not or []):
+            f, _, vals = spec.partition(":")
+            if not _ or not vals:
+                raise SystemExit("--must-not wants FIELD:VALUE[,VALUE…]")
+            clauses.append((f, MustNotClause(vals.split(",")),
+                            args.filter_normalized))
+        if args.must_not_exists:
+            clauses.append((args.must_not_exists,
+                            MustNotClause(ExistsClause())))
+        flts = clauses or None
+        ff = "_" if flts else None   # sentinel: some serving guards below
         if args.wildcard:
             # constant-score doc set: none of the scoring-path flags apply
             if (ff is not None or args.min_should is not None
@@ -292,9 +292,7 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.expand import fuzzy_topk
             fz = "AUTO" if args.fuzzy.upper() == "AUTO" else int(args.fuzzy)
             pdf = fuzzy_topk(spark, args.index, args.q, args.k, fuzziness=fz,
-                             search_after=after, filter_field=ff,
-                             filter_value=fv,
-                             filter_normalized=args.filter_normalized)
+                             search_after=after, filters=flts)
             print(pdf.to_string(index=False,
                                 float_format=lambda v: f"{v:.17g}"))
         elif args.phrase_prefix:
@@ -313,17 +311,14 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--min-should does not apply to --phrase")
             from .operators.topk import bm25_phrase_topk
             pdf = bm25_phrase_topk(spark, args.index, args.q, args.k,
-                                   search_after=after,
-                                   filter_field=ff, filter_value=fv,
-                                   filter_normalized=args.filter_normalized,
+                                   search_after=after, filters=flts,
                                    slop=args.slop)
             print(pdf.to_string(index=False,
                                 float_format=lambda v: f"{v:.17g}"))
         elif args.wand:
             pdf = bm25_topk_wand(spark, args.index, args.q, args.k,
                                  mode=args.mode, search_after=after,
-                                 filter_field=ff, filter_value=fv,
-                                 filter_normalized=args.filter_normalized,
+                                 filters=flts,
                                  min_should_match=args.min_should)
             # full-precision scores: --after round-trips the printed value,
             # and a rounded cursor re-admits the boundary doc
@@ -331,9 +326,7 @@ def main(argv: list[str] | None = None) -> int:
                                 float_format=lambda v: f"{v:.17g}"))
         else:
             bm25_topk_df(spark, args.index, args.q, args.k, mode=args.mode,
-                         search_after=after, filter_field=ff,
-                         filter_value=fv,
-                         filter_normalized=args.filter_normalized,
+                         search_after=after, filters=flts,
                          min_should_match=args.min_should
                          ).show(args.k, truncate=False)
     elif args.cmd == "mlt":

@@ -127,7 +127,8 @@ def fuzzy_topk(spark: SparkSession, index_dir: str, term: str, k: int,
                search_after: tuple[float, int] | None = None,
                filter_field: str | None = None,
                filter_value=None,
-               filter_normalized: bool = False) -> pd.DataFrame:
+               filter_normalized: bool = False,
+               filters: "list[tuple] | None" = None) -> pd.DataFrame:
     """ES ``fuzzy`` query: expand, then OR-BM25 top-k over the expansion
     set through the engine's cost-gated serving paths (each expanded
     term scores with its own idf — ``rewrite=scoring_boolean``).
@@ -142,7 +143,8 @@ def fuzzy_topk(spark: SparkSession, index_dir: str, term: str, k: int,
                          search_after=search_after,
                          filter_field=filter_field,
                          filter_value=filter_value,
-                         filter_normalized=filter_normalized)
+                         filter_normalized=filter_normalized,
+                         filters=filters)
 
 
 def term_suggest(spark: SparkSession, index_dir: str, text: str,

@@ -181,13 +181,16 @@ def test_cli_must_not_and_suggest_phrase(spark, tmp_path, capsys):
                "--must-not-exists", "tag", "--k", "9"])
     out = capsys.readouterr().out
     assert rc in (0, None) and "u3" not in out.split() and "u1" in out
+    # clauses COMPOSE (ES bool conjunction): filter AND must_not
+    rc = main(["query", "--index", d, "--q", "data", "--wand",
+               "--filter", "tag:t0", "--must-not", "tag:t0", "--k", "9"])
+    out = capsys.readouterr().out
+    assert rc in (0, None) and "u0" not in out.split() \
+        and "u1" not in out.split()     # t0 ∩ not-t0 = empty
     import pytest as _pt
     with _pt.raises(SystemExit):
         main(["query", "--index", d, "--q", "data",
-              "--must-not", "tag:t0", "--filter", "tag:t0"])
-    with _pt.raises(SystemExit):
-        main(["query", "--index", d, "--q", "data",
-              "--must-not", "tag:t0", "--must-not-exists", "tag"])
+              "--must-not", "tagonly"])   # malformed spec
     # phrase suggester over the CLI
     rc = main(["suggest-phrase", "--index", d, "--q", "apache sparc",
                "--size", "3"])
