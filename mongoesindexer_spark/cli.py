@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--must-not-exists", default=None, metavar="FIELD",
                    help="ES must_not exists: keep only docs MISSING the "
                         "sub-field's doc value")
+    q.add_argument("--filter-exists", action="append", default=None,
+                   metavar="FIELD[:keyword|normalized|num]",
+                   help="ES exists filter: keep only docs CARRYING a "
+                        "non-null doc value for the sub-field "
+                        "(repeatable; kind defaults to keyword)")
 
     sp = sub.add_parser("suggest-phrase",
                         help="ES phrase suggester: whole-input "
@@ -268,6 +273,9 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--must-not wants FIELD:VALUE[,VALUE…]")
             clauses.append((f, MustNotClause(vals.split(",")),
                             args.filter_normalized))
+        for spec in (args.filter_exists or []):
+            f, _, kind = spec.partition(":")
+            clauses.append((f, ExistsClause(kind=kind or "keyword")))
         if args.must_not_exists:
             clauses.append((args.must_not_exists,
                             MustNotClause(ExistsClause())))

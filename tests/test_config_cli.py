@@ -196,3 +196,20 @@ def test_cli_must_not_and_suggest_phrase(spark, tmp_path, capsys):
                "--size", "3"])
     out = capsys.readouterr().out
     assert rc in (0, None) and "apache spark" in out
+
+
+def test_cli_filter_exists(spark, tmp_path, capsys):
+    import pandas as pd
+    from mongoesindexer_spark.cli import main
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+
+    d = str(tmp_path / "idxfe")
+    rows = [(f"u{i}", "data common", "t0" if i % 2 == 0 else None)
+            for i in range(6)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text", "tag"]))
+    IndexBuilder(d, n_buckets=2, keyword_fields=("tag",)).build(spark, df)
+    rc = main(["query", "--index", d, "--q", "data", "--wand",
+               "--filter-exists", "tag", "--k", "6"])
+    out = capsys.readouterr().out
+    assert rc in (0, None) and "u0" in out and "u1" not in out.split()
