@@ -357,6 +357,35 @@ def test_significant_terms_loci_agree(spark, agg_index, oracle_tiny,
     assert np.allclose(fast["score"], dist["score"])
 
 
+def test_significant_terms_fast_path_plan_shape(spark, agg_index,
+                                                oracle_tiny):
+    """Kernel-bounded locus: the fg postings scan carries a PUSHED
+    doc_id range filter and joins the broadcast hit ids (no shuffled
+    semi-join of the corpus-sized postings side)."""
+    import contextlib
+    import io
+    from mongoesindexer_spark.operators.aggs import \
+        search_significant_terms_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    n = len(oracle_tiny.doc_len)
+    q = sorted(t for t, ds in oracle_tiny.postings.items()
+               if 5 <= len(ds) <= n // 4)[0]
+    df = search_significant_terms_agg(eng, q, size=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the doc_id BETWEEN bounds reach the parquet scan
+    assert "GreaterThanOrEqual(doc_id" in plan, plan
+    assert "LessThanOrEqual(doc_id" in plan, plan
+    # the hit-id side is broadcast into a semi join — the postings scan
+    # feeds a BroadcastHashJoin, never a shuffled semi join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin LeftSemi" not in plan, plan
+    assert "ShuffledHashJoin LeftSemi" not in plan, plan
+
+
 def test_composite_agg_pages_cover_bucket_space(spark, agg_index,
                                                 tiny_pages, oracle_tiny):
     from mongoesindexer_spark.operators.aggs import search_composite_agg
