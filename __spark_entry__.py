@@ -734,6 +734,25 @@ def q_ft_bm25_bool_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+SQS_QUERY = "data +query -merge"
+
+
+def q_ft_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``simple_query_string`` — 'data +query -merge': should +
+    must + must_not operator syntax in one query (the forgiving search
+    box syntax every ES client front-ends).  Served on the distributed
+    locus: one term-pushed scan, one aggregation carrying score, must
+    coverage, and exclusion flags (operators/query_string.py;
+    driver-kernel parity + phrase clauses pinned in
+    test_query_string.py)."""
+    from mongoesindexer_spark.operators.query_string import \
+        simple_query_string_df
+    idx = _docs_index(spark, sf_dir)
+    return simple_query_string_df(spark, idx, SQS_QUERY, BM25_K).select(
+        "doc_id",
+        F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 SUGGEST_INPUT = "table scal"     # 'scal' is OOV at every sf; candidates
                                  # scan (dist 1, bigram-backed) + small
 
@@ -1473,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_range_agg": q_ft_range_agg,
         "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25_bool_filters": q_ft_bm25_bool_filters,
+        "ft_simple_query_string": q_ft_simple_query_string,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
         "ft_sort_after": q_ft_sort_after,
@@ -1998,6 +2018,18 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT '150.0-400.0',
                        (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
                        FROM v)
+        """,
+        # simple_query_string 'data +query -merge': scored terms are
+        # {{data, query}}; doc must contain 'query' and not 'merge'
+        "ft_simple_query_string": bm25_scores.format(
+            terms="'data', 'query'") + f"""
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores
+            WHERE doc_id IN (SELECT DISTINCT doc_id FROM tok
+                             WHERE term = 'query')
+              AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok
+                                 WHERE term = 'merge')
+            ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         "ft_bm25_bool_filters": bm25_scores.format(terms=terms) + f"""
             SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4

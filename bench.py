@@ -411,7 +411,8 @@ def main() -> None:
         # round-5 surfaces: must_not exclusion, terms+metric sub-aggs,
         # range agg, phrase suggester
         "ft_bm25_must_not", "ft_terms_avg_subagg", "ft_range_agg",
-        "ft_phrase_suggest",
+        "ft_phrase_suggest", "ft_simple_query_string",
+        "ft_bm25_bool_filters",
     ]
     qs = entry_mod.queries()
     for name in suite:

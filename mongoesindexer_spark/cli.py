@@ -14,6 +14,7 @@ Usage (north rule: runs via spark-submit --py-files on a cluster):
              [--must-not lang:en]            # ES bool.must_not exclusion
              [--must-not-exists tag]         # ES must_not exists (missing)
              (filter flags repeat + compose: the full ES bool conjunction)
+             [--sqs]                         # ES simple_query_string (+a -b "c d")
   ... suggest --index /path/index --prefix "mer" --k 10   # completion (T7)
   ... suggest-phrase --index /path/index --q "table scal" [--size 3]
                      [--always] [--collate]  # ES phrase suggester
@@ -104,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--must-not-exists", default=None, metavar="FIELD",
                    help="ES must_not exists: keep only docs MISSING the "
                         "sub-field's doc value")
+    q.add_argument("--sqs", action="store_true",
+                   help="ES simple_query_string: --q uses the operator "
+                        "syntax (+must -not \"phrase\"); --mode sets "
+                        "default_operator for bare tokens")
     q.add_argument("--filter-exists", action="append", default=None,
                    metavar="FIELD[:keyword|normalized|num]",
                    help="ES exists filter: keep only docs CARRYING a "
@@ -281,7 +286,21 @@ def main(argv: list[str] | None = None) -> int:
                             MustNotClause(ExistsClause())))
         flts = clauses or None
         ff = "_" if flts else None   # sentinel: some serving guards below
-        if args.wildcard:
+        if args.sqs:
+            if (flts is not None or args.min_should is not None
+                    or args.after or args.phrase or args.wildcard
+                    or args.fuzzy is not None):
+                raise SystemExit(
+                    "--sqs carries its own operators; it composes with "
+                    "none of --filter*/--must-not*/--min-should/--after/"
+                    "--phrase/--wildcard/--fuzzy")
+            from .operators.query_string import simple_query_string_topk
+            pdf = simple_query_string_topk(spark, args.index, args.q,
+                                           args.k,
+                                           default_operator=args.mode)
+            print(pdf.to_string(index=False,
+                                float_format=lambda v: f"{v:.17g}"))
+        elif args.wildcard:
             # constant-score doc set: none of the scoring-path flags apply
             if (ff is not None or args.min_should is not None
                     or args.after or args.mode != "or"

@@ -213,3 +213,25 @@ def test_cli_filter_exists(spark, tmp_path, capsys):
                "--filter-exists", "tag", "--k", "6"])
     out = capsys.readouterr().out
     assert rc in (0, None) and "u0" in out and "u1" not in out.split()
+
+
+def test_cli_simple_query_string(spark, tmp_path, capsys):
+    import pandas as pd
+    from mongoesindexer_spark.cli import main
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+
+    d = str(tmp_path / "idxsqs")
+    rows = [(f"u{i}", "common "
+             + ("alpha " if i % 2 == 0 else "")
+             + ("nope " if i % 3 == 0 else "")
+             + "wz" + chr(97 + i)) for i in range(9)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+    IndexBuilder(d, n_buckets=2, index_positions=True).build(spark, df)
+    rc = main(["query", "--index", d, "--q", "alpha +common -nope",
+               "--sqs", "--k", "9"])
+    out = capsys.readouterr().out
+    assert rc in (0, None) and "u0" not in out.split() and "u2" in out
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["query", "--index", d, "--q", "x", "--sqs", "--wand",
+              "--filter", "tag:t0"])
