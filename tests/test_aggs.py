@@ -357,6 +357,27 @@ def test_significant_terms_loci_agree(spark, agg_index, oracle_tiny,
     assert np.allclose(fast["score"], dist["score"])
 
 
+def test_filters_agg_single_scan_plan(spark, agg_index):
+    """The filters agg reads postings ONCE regardless of bucket count
+    (union-term pushed scan + conditional per-bucket counts) — N named
+    filters must not appear as N parquet scans."""
+    import contextlib
+    import io
+    from mongoesindexer_spark.operators.aggs import search_filters_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    df = search_filters_agg(eng, {
+        "a": ("udrndau", "or"), "b": ("atreq kni", "and"),
+        "c": ("lda", "or"), "d": ("fiut zfaj", "or")})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    import re
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
+
+
 def test_significant_terms_fast_path_plan_shape(spark, agg_index,
                                                 oracle_tiny):
     """Kernel-bounded locus: the fg postings scan carries a PUSHED
