@@ -753,6 +753,26 @@ def q_ft_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+MBP_QUERY = "data qu"       # term clause 'data' + prefix clause 'qu'
+
+
+def q_ft_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_bool_prefix`` — the non-phrase autocomplete query:
+    'data' as a scored term clause, 'qu' as a constant-score PREFIX
+    clause (+1.0 for docs containing any expansion — Lucene's
+    constant_score rewrite).  operators/query_string.py
+    match_bool_prefix_topk; brute-force pinned in
+    test_query_string.py."""
+    from mongoesindexer_spark.operators.query_string import \
+        match_bool_prefix_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = match_bool_prefix_topk(spark, idx, MBP_QUERY, BM25_K)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 SUGGEST_INPUT = "table scal"     # 'scal' is OOV at every sf; candidates
                                  # scan (dist 1, bigram-backed) + small
 
@@ -1493,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25_bool_filters": q_ft_bm25_bool_filters,
         "ft_simple_query_string": q_ft_simple_query_string,
+        "ft_match_bool_prefix": q_ft_match_bool_prefix,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
         "ft_sort_after": q_ft_sort_after,
@@ -2018,6 +2039,22 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT '150.0-400.0',
                        (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
                        FROM v)
+        """,
+        # match_bool_prefix 'data qu': BM25 over 'data' + constant 1.0
+        # for docs with any token LIKE 'qu%'
+        "ft_match_bool_prefix": bm25_scores.format(terms="'data'") + f"""
+            SELECT doc_id,
+                   CAST(round((COALESCE(s.score, 0)
+                               + CASE WHEN p.doc_id IS NOT NULL
+                                      THEN 1.0 ELSE 0 END) * 1e4)
+                        AS BIGINT) AS score_e4
+            FROM scores s
+            FULL JOIN (SELECT DISTINCT doc_id FROM tok
+                       WHERE term LIKE 'qu%') p USING (doc_id)
+            ORDER BY (COALESCE(s.score, 0)
+                      + CASE WHEN p.doc_id IS NOT NULL
+                             THEN 1.0 ELSE 0 END) DESC, doc_id ASC
+            LIMIT {BM25_K}
         """,
         # simple_query_string 'data +query -merge': scored terms are
         # {{data, query}}; doc must contain 'query' and not 'merge'

@@ -250,6 +250,93 @@ def simple_query_string_topk(spark: SparkSession, index_dir: str,
         columns=["doc_id", "url", "score"])
 
 
+def match_bool_prefix_topk(spark: SparkSession, index_dir: str,
+                           query: str, k: int, operator: str = "or"
+                           ) -> pd.DataFrame:
+    """ES ``match_bool_prefix`` (Q38) — the non-phrase autocomplete
+    query: every analyzed token but the last is a term clause, the last
+    token a PREFIX clause.  Term clauses score BM25; the prefix clause
+    rewrites constant-score (Lucene prefix query under
+    ``constant_score_blended`` — matching docs add exactly 1.0,
+    regardless of which or how many expansions hit).  ``operator``:
+    ``"or"`` (ES default — any clause admits a doc) or ``"and"``
+    (every term clause AND the prefix clause must match).
+
+    The prefix matcher is the constant-score doc-set union the wildcard
+    query uses (term_dict range read bounded by the prefix — the FST
+    common-prefix analog — postings unioned from the block cache);
+    term scoring is the same vectorized block pass as
+    :func:`simple_query_string_topk`.  Driver-kernel locus; the same
+    Σ df budget applies (a head-term autocomplete at corpus scale
+    should route to the completion table, T7, which serves prefixes
+    point-read)."""
+    from .expand import _terms_doc_set, _HI
+    from .topk import _check_k
+    _check_k(k)
+    if operator not in ("or", "and"):
+        raise ValueError("operator must be 'or' or 'and'")
+    eng = get_engine(spark, index_dir)
+    toks = analyze_search(query, eng.cfg)
+    empty = pd.DataFrame(columns=["doc_id", "url", "score"])
+    if not toks:
+        return empty
+    *full, prefix = toks
+    full = sorted(set(full))
+    vocab = eng._rg_index("term_dict", "term").read_range(
+        prefix, prefix + _HI, ["term"])
+    expansions = sorted(vocab["term"].astype(str).tolist())
+    pref_docs = _terms_doc_set(eng, expansions)["doc_id"] \
+        .to_numpy(np.int64)
+    meta = eng._term_meta(full) if full else {}
+    live = [t for t in full if meta.get(t) is not None]
+    if operator == "and" and (len(live) < len(full)
+                              or pref_docs.size == 0):
+        return empty
+    by_term = eng._term_blocks(live) if live else {}
+    decode_blocks_into([b for bl in by_term.values() for b in bl
+                        if "_arrs" not in b])
+    if operator == "and":
+        cand = pref_docs
+        for t in live:
+            cand = np.intersect1d(cand, _term_docs(eng, by_term, t),
+                                  assume_unique=True)
+    else:
+        parts = [pref_docs] + [_term_docs(eng, by_term, t)
+                               for t in live]
+        cand = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, np.int64)
+    if eng.tombstones and cand.size:
+        cand = cand[~np.isin(cand, np.fromiter(eng.tombstones,
+                                               dtype=np.int64))]
+    if cand.size == 0:
+        return empty
+    doc_parts = [pref_docs[np.isin(pref_docs, cand)]]
+    score_parts = [np.ones(doc_parts[0].size, dtype=np.float64)]
+    for t in live:
+        bl = sorted(by_term[t], key=lambda b: b["first_doc"])
+        docs = np.concatenate([_block_arrays(b)[0] for b in bl])
+        tfs = np.concatenate([_block_arrays(b)[1] for b in bl]) \
+            .astype(np.float64)
+        dls = np.concatenate([_block_arrays(b)[2] for b in bl]) \
+            .astype(np.float64)
+        m = np.isin(docs, cand)
+        contrib = meta[t][0] * tfs[m] * (K1 + 1.0) / (
+            tfs[m] + K1 * (1.0 - B + B * dls[m] / eng.avgdl))
+        doc_parts.append(docs[m])
+        score_parts.append(contrib)
+    docs = np.concatenate(doc_parts)
+    scores = np.concatenate(score_parts)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    agg = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(agg, inv, scores)
+    order = np.lexsort((uniq, -agg))[:k]
+    urls = eng.fetch_urls([int(uniq[i]) for i in order])
+    return pd.DataFrame(
+        [{"doc_id": int(uniq[i]), "url": urls.get(int(uniq[i])),
+          "score": float(agg[i])} for i in order],
+        columns=["doc_id", "url", "score"])
+
+
 def simple_query_string_df(spark: SparkSession, index_dir: str,
                            query: str, k: int,
                            default_operator: str = "or") -> DataFrame:

@@ -162,3 +162,51 @@ def test_guards(spark, qs_index):
         assert [int(x) for x in fb["doc_id"]] == [i for _, i in want]
     finally:
         qsm.SEGMENT_FANOUT_CUTOFF = orig
+
+
+def test_match_bool_prefix(spark, qs_index):
+    """Term clauses score BM25; the prefix clause adds constant 1.0 for
+    docs containing ANY expansion (Lucene constant_score rewrite)."""
+    from tests.oracle import OracleIndex
+    import pandas as pd
+    from mongoesindexer_spark.operators.query_string import \
+        match_bool_prefix_topk
+    d, rows = qs_index
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    pdf["html"] = None
+    oi = OracleIndex.build(pdf)
+
+    def brute(q, operator="or", k=30):
+        *full, prefix = q.split()
+        out = []
+        for i, (_, t) in enumerate(rows):
+            toks = t.split()
+            pref_hit = any(x.startswith(prefix) for x in toks)
+            if operator == "and":
+                if not pref_hit or any(f not in toks for f in full):
+                    continue
+            else:
+                if not pref_hit and not any(f in toks for f in full):
+                    continue
+            s = oi.score(" ".join(sorted(set(full))), i) \
+                + (1.0 if pref_hit else 0.0)
+            out.append((s, i))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return out[:k]
+
+    for q, op in [("alpha bet", "or"), ("alpha bet", "and"),
+                  ("gam", "or"), ("common nope gam", "and")]:
+        got = match_bool_prefix_topk(spark, d, q, 30, operator=op)
+        want = brute(q, op)
+        assert [int(x) for x in got["doc_id"]] == [i for _, i in want], \
+            (q, op)
+        for g, (w, _) in zip(got["score"], want):
+            assert abs(g - w) < 1e-9, (q, op)
+    # dead prefix: OR still ranks the term matchers; AND is empty
+    got = match_bool_prefix_topk(spark, d, "alpha zzz", 10)
+    assert len(got) > 0 and all(int(x) % 2 == 0 for x in got["doc_id"])
+    assert match_bool_prefix_topk(spark, d, "alpha zzz", 10,
+                                  operator="and").empty
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        match_bool_prefix_topk(spark, d, "a b", 5, operator="nor")
