@@ -253,6 +253,31 @@ def q_ft_keyword_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  schema="doc_id long, url string")
 
 
+def q_ft_keyword_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``prefix`` query on the source keyword sub-field, SERVED like
+    keyword_term: a row-group-pruned RANGE READ of the value-sorted
+    sidecar bounded by [prefix, prefix+MAX_CODEPOINT) — the FST
+    common-prefix bound, NO Spark job (SearchEngine.keyword_prefix)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).keyword_prefix("source", "src1",
+                                                size=100)
+    return spark.createDataFrame(pdf[["doc_id", "url"]],
+                                 schema="doc_id long, url string")
+
+
+def q_ft_keyword_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``range`` query on a KEYWORD sub-field (lexicographic
+    gte/lte, both inclusive) — the same sidecar range-read serving
+    path (SearchEngine.keyword_range)."""
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    pdf = get_engine(spark, idx).keyword_range("source", gte="src3",
+                                               lte="src5", size=100)
+    return spark.createDataFrame(pdf[["doc_id", "url"]],
+                                 schema="doc_id long, url string")
+
+
 def q_ft_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms aggregation on the source keyword sub-field (fielddata
     analog): top-10 values by live-doc count, count desc / value asc."""
@@ -1533,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_keyword_match": q_ft_keyword_match,
         "ft_keyword_normalized": q_ft_keyword_normalized,
         "ft_keyword_point": q_ft_keyword_point,
+        "ft_keyword_prefix": q_ft_keyword_prefix,
+        "ft_keyword_range": q_ft_keyword_range,
         "ft_terms_agg": q_ft_terms_agg,
         "ft_keyword_sort": q_ft_keyword_sort,
         "ft_prefix_search": q_ft_prefix_search,
@@ -2533,6 +2560,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(doc_id AS VARCHAR) AS url
             FROM documents WHERE source = 'src7'
             ORDER BY doc_id ASC LIMIT 20
+        """,
+        "ft_keyword_prefix": """
+            SELECT doc_id, CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE source LIKE 'src1%'
+            ORDER BY doc_id ASC LIMIT 100
+        """,
+        "ft_keyword_range": """
+            SELECT doc_id, CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE source >= 'src3' AND source <= 'src5'
+            ORDER BY doc_id ASC LIMIT 100
         """,
         "ft_prefix_search": f"""
             SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq

@@ -32,6 +32,8 @@ from ..functions.encode import (B, K1, decode_block, decode_blocks_into,
 from ..sources import fsio
 from ..sources.catalog import ParquetCatalog, read_table_arrow
 
+_HI = chr(0x10FFFF)     # max code point: open upper bound for range reads
+
 
 class _RowGroupIndex:
     """Lucene-style resident point-read index over one table's parquet
@@ -513,6 +515,65 @@ class SearchEngine:
         urls = self.fetch_urls(ids)
         return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                              "url": [urls.get(i) for i in ids]})
+
+    def _keyword_value_window(self, field: str, lo: str, hi: str,
+                              normalized: bool, size: int,
+                              after_doc_id: int | None) -> pd.DataFrame:
+        """Shared serving core of :meth:`keyword_range` /
+        :meth:`keyword_prefix`: a row-group-pruned ``[lo, hi)`` RANGE
+        READ of the value-sorted sidecar (no Spark job — exactly how ES
+        serves keyword range/prefix from the field's terms index), then
+        the :meth:`keyword_term` page contract — (doc_id, url), doc_id
+        asc, ``size``-bounded, ``after_doc_id`` paging,
+        tombstone-masked."""
+        from .build_index import sidecar_table
+        _check_k(size)
+        sub = f"{field}_normalized" if normalized else f"{field}_keyword"
+        table = sidecar_table(sub)
+        if not self.cat.table_exists(table):
+            raise KeyError(
+                f"no point-read sidecar {table!r} — was the index built "
+                f"with keyword_fields=({field!r},)?")
+        pdf = self._rg_index(table, sub).read_range(lo, hi, ["doc_id"])
+        floor = -1 if after_doc_id is None else int(after_doc_id)
+        ids = sorted(int(d) for d in pdf["doc_id"].values
+                     if int(d) > floor
+                     and int(d) not in self.tombstones)[:size]
+        urls = self.fetch_urls(ids)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "url": [urls.get(i) for i in ids]})
+
+    def keyword_range(self, field: str, gte: str | None = None,
+                      lte: str | None = None, normalized: bool = False,
+                      size: int = 10,
+                      after_doc_id: int | None = None) -> pd.DataFrame:
+        """ES ``range`` query on a KEYWORD sub-field — lexicographic
+        bounds, both INCLUSIVE (the gte/lte core; open ends by
+        omission).  Inclusive upper is the immediate code-point
+        successor bound (``lte + '\\0'``)."""
+        from ..functions.analysis import normalize
+        if normalized:
+            gte = normalize(gte) if gte is not None else None
+            lte = normalize(lte) if lte is not None else None
+        lo = "" if gte is None else gte
+        hi = _HI if lte is None else lte + "\0"
+        return self._keyword_value_window(field, lo, hi, normalized,
+                                          size, after_doc_id)
+
+    def keyword_prefix(self, field: str, prefix: str,
+                       normalized: bool = False, size: int = 10,
+                       after_doc_id: int | None = None) -> pd.DataFrame:
+        """ES ``prefix`` query on a keyword sub-field: the sidecar range
+        read bounded by ``[prefix, prefix + MAX_CODEPOINT)`` — the FST
+        common-prefix bound ES gets from the terms index."""
+        from ..functions.analysis import normalize
+        if normalized:
+            prefix = normalize(prefix)
+        if not prefix:
+            raise ValueError("prefix must be non-empty (an empty prefix "
+                             "is a full scan — use the analytics path)")
+        return self._keyword_value_window(field, prefix, prefix + _HI,
+                                          normalized, size, after_doc_id)
 
     def _resolve_filter(self, field: str, value,
                         normalized: bool = False) -> tuple[str, list]:
