@@ -778,6 +778,24 @@ def q_ft_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+SPAN_FIRST_END = 5
+
+
+def q_ft_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_first``: 'data' must occur within the first
+    SPAN_FIRST_END positions (0-based, exclusive bound) — scored as the
+    pseudo-term with tf = count of qualifying positions
+    (operators/span.py span_first_topk; span_near in_order ≡ the
+    phrase slop machinery, documented there)."""
+    from mongoesindexer_spark.operators.span import span_first_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = span_first_topk(spark, idx, "data", SPAN_FIRST_END, BM25_K)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 MBP_QUERY = "data qu"       # term clause 'data' + prefix clause 'qu'
 
 
@@ -1539,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_bool_filters": q_ft_bm25_bool_filters,
         "ft_simple_query_string": q_ft_simple_query_string,
         "ft_match_bool_prefix": q_ft_match_bool_prefix,
+        "ft_span_first": q_ft_span_first,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
         "ft_sort_after": q_ft_sort_after,
@@ -2066,6 +2085,37 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT '150.0-400.0',
                        (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
                        FROM v)
+        """,
+        # span_first 'data' end=5: tf = count of 1-indexed i <= 5 with
+        # t[i] = 'data' (0-based position < 5), pseudo-term BM25
+        "ft_span_first": f"""
+            WITH toksl AS (
+                SELECT doc_id, {_TOK_DD} AS t FROM documents
+            ), sf AS (
+                SELECT doc_id, len(t)::BIGINT AS doc_len,
+                       len(list_filter(
+                           range(1, least(len(t), {SPAN_FIRST_END}) + 1),
+                           i -> t[i] = 'data'))::BIGINT AS tf
+                FROM toksl
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS term FROM toksl
+            ), dfreq AS (
+                SELECT count(DISTINCT doc_id)::BIGINT AS df FROM tok
+                WHERE term = 'data'
+            ), g AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT sum(len(t)) FROM toksl)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), scores AS (
+                SELECT doc_id,
+                       ln(1 + (g.n - d.df + 0.5) / (d.df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len
+                                      / g.avgdl)) AS score
+                FROM sf CROSS JOIN dfreq d CROSS JOIN g WHERE tf > 0
+            )
+            SELECT doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_e4
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
         """,
         # match_bool_prefix 'data qu': BM25 over 'data' + constant 1.0
         # for docs with any token LIKE 'qu%'

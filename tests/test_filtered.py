@@ -175,3 +175,50 @@ def test_filtered_after_incremental_sync(spark, kw_index, tiny_dir,
                               filter_field="lang", filter_value=lang):
             assert _pairs(got) == want, lang
             assert set(got["url"]) <= urls
+
+
+def test_must_not_after_incremental_sync(spark, kw_index, tiny_dir,
+                                         tiny_pages, tmp_path_factory):
+    """merge-on-read: bool.must_not honors delta fields generations and
+    tombstones — updated docs that ENTER the excluded value disappear,
+    deleted docs never resurface through the complement, and docs whose
+    update LEAVES the excluded value come back."""
+    from mongoesindexer_spark.operators.topk import MustNotClause
+    from mongoesindexer_spark.streaming.incremental import \
+        IncrementalIndexer
+
+    d = str(tmp_path_factory.mktemp("idx-mn-inc")) + "/idx"
+    shutil.copytree(kw_index, d)
+    upd = spark.read.parquet(os.path.join(tiny_dir,
+                                          "pages_updates.parquet"))
+    res = IncrementalIndexer(d).apply_updates(spark, upd, batch_id="b1")
+    assert res["applied"]
+
+    updf = pd.read_parquet(os.path.join(tiny_dir,
+                                        "pages_updates.parquet"))
+    pages = tiny_pages.set_index("url")
+    for r in updf.itertuples():
+        if r.op == "delete":
+            pages = pages.drop(r.url)
+        else:
+            pages.loc[r.url] = {"warc_ts": r.warc_ts, "html": r.html,
+                                "text": r.text, "lang": r.lang}
+    pages = pages.reset_index()
+
+    eng = _engine(spark, d)
+    for lang in ("en", "fr"):
+        keep_urls = set(pages.loc[pages["lang"] != lang, "url"])
+        want = _expected(eng, "lda", K, keep_urls)
+        for got in _all_paths(eng, spark, "lda", K, filter_field="lang",
+                              filter_value=MustNotClause(lang)):
+            assert _pairs(got) == want, lang
+            assert set(got["url"]) <= keep_urls
+    # conjunction of a positive filter and a must_not on the updated
+    # corpus (the filters-list path under merge-on-read)
+    keep = set(pages.loc[(pages["lang"] != "en")
+                         & (pages["lang"] != "fr"), "url"])
+    want = _expected(eng, "lda", K, keep)
+    got = eng.topk_wand("lda", K,
+                        filters=[("lang", MustNotClause("en")),
+                                 ("lang", MustNotClause("fr"))])
+    assert _pairs(got) == want
