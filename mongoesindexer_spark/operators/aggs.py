@@ -179,6 +179,27 @@ def search_range_agg(eng: SearchEngine, docs: DataFrame, query_text: str,
         f"stack({len(keys)}, {stack}) AS (key, doc_count)"))
 
 
+def search_missing_agg(eng: SearchEngine, query_text: str, field: str,
+                       kind: str = "keyword", mode: str = "or",
+                       min_should_match: int | None = None) -> DataFrame:
+    """ES ``missing`` agg: count of hit docs carrying NO value for the
+    sub-field — the bucket complement of the ``exists`` filter
+    (``kind``: keyword/normalized/num, as ExistsClause).  A LEFT join
+    from the hit set so docs with no ``fields`` row at all count as
+    missing too; one scalar aggregate, nothing hit-set-sized reaches
+    the driver."""
+    from .build_index import read_fields
+    if kind not in ("keyword", "normalized", "num"):
+        raise ValueError("kind must be keyword/normalized/num")
+    sub = f"{field}_{kind}"
+    fields = read_fields(eng.cat, eng.spark).select("doc_id", sub)
+    hits = match_set(eng, query_text, mode, min_should_match)
+    return (hits.join(fields, "doc_id", "left")
+            .agg(F.coalesce(
+                F.sum(F.when(F.col(sub).isNull(), 1).otherwise(0)),
+                F.lit(0)).cast("long").alias("doc_count")))
+
+
 def search_histogram_agg(eng: SearchEngine, docs: DataFrame,
                          query_text: str, num_col: str, interval: int,
                          mode: str = "or",

@@ -70,3 +70,28 @@ def test_exists_validation(spark, ex_index):
     with pytest.raises(KeyError, match="nope"):
         eng.topk_wand("common", 5, filter_field="nope",
                       filter_value=ExistsClause())
+
+
+def test_missing_agg(spark, ex_index):
+    """ES missing agg == |hits| − |exists bucket| on the null-bearing
+    fixture (the gate corpus is null-free, so this pins the surface)."""
+    from mongoesindexer_spark.operators.aggs import (match_set,
+                                                     search_missing_agg)
+    from mongoesindexer_spark.operators.topk import get_engine
+    import pytest as _pt
+    d, rows = ex_index
+    eng = get_engine(spark, d)
+    hits = {i for i, r in enumerate(rows)
+            if "common" in r[1].split() or "extra" in r[1].split()}
+    want_tag = sum(1 for i in hits if rows[i][2] is None)
+    got = search_missing_agg(eng, "common extra", "tag").toPandas()
+    assert int(got["doc_count"].iloc[0]) == want_tag
+    want_pop = sum(1 for i in hits if rows[i][3] is None)
+    gp = search_missing_agg(eng, "common extra", "pop",
+                            kind="num").toPandas()
+    assert int(gp["doc_count"].iloc[0]) == want_pop
+    # empty hit set counts 0, not NULL
+    ge = search_missing_agg(eng, "zzznope", "tag").toPandas()
+    assert int(ge["doc_count"].iloc[0]) == 0
+    with _pt.raises(ValueError):
+        search_missing_agg(eng, "common", "tag", kind="text")
