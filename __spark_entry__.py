@@ -778,6 +778,45 @@ def q_ft_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
 
 
+def q_ft_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` on n_chars over the conjunctive query's
+    hit set: the exact integer moments (count/min/max/sum/
+    sum_of_squares) plus avg/variance/std derived from them — rounded
+    ×1e4, deterministic because the derivation is a fixed double
+    expression over exact ints (operators/aggs.py
+    search_extended_stats_agg)."""
+    from mongoesindexer_spark.operators.aggs import \
+        search_extended_stats_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    out = search_extended_stats_agg(
+        get_engine(spark, idx), _read(spark, sf_dir, "documents"),
+        CONJ_QUERY, "n_chars", mode="and")
+    return out.select(
+        "count", "min", "max", "sum", "sum_of_squares",
+        F.round(F.col("avg") * 1e4).cast("long").alias("avg_e4"),
+        F.round(F.col("variance") * 1e4).cast("long").alias("var_e4"),
+        F.round(F.col("std_deviation") * 1e4).cast("long")
+        .alias("std_e4"))
+
+
+RARE_MAX_DOC_COUNT = 15
+
+
+def q_ft_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms`` on the source keyword sub-field: the LONG TAIL
+    buckets (hit-set doc count ≤ RARE_MAX_DOC_COUNT) of the conjunctive
+    query, count asc / value asc (operators/aggs.py
+    search_rare_terms_agg)."""
+    from mongoesindexer_spark.operators.aggs import search_rare_terms_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_rare_terms_agg(
+        get_engine(spark, idx), CONJ_QUERY, "source",
+        max_doc_count=RARE_MAX_DOC_COUNT, size=10, mode="and").select(
+        "value", F.col("doc_count").cast("long").alias("doc_count"))
+
+
 SPAN_FIRST_END = 5
 
 
@@ -1558,6 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_simple_query_string": q_ft_simple_query_string,
         "ft_match_bool_prefix": q_ft_match_bool_prefix,
         "ft_span_first": q_ft_span_first,
+        "ft_extended_stats": q_ft_extended_stats,
+        "ft_rare_terms": q_ft_rare_terms,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
         "ft_sort_after": q_ft_sort_after,
@@ -2085,6 +2126,54 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT '150.0-400.0',
                        (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
                        FROM v)
+        """,
+        "ft_extended_stats": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT doc_id FROM tok WHERE term IN ({cterms})
+                GROUP BY doc_id
+                HAVING count(DISTINCT term)
+                       = {len(set(CONJ_QUERY.split()))}
+            ), v AS (
+                SELECT d.n_chars AS x
+                FROM documents d JOIN hits USING (doc_id)
+                WHERE d.n_chars IS NOT NULL
+            ), base AS (
+                SELECT count(*)::BIGINT AS "count",
+                       min(x)::BIGINT AS "min", max(x)::BIGINT AS "max",
+                       sum(x)::BIGINT AS "sum",
+                       sum(x * x)::BIGINT AS sum_of_squares
+                FROM v
+            )
+            SELECT "count", "min", "max", "sum", sum_of_squares,
+                   CAST(round(("sum" / CAST("count" AS DOUBLE)) * 1e4)
+                        AS BIGINT) AS avg_e4,
+                   CAST(round((sum_of_squares / CAST("count" AS DOUBLE)
+                               - ("sum" / CAST("count" AS DOUBLE))
+                                 * ("sum" / CAST("count" AS DOUBLE)))
+                              * 1e4) AS BIGINT) AS var_e4,
+                   CAST(round(sqrt(sum_of_squares
+                                   / CAST("count" AS DOUBLE)
+                                   - ("sum" / CAST("count" AS DOUBLE))
+                                     * ("sum" / CAST("count" AS DOUBLE)))
+                              * 1e4) AS BIGINT) AS std_e4
+            FROM base
+        """,
+        "ft_rare_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT doc_id FROM tok WHERE term IN ({cterms})
+                GROUP BY doc_id
+                HAVING count(DISTINCT term)
+                       = {len(set(CONJ_QUERY.split()))}
+            )
+            SELECT d.source AS value, count(*)::BIGINT AS doc_count
+            FROM documents d JOIN hits USING (doc_id)
+            WHERE d.source IS NOT NULL
+            GROUP BY 1 HAVING count(*) <= {RARE_MAX_DOC_COUNT}
+            ORDER BY doc_count ASC, value ASC LIMIT 10
         """,
         # span_first 'data' end=5: tf = count of 1-indexed i <= 5 with
         # t[i] = 'data' (0-based position < 5), pseudo-term BM25

@@ -179,6 +179,63 @@ def search_range_agg(eng: SearchEngine, docs: DataFrame, query_text: str,
         f"stack({len(keys)}, {stack}) AS (key, doc_count)"))
 
 
+def search_extended_stats_agg(eng: SearchEngine, docs: DataFrame,
+                              query_text: str, num_col: str,
+                              mode: str = "or",
+                              min_should_match: int | None = None
+                              ) -> DataFrame:
+    """ES ``extended_stats`` agg: stats plus sum_of_squares, variance
+    (population, ES default) and std_deviation over the hit set.  The
+    moments derive from EXACT integer sums (count, sum, sum_sq are
+    BIGINT for integer doc values), so an oracle can reproduce the
+    derived doubles bit-for-bit — no aggregation-order float drift."""
+    hits = match_set(eng, query_text, mode, min_should_match)
+    scoped = (docs.select("doc_id", num_col).join(hits, "doc_id", "semi")
+              .filter(F.col(num_col).isNotNull()))
+    c = F.col(num_col)
+    base = scoped.agg(
+        F.count("*").cast("long").alias("count"),
+        F.min(c).cast("long").alias("min"),
+        F.max(c).cast("long").alias("max"),
+        F.sum(c).cast("long").alias("sum"),
+        F.sum(c * c).cast("long").alias("sum_of_squares"))
+    avg = F.col("sum") / F.col("count")
+    var = F.col("sum_of_squares") / F.col("count") - avg * avg
+    return base.select(
+        "count", "min", "max", "sum", "sum_of_squares",
+        avg.alias("avg"), var.alias("variance"),
+        F.sqrt(var).alias("std_deviation"))
+
+
+def search_rare_terms_agg(eng: SearchEngine, query_text: str,
+                          field: str, max_doc_count: int = 1,
+                          size: int = 10, normalized: bool = False,
+                          mode: str = "or",
+                          min_should_match: int | None = None
+                          ) -> DataFrame:
+    """ES ``rare_terms`` agg: the LONG TAIL of a keyword sub-field —
+    buckets whose hit-set doc count is ≤ ``max_doc_count``, ordered
+    count ASC then value asc (the inverse of the terms agg, which
+    surfaces the head).  Same two-phase shape as terms agg; the
+    rarity filter rides the aggregation, so nothing value-space-sized
+    reaches the driver (ES implements this with a CuckooFilter sketch;
+    the exact aggregation is this engine's oracle-checkable form and
+    the distributed cost is one shuffle either way)."""
+    from .build_index import read_fields
+    if max_doc_count <= 0:
+        raise ValueError("max_doc_count must be positive")
+    sub = f"{field}_{'normalized' if normalized else 'keyword'}"
+    fields = read_fields(eng.cat, eng.spark).select("doc_id", sub)
+    hits = match_set(eng, query_text, mode, min_should_match)
+    return (fields.join(hits, "doc_id", "semi")
+            .filter(F.col(sub).isNotNull())
+            .groupBy(F.col(sub).alias("value"))
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("doc_count") <= max_doc_count)
+            .orderBy(F.asc("doc_count"), F.asc("value"))
+            .limit(size))
+
+
 def search_missing_agg(eng: SearchEngine, query_text: str, field: str,
                        kind: str = "keyword", mode: str = "or",
                        min_should_match: int | None = None) -> DataFrame:

@@ -591,3 +591,52 @@ def test_match_set_rejects_msm_with_and(spark, agg_index):
     with pytest.raises(ValueError):
         match_set(get_engine(spark, agg_index), "udrndau atreq",
                   mode="and", min_should_match=2)
+
+
+def test_extended_stats_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import \
+        search_extended_stats_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    nchars = rows["text"].map(
+        lambda t: len(t) if isinstance(t, str) else 0).astype("int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "n_chars": nchars,
+    }))
+    got = search_extended_stats_agg(eng, docs, q, "n_chars").toPandas()
+    vs = [int(nchars.iloc[d]) for d in _hit_set(oracle_tiny, q)]
+    n = len(vs)
+    assert int(got["count"].iloc[0]) == n
+    assert int(got["sum"].iloc[0]) == sum(vs)
+    assert int(got["sum_of_squares"].iloc[0]) == sum(v * v for v in vs)
+    mean = sum(vs) / n
+    var = sum(v * v for v in vs) / n - mean * mean
+    assert abs(float(got["avg"].iloc[0]) - mean) < 1e-9
+    assert abs(float(got["variance"].iloc[0]) - var) < 1e-6
+    assert abs(float(got["std_deviation"].iloc[0]) - var ** 0.5) < 1e-6
+
+
+def test_rare_terms_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_rare_terms_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    hits = _hit_set(oracle_tiny, q)
+    counts = {}
+    for d in hits:
+        lg = rows["lang"].iloc[d]
+        if lg is not None and not pd.isna(lg):
+            counts[lg] = counts.get(lg, 0) + 1
+    thresh = sorted(counts.values())[0]     # rarest bucket's count
+    got = search_rare_terms_agg(eng, q, "lang",
+                                max_doc_count=thresh).toPandas()
+    want = sorted(((c, v) for v, c in counts.items() if c <= thresh))
+    assert [(int(r.doc_count), r.value) for r in got.itertuples()] \
+        == want
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        search_rare_terms_agg(eng, q, "lang", max_doc_count=0)
