@@ -337,6 +337,67 @@ def match_bool_prefix_topk(spark: SparkSession, index_dir: str,
         columns=["doc_id", "url", "score"])
 
 
+def terms_set_topk(spark: SparkSession, index_dir: str,
+                   terms: list[str], min_match_field: str, k: int,
+                   clamp: bool = False) -> "DataFrame":
+    """ES ``terms_set`` query (Q44): docs matching at least
+    ``doc.<min_match_field>`` of the given terms — the
+    minimum_should_match threshold read PER DOC from a numeric doc
+    value (``minimum_should_match_field``; the reference's integer
+    mappings are exactly this shape).  Matching docs score the ES
+    bool-should sum: BM25 over the matched terms.
+
+    Distributed locus (there is no driver analog to a per-doc
+    threshold without fetching every candidate's doc value — the scan
+    shape IS the right one): one term-pushed postings scan joined to
+    the ``fields`` table's ``<field>_num`` doc value, one aggregation
+    carrying score + matched-clause count, the threshold predicate on
+    the aggregate — scale-safe at any hit-set size.  Docs with a NULL
+    threshold never match (ES: a missing minimum_should_match_field
+    value means the doc can't satisfy the clause count).
+
+    ``clamp=False`` (default) is ES's raw ``minimum_should_match_field``
+    contract: a doc demanding more matches than there are query terms
+    can never match.  ``clamp=True`` is the ubiquitous
+    ``Math.min(params.num_terms, doc.value)`` script recipe from the ES
+    docs — the threshold caps at the clause count."""
+    from .build_index import read_fields, read_flat
+    from .topk import _check_k
+    _check_k(k)
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("terms_set needs at least one term")
+    eng = get_engine(spark, index_dir)
+    sub = f"{min_match_field}_num"
+    fields = read_fields(eng.cat, eng.spark).select(
+        "doc_id", F.col(sub).alias("_msm"))
+    flat = read_flat(eng.cat, eng.spark).filter(F.col("term").isin(uniq))
+    if eng.tombstones:
+        ts = spark.createDataFrame(
+            [(int(d),) for d in sorted(eng.tombstones)], "doc_id long")
+        flat = flat.join(F.broadcast(ts), "doc_id", "left_anti")
+    td = eng.cat.read(spark, "term_dict") \
+        .filter(F.col("term").isin(uniq)).select("term", "idf")
+    contrib = (F.col("idf") * F.col("tf") * (K1 + 1.0)
+               / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len")
+                                      / F.lit(eng.avgdl))))
+    agg = (flat.join(F.broadcast(td), "term")
+           .groupBy("doc_id")
+           .agg(F.sum(contrib).alias("score"),
+                F.count_distinct("term").alias("n_matched")))
+    thresh = F.least(F.col("_msm"), F.lit(len(uniq))) if clamp \
+        else F.col("_msm")
+    keep = agg.join(fields, "doc_id") \
+        .filter(F.col("_msm").isNotNull()
+                & (F.col("n_matched") >= thresh))
+    topk = (keep.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    urls = eng.cat.read(spark, "doc_stats").select("doc_id", "url")
+    return (topk.join(urls, "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "url", "score"))
+
+
 def simple_query_string_df(spark: SparkSession, index_dir: str,
                            query: str, k: int,
                            default_operator: str = "or") -> DataFrame:

@@ -210,3 +210,70 @@ def test_match_bool_prefix(spark, qs_index):
     import pytest as _pt
     with _pt.raises(ValueError):
         match_bool_prefix_topk(spark, d, "a b", 5, operator="nor")
+
+
+@pytest.fixture(scope="module")
+def ts_index(spark, tmp_path_factory):
+    """Docs carry a per-doc required-match count (ES
+    minimum_should_match_field): doc i requires i%4 matches and
+    contains a varying subset of the query terms."""
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    d = str(tmp_path_factory.mktemp("idx-termsset"))
+    rows = []
+    for i in range(24):
+        body = ["base"]
+        if i % 2 == 0:
+            body.append("red")
+        if i % 3 == 0:
+            body.append("green")
+        if i % 5 == 0:
+            body.append("blue")
+        req = i % 4 if i != 12 else None      # one NULL threshold
+        rows.append((f"u{i:02d}",
+                     " ".join(body) + " w" + chr(97 + i), req))
+    df = spark.createDataFrame(rows, "url string, text string, req long")
+    IndexBuilder(d, n_buckets=2, block_size=8,
+                 numeric_fields=("req",)).build(spark, df)
+    return d, rows
+
+
+def test_terms_set(spark, ts_index):
+    from tests.oracle import OracleIndex
+    import pandas as pd
+    from mongoesindexer_spark.operators.query_string import terms_set_topk
+    d, rows = ts_index
+    pdf = pd.DataFrame([(u, t) for u, t, _ in rows],
+                       columns=["url", "text"])
+    pdf["html"] = None
+    oi = OracleIndex.build(pdf)
+    terms = ["red", "green", "blue"]
+
+    def brute(clamp):
+        out = []
+        for i, (_, t, req) in enumerate(rows):
+            if req is None:
+                continue
+            toks = t.split()
+            n = sum(1 for x in terms if x in toks)
+            need = min(req, len(terms)) if clamp else req
+            if n >= need:
+                s = oi.score(" ".join(terms), i)
+                out.append((s, i))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return out[:30]
+
+    for clamp in (False, True):
+        got = terms_set_topk(spark, d, terms, "req", 30,
+                             clamp=clamp).toPandas()
+        want = brute(clamp)
+        assert [int(x) for x in got["doc_id"]] == [i for _, i in want], \
+            clamp
+        for g, (w, _) in zip(got["score"], want):
+            assert abs(g - w) < 1e-9
+    # req=0 docs match with zero hits?  no — they carry no matched term
+    # rows in the scan, so they never reach the aggregate (ES likewise
+    # only considers docs matching >= 1 term clause)
+    got = terms_set_topk(spark, d, terms, "req", 30).toPandas()
+    assert 12 not in set(int(x) for x in got["doc_id"])   # NULL req
+    with pytest.raises(ValueError):
+        terms_set_topk(spark, d, [], "req", 5)
