@@ -800,6 +800,26 @@ def q_ft_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("std_e4"))
 
 
+RF_PIVOT, RF_BOOST = 300.0, 0.5
+
+
+def q_ft_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bool: {must: match, should: rank_feature}`` — BM25 plus a
+    saturation feature score on n_chars (boost × x/(x+pivot)), the
+    modern static-signal ranking composition
+    (operators/function_score.py rank_feature_topk)."""
+    from mongoesindexer_spark.operators.function_score import \
+        rank_feature_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = rank_feature_topk(spark, idx, BM25_QUERY, BM25_K, "n_chars",
+                            function="saturation", pivot=RF_PIVOT,
+                            boost=RF_BOOST)
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 RARE_MAX_DOC_COUNT = 15
 
 
@@ -1598,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_match_bool_prefix": q_ft_match_bool_prefix,
         "ft_span_first": q_ft_span_first,
         "ft_extended_stats": q_ft_extended_stats,
+        "ft_rank_feature": q_ft_rank_feature,
         "ft_rare_terms": q_ft_rare_terms,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
@@ -2126,6 +2147,18 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT '150.0-400.0',
                        (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
                        FROM v)
+        """,
+        "ft_rank_feature": bm25_scores.format(terms=terms) + f"""
+            SELECT s.doc_id,
+                   CAST(round((s.score + {RF_BOOST}
+                               * (d.n_chars
+                                  / (d.n_chars + {RF_PIVOT})))
+                              * 1e4) AS BIGINT) AS score_e4
+            FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+            ORDER BY (s.score + {RF_BOOST}
+                      * (d.n_chars / (d.n_chars + {RF_PIVOT}))) DESC,
+                     s.doc_id ASC
+            LIMIT {BM25_K}
         """,
         "ft_extended_stats": f"""
             WITH tok AS (

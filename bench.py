@@ -413,7 +413,7 @@ def main() -> None:
         "ft_bm25_must_not", "ft_terms_avg_subagg", "ft_range_agg",
         "ft_phrase_suggest", "ft_simple_query_string",
         "ft_match_bool_prefix", "ft_keyword_prefix", "ft_span_first",
-        "ft_extended_stats", "ft_rare_terms",
+        "ft_extended_stats", "ft_rare_terms", "ft_rank_feature",
         "ft_bm25_bool_filters",
     ]
     qs = entry_mod.queries()

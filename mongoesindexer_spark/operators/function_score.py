@@ -283,3 +283,59 @@ def _function_score_df(eng: SearchEngine, query_text: str, k: int,
             .join(urls, "doc_id", "left")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .select("doc_id", "url", "score"))
+
+
+# ---------------------------------------------------------------------------
+# rank_feature query (ES rank_feature inside bool.should — Q45)
+# ---------------------------------------------------------------------------
+
+RANK_FEATURE_FUNCTIONS = ("saturation", "log", "sigmoid")
+
+
+def _rank_feature_np(v: "np.ndarray", function: str, pivot: float,
+                     scaling_factor: float, exponent: float
+                     ) -> "np.ndarray":
+    """ES rank_feature score functions (public formulas, ES
+    rank-feature docs): saturation → x/(x+pivot); log →
+    ln(scaling_factor + x); sigmoid → x^exp / (x^exp + pivot^exp)."""
+    if function == "saturation":
+        return v / (v + pivot)
+    if function == "log":
+        return np.log(scaling_factor + v)
+    xe = np.power(v, exponent)
+    return xe / (xe + pivot ** exponent)
+
+
+def rank_feature_topk(spark: SparkSession, index_dir: str,
+                      query_text: str, k: int, field: str,
+                      function: str = "saturation",
+                      pivot: float | None = None,
+                      scaling_factor: float = 1.0,
+                      exponent: float = 1.0,
+                      boost: float = 1.0) -> pd.DataFrame:
+    """ES ``bool: {must: match, should: rank_feature}`` — the modern
+    static-signal ranking composition (pagerank/url_length-style
+    features): final = BM25 + boost × f(feature), f per
+    RANK_FEATURE_FUNCTIONS.  ``pivot`` is REQUIRED for
+    saturation/sigmoid (ES derives a default from the feature's
+    approximate geometric mean; an explicit pivot keeps the score
+    oracle-exact and cluster-reproducible).  Docs with a missing
+    feature value get NO feature contribution (ES: the rank_feature
+    clause simply doesn't match), and candidate resolution stays
+    bounded: the feature read is the same candidate point-read as
+    range-filter context."""
+    if function not in RANK_FEATURE_FUNCTIONS:
+        raise ValueError(
+            f"function must be one of {RANK_FEATURE_FUNCTIONS}")
+    if function in ("saturation", "sigmoid") and pivot is None:
+        raise ValueError(f"{function} needs an explicit pivot")
+    eng = get_engine(spark, index_dir)
+    sub = _check_numeric_sub(eng, field)
+    uniq, bm25 = _kernel_candidates(eng, query_text)
+    if uniq.size == 0:
+        return pd.DataFrame(columns=["doc_id", "url", "score"])
+    v = _candidate_values(eng, uniq, sub, float("nan"))
+    w = _rank_feature_np(v, function, pivot if pivot is not None
+                         else 1.0, scaling_factor, exponent)
+    w = np.where(np.isnan(v), 0.0, w)
+    return _topk_frame(eng, uniq, bm25 + boost * w, k)

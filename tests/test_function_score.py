@@ -142,3 +142,68 @@ def test_decay_validation(spark, fs_index):
         args = {"origin": 0.0, "scale": 10.0, **kwargs}
         with pytest.raises(ValueError):
             decay_score_topk(spark, d, "common", 5, "pop", **args)
+
+
+def test_rank_feature_matches_bruteforce(spark, tmp_path_factory):
+    """ES rank_feature: BM25 + boost x f(feature), saturation/log/
+    sigmoid, missing feature contributes 0."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+    from tests.oracle import OracleIndex
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.function_score import \
+        rank_feature_topk
+
+    d = str(tmp_path_factory.mktemp("idx-rankfeat"))
+    rows = []
+    for i in range(20):
+        pr = (i * 7) % 13 + 1 if i % 6 != 0 else None   # some missing
+        rows.append((f"u{i:02d}", "common " + ("extra " * (i % 3))
+                     + f"w{chr(97 + i)}", pr))
+    df = spark.createDataFrame(rows, "url string, text string, pr long")
+    IndexBuilder(d, n_buckets=2, block_size=8,
+                 numeric_fields=("pr",)).build(spark, df)
+    pdf = pd.DataFrame([(u, t) for u, t, _ in rows],
+                       columns=["url", "text"])
+    pdf["html"] = None
+    oi = OracleIndex.build(pdf)
+
+    def brute(fn, pivot=None, sf=1.0, ex=1.0, boost=1.0):
+        out = []
+        for i, (_, t, pr) in enumerate(rows):
+            toks = t.split()
+            if "common" not in toks and "extra" not in toks:
+                continue
+            s = oi.score("common extra", i)
+            if pr is not None:
+                x = float(pr)
+                if fn == "saturation":
+                    w = x / (x + pivot)
+                elif fn == "log":
+                    w = np.log(sf + x)
+                else:
+                    w = x ** ex / (x ** ex + pivot ** ex)
+                s += boost * w
+            out.append((s, i))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return out[:10]
+
+    cases = [("saturation", dict(pivot=5.0, boost=2.0)),
+             ("log", dict(scaling_factor=2.0, boost=0.7)),
+             ("sigmoid", dict(pivot=6.0, exponent=2.0, boost=1.5))]
+    for fn, kw in cases:
+        got = rank_feature_topk(spark, d, "common extra", 10, "pr",
+                                function=fn, **kw)
+        bkw = dict(pivot=kw.get("pivot"), sf=kw.get("scaling_factor",
+                                                    1.0),
+                   ex=kw.get("exponent", 1.0), boost=kw["boost"])
+        want = brute(fn, **bkw)
+        assert [int(x) for x in got["doc_id"]] == [i for _, i in want], fn
+        for g, (w, _) in zip(got["score"], want):
+            assert abs(g - w) < 1e-9, fn
+    with _pt.raises(ValueError):
+        rank_feature_topk(spark, d, "common", 5, "pr",
+                          function="saturation")   # pivot required
+    with _pt.raises(ValueError):
+        rank_feature_topk(spark, d, "common", 5, "pr", function="sqrt")
