@@ -800,6 +800,26 @@ def q_ft_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("std_e4"))
 
 
+DECON_K, DECON_MOD = 5, 97      # 5-gram rule; bench = doc_id % 97 == 0
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline op): flag documents
+    sharing any distinct 5-gram with the 'benchmark' subset
+    (doc_id % 97 == 0) — the Brown et al. 2020 n-gram overlap rule.
+    The benchmark's distinct shingle hashes broadcast; the corpus pays
+    one scan + map-side semi-join, no corpus shuffle
+    (operators/dedup.py decontaminate)."""
+    from mongoesindexer_spark.operators.dedup import decontaminate
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter((F.col("doc_id") % DECON_MOD) == 0)
+    out = decontaminate(docs, bench, shingle_k=DECON_K)
+    return out.select(
+        "doc_id", F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("contaminated").cast("long").alias("contaminated"))
+
+
 RF_PIVOT, RF_BOOST = 300.0, 0.5
 
 
@@ -1619,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_first": q_ft_span_first,
         "ft_extended_stats": q_ft_extended_stats,
         "ft_rank_feature": q_ft_rank_feature,
+        "decontaminate": q_decontaminate,
         "ft_rare_terms": q_ft_rare_terms,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
@@ -2147,6 +2168,38 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT '150.0-400.0',
                        (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
                        FROM v)
+        """,
+        "decontaminate": f"""
+            WITH toksl AS (
+                SELECT doc_id, {_TOK_DD} AS t FROM documents
+            ), shl AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= {DECON_K}
+                            THEN list_distinct(list_transform(
+                                range(1, len(t) - {DECON_K} + 2),
+                                i -> concat_ws(' ', t[i], t[i+1],
+                                               t[i+2], t[i+3], t[i+4])))
+                            ELSE [array_to_string(t, ' ')] END AS sh
+                FROM toksl
+            ), ex AS (
+                SELECT doc_id, len(sh)::BIGINT AS n_shingles,
+                       unnest(sh) AS shingle
+                FROM shl
+            ), bench AS (
+                SELECT DISTINCT shingle FROM ex
+                WHERE doc_id % {DECON_MOD} = 0
+            ), hits AS (
+                SELECT e.doc_id,
+                       count(DISTINCT e.shingle)::BIGINT AS n_hits
+                FROM ex e JOIN bench b USING (shingle) GROUP BY 1
+            ), base AS (
+                SELECT doc_id, max(n_shingles)::BIGINT AS n_shingles
+                FROM ex GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_shingles,
+                   COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+                   (COALESCE(h.n_hits, 0) >= 1)::BIGINT AS contaminated
+            FROM base b LEFT JOIN hits h USING (doc_id)
         """,
         "ft_rank_feature": bm25_scores.format(terms=terms) + f"""
             SELECT s.doc_id,

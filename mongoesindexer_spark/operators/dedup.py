@@ -375,3 +375,55 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a",
             f"exceeds max_iters — raise max_iters (rounds needed = "
             "distance from each component's min-id node)")
     return labels.select("id", "cluster_id")
+
+
+def decontaminate(train: DataFrame, bench: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_k: int = 8, min_hits: int = 1,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """Benchmark DECONTAMINATION: per train doc, the count of distinct
+    k-gram shingles shared with ANY benchmark doc — the n-gram overlap
+    rule public training pipelines apply before training (the 13-gram
+    filter of Brown et al. 2020, "Language Models are Few-Shot
+    Learners" appendix C; k and the hit threshold are parameters).
+    Returns (doc_id, n_shingles, n_hits, contaminated) for EVERY train
+    doc — zero-hit docs included, so the frame is directly usable as an
+    anti-join mask.
+
+    Scale shape: the benchmark side is orders of magnitude smaller than
+    the training corpus, so its DISTINCT shingle hash set (xxhash64 —
+    8-byte longs, never raw strings) broadcasts and the train side pays
+    ONE scan + a map-side broadcast join + per-doc aggregation: the
+    100 TB corpus never shuffles.  ``broadcast_bench=False`` switches
+    to a shuffled equi-join on the shingle hash for benchmark suites
+    too large to broadcast (cost then ∝ train shingles, one exchange).
+    64-bit hash collisions can in principle overcount a hit; at any
+    real benchmark size the probability is ~2⁻⁴⁰ per corpus, and the
+    rule's consumers threshold on counts, not exact equality."""
+    cat = ", ".join(f"toks[i+{j}]" for j in range(shingle_k))
+    sh_expr = F.array_distinct(F.when(
+        F.size("toks") >= shingle_k,
+        F.expr(f"transform(sequence(0, size(toks) - {shingle_k}), "
+               f"i -> concat_ws(' ', {cat}))"),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("toks")))))
+    tr = (train.select(F.col(id_col).alias("doc_id"),
+                       _tokens(text_col).alias("toks"))
+          .withColumn("sh", sh_expr)
+          .select("doc_id", F.size("sh").alias("n_shingles"),
+                  F.explode_outer("sh").alias("shingle"))
+          .withColumn("h", F.xxhash64("shingle")))
+    bh = (bench.select(_tokens(text_col).alias("toks"))
+          .withColumn("sh", sh_expr)
+          .select(F.explode("sh").alias("shingle"))
+          .select(F.xxhash64("shingle").alias("h")).distinct())
+    if broadcast_bench:
+        bh = F.broadcast(bh)
+    hits = (tr.join(bh, "h", "semi")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("h").alias("n_hits")))
+    base = tr.groupBy("doc_id").agg(F.max("n_shingles").alias("n_shingles"))
+    return (base.join(hits, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") >= min_hits))

@@ -366,3 +366,36 @@ def test_lookup_preserves_duplicate_parents(spark):
     dup = [r for r in out.collect() if r["pk"] == 1]
     assert len(dup) == 2 and all([c["cname"] for c in r["kids"]] == ["x"]
                                  for r in dup)
+
+
+def test_decontaminate(spark, docs_df):
+    """n-gram decontamination vs brute force: bench = docs {2, 4};
+    k=3-gram overlap, distinct-count semantics, zero-hit docs present."""
+    from mongoesindexer_spark.operators.dedup import decontaminate
+
+    bench = docs_df.filter(F.col("doc_id").isin([2, 4]))
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hits"], r["contaminated"])
+           for r in decontaminate(docs_df, bench, shingle_k=3).collect()}
+
+    rows = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+
+    def shingles(t, k=3):
+        toks = [x for x in t.lower().split() if x]
+        if len(toks) >= k:
+            return {" ".join(toks[i:i + k])
+                    for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    bench_sh = set().union(*(shingles(rows[i]) for i in (2, 4)))
+    for d, t in rows.items():
+        sh = shingles(t)
+        hits = len(sh & bench_sh)
+        assert got[d] == (len(sh), hits, hits >= 1), d
+    # every train doc present, incl. zero-hit ones
+    assert set(got) == set(rows)
+    assert any(h == 0 for _, h, _ in got.values())
+    # higher threshold flips borderline docs off
+    strict = {r["doc_id"]: r["contaminated"]
+              for r in decontaminate(docs_df, bench, shingle_k=3,
+                                     min_hits=10**6).collect()}
+    assert not any(strict.values())
