@@ -800,6 +800,39 @@ def q_ft_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("std_e4"))
 
 
+def q_ft_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``weighted_avg`` of n_chars weighted by a deterministic
+    per-doc weight (doc_id % 5 + 1) over the flagship query's hit set —
+    exact integer sums plus the derived double
+    (operators/aggs.py search_weighted_avg_agg)."""
+    from mongoesindexer_spark.operators.aggs import \
+        search_weighted_avg_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents") \
+        .withColumn("wt", (F.col("doc_id") % 5 + 1).cast("long"))
+    out = search_weighted_avg_agg(get_engine(spark, idx), docs,
+                                  BM25_QUERY, "n_chars", "wt")
+    return out.select(
+        "sum_vw", "sum_w",
+        F.round(F.col("weighted_avg") * 1e4).cast("long")
+        .alias("wavg_e4"))
+
+
+def q_ft_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_terms`` agg keyed by the (source, lang) tuple over
+    the flagship query's hit set, doc_count desc / key tuple asc
+    (operators/aggs.py search_multi_terms_agg)."""
+    from mongoesindexer_spark.operators.aggs import search_multi_terms_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_multi_terms_agg(
+        get_engine(spark, idx), BM25_QUERY, ("source", "lang"),
+        size=10).select(
+        "key_0", "key_1",
+        F.col("doc_count").cast("long").alias("doc_count"))
+
+
 DECON_K, DECON_MOD = 5, 97      # 5-gram rule; bench = doc_id % 97 == 0
 
 
@@ -1640,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_extended_stats": q_ft_extended_stats,
         "ft_rank_feature": q_ft_rank_feature,
         "decontaminate": q_decontaminate,
+        "ft_weighted_avg": q_ft_weighted_avg,
+        "ft_multi_terms": q_ft_multi_terms,
         "ft_rare_terms": q_ft_rare_terms,
         "ft_composite_agg": q_ft_composite_agg,
         "ft_composite_multi": q_ft_composite_multi,
@@ -2168,6 +2203,36 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT '150.0-400.0',
                        (count(*) FILTER (WHERE nv >= 150 AND nv < 400))::BIGINT
                        FROM v)
+        """,
+        "ft_weighted_avg": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            ), v AS (
+                SELECT d.n_chars AS x, (d.doc_id % 5 + 1) AS w
+                FROM documents d JOIN hits USING (doc_id)
+                WHERE d.n_chars IS NOT NULL
+            )
+            SELECT sum(x * w)::BIGINT AS sum_vw,
+                   sum(w)::BIGINT AS sum_w,
+                   CAST(round((sum(x * w)::BIGINT
+                               / CAST(sum(w)::BIGINT AS DOUBLE)) * 1e4)
+                        AS BIGINT) AS wavg_e4
+            FROM v
+        """,
+        "ft_multi_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            )
+            SELECT d.source AS key_0, d.lang AS key_1,
+                   count(*)::BIGINT AS doc_count
+            FROM documents d JOIN hits USING (doc_id)
+            WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY doc_count DESC, key_0 ASC, key_1 ASC LIMIT 10
         """,
         "decontaminate": f"""
             WITH toksl AS (

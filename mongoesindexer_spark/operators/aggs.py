@@ -236,6 +236,60 @@ def search_rare_terms_agg(eng: SearchEngine, query_text: str,
             .limit(size))
 
 
+def search_weighted_avg_agg(eng: SearchEngine, docs: DataFrame,
+                            query_text: str, value_col: str,
+                            weight_col: str, mode: str = "or",
+                            min_should_match: int | None = None
+                            ) -> DataFrame:
+    """ES ``weighted_avg`` agg: Σ(value×weight)/Σ(weight) over the hit
+    set.  ES semantics for nulls: rows with a NULL weight are skipped
+    entirely; a NULL value with a live weight is skipped too (no
+    ``value.missing`` default configured).  The two sums are exact
+    BIGINTs for integer columns, so the derived double is
+    oracle-reproducible; one scalar aggregate."""
+    hits = match_set(eng, query_text, mode, min_should_match)
+    scoped = (docs.select("doc_id", value_col, weight_col)
+              .join(hits, "doc_id", "semi")
+              .filter(F.col(value_col).isNotNull()
+                      & F.col(weight_col).isNotNull()))
+    v, w = F.col(value_col), F.col(weight_col)
+    base = scoped.agg(F.sum(v * w).cast("long").alias("sum_vw"),
+                      F.sum(w).cast("long").alias("sum_w"))
+    return base.select(
+        "sum_vw", "sum_w",
+        (F.col("sum_vw") / F.col("sum_w")).alias("weighted_avg"))
+
+
+def search_multi_terms_agg(eng: SearchEngine, query_text: str,
+                           fields: "tuple[str, ...]", size: int = 10,
+                           normalized: bool = False, mode: str = "or",
+                           min_should_match: int | None = None
+                           ) -> DataFrame:
+    """ES ``multi_terms`` agg: buckets keyed by the TUPLE of several
+    keyword sub-field values over the hit set, doc_count desc then key
+    tuple asc — the count-ordered cousin of the composite agg (which
+    streams the bucket space in KEY order for paging).  Docs missing
+    ANY of the key fields drop, like ES.  One shuffle for the match
+    set, one for the tuple counts."""
+    from .build_index import read_fields
+    if not fields or len(fields) < 2:
+        raise ValueError("multi_terms needs at least two key fields "
+                         "(use the terms agg for one)")
+    subs = [f"{f}_{'normalized' if normalized else 'keyword'}"
+            for f in fields]
+    src = read_fields(eng.cat, eng.spark).select("doc_id", *subs)
+    hits = match_set(eng, query_text, mode, min_should_match)
+    scoped = src.join(hits, "doc_id", "semi")
+    for s in subs:
+        scoped = scoped.filter(F.col(s).isNotNull())
+    out = (scoped.groupBy(*[F.col(s).alias(f"key_{i}")
+                            for i, s in enumerate(subs)])
+           .agg(F.count("*").alias("doc_count")))
+    keys = [f"key_{i}" for i in range(len(subs))]
+    return out.orderBy(F.desc("doc_count"),
+                       *[F.asc(k) for k in keys]).limit(size)
+
+
 def search_missing_agg(eng: SearchEngine, query_text: str, field: str,
                        kind: str = "keyword", mode: str = "or",
                        min_should_match: int | None = None) -> DataFrame:

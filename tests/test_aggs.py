@@ -640,3 +640,51 @@ def test_rare_terms_agg(spark, agg_index, tiny_pages, oracle_tiny):
     import pytest as _pt
     with _pt.raises(ValueError):
         search_rare_terms_agg(eng, q, "lang", max_doc_count=0)
+
+
+def test_weighted_avg_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import \
+        search_weighted_avg_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    n = len(rows)
+    vals = pd.Series([None if i % 9 == 0 else (i * 3) % 50
+                      for i in range(n)], dtype="Int64")
+    wts = pd.Series([None if i % 7 == 0 else i % 5 + 1
+                     for i in range(n)], dtype="Int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64), "v": vals, "w": wts}))
+    got = search_weighted_avg_agg(eng, docs, q, "v", "w").toPandas()
+    hits = _hit_set(oracle_tiny, q)
+    pairs = [(int(vals.iloc[d]), int(wts.iloc[d])) for d in hits
+             if not pd.isna(vals.iloc[d]) and not pd.isna(wts.iloc[d])]
+    svw = sum(v * w for v, w in pairs)
+    sw = sum(w for _, w in pairs)
+    assert int(got["sum_vw"].iloc[0]) == svw
+    assert int(got["sum_w"].iloc[0]) == sw
+    assert abs(float(got["weighted_avg"].iloc[0]) - svw / sw) < 1e-9
+
+
+def test_multi_terms_agg(spark, spark_two_kw, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import search_multi_terms_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, spark_two_kw)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    hits = _hit_set(oracle_tiny, q)
+    vc = {}
+    for d in hits:
+        lg, up = rows["lang"].iloc[d], rows["url"].iloc[d][:4]
+        if lg is None or pd.isna(lg):
+            continue
+        vc[(lg, up)] = vc.get((lg, up), 0) + 1
+    want = sorted(vc.items(), key=lambda x: (-x[1], x[0]))[:8]
+    got = search_multi_terms_agg(eng, q, ("lang", "upre"),
+                                 size=8).toPandas()
+    assert [((r.key_0, r.key_1), int(r.doc_count))
+            for r in got.itertuples()] == want
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        search_multi_terms_agg(eng, q, ("lang",))
