@@ -406,24 +406,39 @@ def decontaminate(train: DataFrame, bench: DataFrame,
         F.expr(f"transform(sequence(0, size(toks) - {shingle_k}), "
                f"i -> concat_ws(' ', {cat}))"),
     ).otherwise(F.array(F.concat_ws(" ", F.col("toks")))))
-    tr = (train.select(F.col(id_col).alias("doc_id"),
-                       _tokens(text_col).alias("toks"))
+    src = train.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    sc = train.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        # a few-file input would serialize the shingle explode into a
+        # handful of tasks; spread the cheap (id, text) projection
+        # first — a no-op at corpus scale, where input splits already
+        # exceed the core count (this branch never triggers)
+        src = src.repartition(sc.defaultParallelism)
+    # explode_OUTER, deliberately: plain explode makes Catalyst infer a
+    # size(sh) > 0 filter (InferFiltersFromGenerate) and push the WHOLE
+    # shingle expression down into the file scan — evaluating it twice,
+    # once inside a single scan task.  sh is never empty by construction
+    # (the else-branch emits one whole-doc shingle), so outer semantics
+    # are identical and the inferred filter never appears.
+    tr = (src.select("doc_id", _tokens(text_col).alias("toks"))
           .withColumn("sh", sh_expr)
-          .select("doc_id", F.size("sh").alias("n_shingles"),
-                  F.explode_outer("sh").alias("shingle"))
-          .withColumn("h", F.xxhash64("shingle")))
+          .select("doc_id", F.explode_outer("sh").alias("shingle"))
+          .select("doc_id", F.xxhash64("shingle").alias("h")))
     bh = (bench.select(_tokens(text_col).alias("toks"))
           .withColumn("sh", sh_expr)
-          .select(F.explode("sh").alias("shingle"))
-          .select(F.xxhash64("shingle").alias("h")).distinct())
+          .select(F.explode_outer("sh").alias("shingle"))
+          .select(F.xxhash64("shingle").alias("h")).distinct()
+          .withColumn("_m", F.lit(1)))
     if broadcast_bench:
         bh = F.broadcast(bh)
-    hits = (tr.join(bh, "h", "semi")
-            .groupBy("doc_id")
-            .agg(F.count_distinct("h").alias("n_hits")))
-    base = tr.groupBy("doc_id").agg(F.max("n_shingles").alias("n_shingles"))
-    return (base.join(hits, "doc_id", "left")
-            .select("doc_id", "n_shingles",
-                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
-                    .alias("n_hits"))
+    # ONE corpus scan: a broadcast LEFT join marks matched shingles,
+    # and a single per-doc aggregation carries both counts (rows per
+    # doc are already distinct shingles — sh_expr array_distincts)
+    joined = tr.join(bh, "h", "left")
+    return (joined.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.coalesce(
+                     F.sum(F.when(F.col("_m").isNotNull(), 1)
+                           .otherwise(0)), F.lit(0)).cast("long")
+                 .alias("n_hits"))
             .withColumn("contaminated", F.col("n_hits") >= min_hits))
