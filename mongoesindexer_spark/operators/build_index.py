@@ -566,8 +566,13 @@ def completion_from_term_dict(td: DataFrame, n_parts: int) -> DataFrame:
     """(prefix ≤ MAX_PREFIX_LEN, term, weight=df) rows, prefix-sorted for
     row-group-pruned point reads — shared by the build stage and the
     incremental-sync refresh."""
+    # explode_OUTER: plain explode makes Catalyst infer a size(...)>0
+    # filter and push the whole prefix-transform into the term_dict
+    # scan, evaluating it twice (same pathology fixed in
+    # dedup.decontaminate).  Terms are never empty, so outer semantics
+    # are identical and no filter is inferred.
     comp = td.select("term", F.col("df").alias("weight")).select(
-        F.explode(F.expr(
+        F.explode_outer(F.expr(
             f"transform(sequence(1, least(length(term), {MAX_PREFIX_LEN})),"
             " i -> substring(term, 1, i))")).alias("prefix"),
         "term", "weight")
