@@ -277,3 +277,23 @@ def test_terms_set(spark, ts_index):
     assert 12 not in set(int(x) for x in got["doc_id"])   # NULL req
     with pytest.raises(ValueError):
         terms_set_topk(spark, d, [], "req", 5)
+
+
+def test_parser_never_throws_property():
+    """ES contract: simple_query_string NEVER fails on syntax — fuzz
+    the parser with arbitrary text (quotes, operators, unicode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from mongoesindexer_spark.operators.query_string import \
+        parse_simple_query_string
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def run(q):
+        for op in ("or", "and"):
+            for kind, text, is_phrase in parse_simple_query_string(q, op):
+                assert kind in ("must", "should", "not")
+                assert text.strip()
+                assert isinstance(is_phrase, bool)
+
+    run()
