@@ -7,6 +7,10 @@ Two members cover the span surface a web-search user actually hits:
   as :meth:`SearchEngine.phrase_topk(..., slop=s)` — the in-order
   window rule documented on ``phrase_topk_arrays`` (delta vs Lucene's
   SloppyPhraseMatcher documented there too).  No separate operator.
+  The modern ``intervals`` query's core rule is the same machinery:
+  ``intervals: {match: {query, ordered: true, max_gaps: g}}`` ≡
+  ``phrase_topk(slop=g)`` (an interval of n terms with ≤ g gaps in
+  order is exactly the n+g in-order window).
 - ``span_first`` (:func:`span_first_topk`): the match must START within
   the first ``end`` positions of the field — "title-ish prefix of the
   body" queries.  Scoring contract (engine spec, oracle-pinned): the
