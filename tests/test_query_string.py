@@ -297,3 +297,20 @@ def test_parser_never_throws_property():
                 assert isinstance(is_phrase, bool)
 
     run()
+
+
+def test_match_bool_prefix_budget_guard(spark, qs_index):
+    """The prefix clause enforces the driver Σdf budget the module doc
+    promises — a too-broad prefix raises with the completion-table
+    pointer instead of decoding unbounded postings driver-side."""
+    import mongoesindexer_spark.operators.query_string as qsm
+    from mongoesindexer_spark.operators.query_string import \
+        match_bool_prefix_topk
+    d, rows = qs_index
+    orig = qsm.SEGMENT_FANOUT_CUTOFF
+    qsm.SEGMENT_FANOUT_CUTOFF = 1
+    try:
+        with pytest.raises(ValueError, match="completion table"):
+            match_bool_prefix_topk(spark, d, "alpha bet", 5)
+    finally:
+        qsm.SEGMENT_FANOUT_CUTOFF = orig
