@@ -64,6 +64,13 @@ def span_first_topk(spark: SparkSession, index_dir: str, term: str,
     meta = eng._term_meta([t])
     if meta.get(t) is None:
         return empty
+    from .topk import SEGMENT_FANOUT_CUTOFF
+    if meta[t][1] >= SEGMENT_FANOUT_CUTOFF:
+        raise ValueError(
+            f"span_first on {t!r} (df {meta[t][1]}) exceeds the driver "
+            f"candidate budget ({SEGMENT_FANOUT_CUTOFF}) — a head term's "
+            "blocks must not decode driver-side; a per-segment "
+            "span_first kernel is the fan-out extension point")
     idf = meta[t][0]
     blocks = sorted(eng._term_blocks([t]).get(t) or [],
                     key=lambda b: b["first_doc"])

@@ -66,6 +66,19 @@ def pair_cf(eng: SearchEngine, a: str, b: str) -> int:
     hit = cache.get((a, b))
     if hit is not None:
         return hit
+    # driver budget: a head-term pair must not decode its full posting
+    # blocks driver-side.  Returning 0 routes the language model to its
+    # backoff leg — exactly the model's own degradation mechanism
+    # (Stupid Backoff exists because higher-order evidence is sometimes
+    # unavailable), so the suggester stays total-cost bounded instead
+    # of failing on common left-contexts.
+    from .topk import SEGMENT_FANOUT_CUTOFF
+    meta = eng._term_meta([a, b])
+    if any(meta.get(t) is None for t in (a, b)) or \
+            sum(m[1] for m in meta.values() if m is not None) \
+            >= SEGMENT_FANOUT_CUTOFF:
+        cache[(a, b)] = 0
+        return 0
     by_term = eng._term_blocks([a, b])
     out = 0
     if by_term.get(a) and by_term.get(b):

@@ -127,3 +127,21 @@ def test_phrase_suggest_modes_and_guards(spark, ps_index):
                      index_positions=False).build(spark, df)
     with pytest.raises(ValueError, match="positions"):
         phrase_suggest(spark, d2, "apache sparc")
+
+
+def test_pair_cf_budget_backoff(spark, ps_index):
+    """Over-budget pairs return 0 (the LM's backoff leg) instead of
+    decoding head-term blocks driver-side."""
+    import mongoesindexer_spark.operators.topk as tk
+    from mongoesindexer_spark.operators.suggest import pair_cf
+    from mongoesindexer_spark.operators.topk import get_engine
+    d, rows = ps_index
+    eng = get_engine(spark, d)
+    eng._pair_cf_cache = {}
+    orig = tk.SEGMENT_FANOUT_CUTOFF
+    tk.SEGMENT_FANOUT_CUTOFF = 1
+    try:
+        assert pair_cf(eng, "apache", "spark") == 0
+    finally:
+        tk.SEGMENT_FANOUT_CUTOFF = orig
+        eng._pair_cf_cache = {}

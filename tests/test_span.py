@@ -70,3 +70,17 @@ def test_span_first_guards(spark, sp_index):
         span_first_topk(spark, d, "target", 0, 10)
     with pytest.raises(ValueError, match="single span_term"):
         span_first_topk(spark, d, "two words", 5, 10)
+
+
+def test_span_first_budget_guard(spark, sp_index):
+    import mongoesindexer_spark.operators.span as sp
+    from mongoesindexer_spark.operators.span import span_first_topk
+    d, _ = sp_index
+    import mongoesindexer_spark.operators.topk as tk
+    orig = tk.SEGMENT_FANOUT_CUTOFF
+    tk.SEGMENT_FANOUT_CUTOFF = 1
+    try:
+        with pytest.raises(ValueError, match="candidate budget"):
+            span_first_topk(spark, d, "target", 5, 10)
+    finally:
+        tk.SEGMENT_FANOUT_CUTOFF = orig
