@@ -534,7 +534,24 @@ class SearchEngine:
             raise KeyError(
                 f"no point-read sidecar {table!r} — was the index built "
                 f"with keyword_fields=({field!r},)?")
-        pdf = self._rg_index(table, sub).read_range(lo, hi, ["doc_id"])
+        idx = self._rg_index(table, sub)
+        # serving budget: the value window's overlapping row groups
+        # bound what the gather can materialize driver-side (footer
+        # stats only — nothing read yet).  A corpus-wide window belongs
+        # on the analytics path (operators.keyword.keyword_match), the
+        # same division of labor keyword_term documents.
+        est = 0
+        for fi, rg, mn, mx in idx.entries:
+            if mn is None or not (mx < lo or mn >= hi):
+                est += idx.files[fi].metadata.row_group(rg).num_rows
+        if est > MAX_RESULT_WINDOW:
+            raise ValueError(
+                f"keyword value window [{lo!r}, {hi!r}) overlaps ~{est} "
+                f"sidecar rows > max_result_window={MAX_RESULT_WINDOW} "
+                "— too broad for the point-read serving path; narrow "
+                "the bounds or use the Spark analytics path "
+                "(operators.keyword.keyword_match)")
+        pdf = idx.read_range(lo, hi, ["doc_id"])
         floor = -1 if after_doc_id is None else int(after_doc_id)
         ids = sorted(int(d) for d in pdf["doc_id"].values
                      if int(d) > floor

@@ -78,3 +78,18 @@ def test_keyword_range_paging_and_sync(spark, kr_index, tmp_path):
         got.extend(int(x) for x in page["doc_id"])
         cursor = int(page["doc_id"].iloc[-1])
     assert got == want
+
+
+def test_keyword_window_budget_guard(spark, kr_index, monkeypatch):
+    """A value window overlapping more sidecar rows than
+    max_result_window refuses the point-read path and names the
+    analytics alternative."""
+    import mongoesindexer_spark.operators.topk as tk
+    from mongoesindexer_spark.operators.topk import get_engine
+    d, _ = kr_index
+    eng = get_engine(spark, d)
+    monkeypatch.setattr(tk, "MAX_RESULT_WINDOW", 1)
+    with pytest.raises(ValueError, match="keyword_match"):
+        eng.keyword_prefix("cat", "a", size=1)
+    with pytest.raises(ValueError, match="keyword_match"):
+        eng.keyword_range("cat", gte="a", size=1)
