@@ -853,6 +853,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contaminated").cast("long").alias("contaminated"))
 
 
+def q_ft_function_score_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` with a FUNCTION ARRAY: field_value_factor
+    (log1p 0.01×n_chars) + gauss decay on n_chars + a weight function
+    gated by a lang='en' filter, combined score_mode=sum and joined
+    boost_mode=multiply (operators/function_score.py
+    function_score_compose_topk — all six score_modes brute-force
+    pinned in tests)."""
+    from mongoesindexer_spark.operators.function_score import \
+        function_score_compose_topk
+    idx = _docs_index(spark, sf_dir)
+    pdf = function_score_compose_topk(
+        spark, idx, BM25_QUERY, BM25_K,
+        [{"kind": "field_value_factor", "field": "n_chars",
+          "factor": 0.01, "modifier": "log1p"},
+         {"kind": "gauss", "field": "n_chars", "origin": 300.0,
+          "scale": 150.0},
+         {"kind": "weight", "weight": 1.5,
+          "filter": ("lang", "en", True)}],
+        score_mode="sum", boost_mode="multiply")
+    out = spark.createDataFrame(
+        pdf[["doc_id", "score"]], schema="doc_id long, score double")
+    return out.select("doc_id",
+                      F.round(F.col("score") * 1e4).cast("long").alias("score_e4"))
+
+
 RF_PIVOT, RF_BOOST = 300.0, 0.5
 
 
@@ -1672,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_first": q_ft_span_first,
         "ft_extended_stats": q_ft_extended_stats,
         "ft_rank_feature": q_ft_rank_feature,
+        "ft_function_score_multi": q_ft_function_score_multi,
         "decontaminate": q_decontaminate,
         "ft_weighted_avg": q_ft_weighted_avg,
         "ft_multi_terms": q_ft_multi_terms,
@@ -2265,6 +2291,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
                    (COALESCE(h.n_hits, 0) >= 1)::BIGINT AS contaminated
             FROM base b LEFT JOIN hits h USING (doc_id)
+        """,
+        # function-array compose: sum of log1p fvf + gauss decay + a
+        # lang-filtered weight, multiplied onto BM25
+        "ft_function_score_multi": bm25_scores.format(terms=terms) + f"""
+            SELECT s.doc_id,
+                   CAST(round(s.score *
+                        ( ln(1 + 0.01 * d.n_chars)
+                        + exp(ln(0.5) * pow(abs(d.n_chars - 300.0)
+                                            / 150.0, 2))
+                        + CASE WHEN lower(strip_accents(d.lang)) = 'en'
+                               THEN 1.5 ELSE 0 END )
+                        * 1e4) AS BIGINT) AS score_e4
+            FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+            ORDER BY s.score *
+                     ( ln(1 + 0.01 * d.n_chars)
+                     + exp(ln(0.5) * pow(abs(d.n_chars - 300.0)
+                                         / 150.0, 2))
+                     + CASE WHEN lower(strip_accents(d.lang)) = 'en'
+                            THEN 1.5 ELSE 0 END ) DESC,
+                     s.doc_id ASC
+            LIMIT {BM25_K}
         """,
         "ft_rank_feature": bm25_scores.format(terms=terms) + f"""
             SELECT s.doc_id,

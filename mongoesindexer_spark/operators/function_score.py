@@ -339,3 +339,137 @@ def rank_feature_topk(spark: SparkSession, index_dir: str,
                          else 1.0, scaling_factor, exponent)
     w = np.where(np.isnan(v), 0.0, w)
     return _topk_frame(eng, uniq, bm25 + boost * w, k)
+
+
+# ---------------------------------------------------------------------------
+# function_score with a FUNCTION ARRAY (ES score_mode/boost_mode — Q48)
+# ---------------------------------------------------------------------------
+
+FS_SCORE_MODES = ("multiply", "sum", "avg", "first", "max", "min")
+FS_BOOST_MODES = ("multiply", "replace", "sum", "avg", "max", "min")
+
+
+def function_score_compose_topk(spark: SparkSession, index_dir: str,
+                                query_text: str, k: int,
+                                functions: "list[dict]",
+                                score_mode: str = "multiply",
+                                boost_mode: str = "multiply",
+                                max_boost: float | None = None,
+                                min_score: float | None = None
+                                ) -> pd.DataFrame:
+    """ES ``function_score`` with a FUNCTION ARRAY — the full composed
+    form: each function optionally gated by a filter clause and scaled
+    by ``weight``; matching functions combine per ``score_mode``
+    (``avg`` is the ES weighted average Σwf/Σw; ``first`` takes the
+    first matching function in array order), the combined factor caps
+    at ``max_boost``, joins the query score per ``boost_mode``
+    (``replace`` discards BM25), and ``min_score`` drops docs below the
+    final score.  A doc matching NO function keeps factor 1.0 — all ES
+    function-score documented semantics.
+
+    ``functions`` entries (dicts):
+      ``{"kind": "field_value_factor", "field", "factor", "modifier",
+         "missing", "weight", "filter"}``
+      ``{"kind": "gauss"|"exp"|"linear", "field", "origin", "scale",
+         "offset", "decay", "missing", "weight", "filter"}``
+      ``{"kind": "weight", "weight", "filter"}`` (pure weight function)
+    ``filter``: ``(field, value)`` or ``(field, value, normalized)`` —
+    any clause shape the engine's filter context accepts, resolved
+    CANDIDATE-BOUNDED per function (the same `_filter_allowed` path
+    every serving filter uses, cost ∝ candidates per function)."""
+    if score_mode not in FS_SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {FS_SCORE_MODES}")
+    if boost_mode not in FS_BOOST_MODES:
+        raise ValueError(f"boost_mode must be one of {FS_BOOST_MODES}")
+    if not functions:
+        raise ValueError("function_score needs at least one function")
+    eng = get_engine(spark, index_dir)
+    uniq, bm25 = _kernel_candidates(eng, query_text)
+    if uniq.size == 0:
+        return pd.DataFrame(columns=["doc_id", "url", "score"])
+    vals, weights, masks = [], [], []
+    for fn in functions:
+        kind = fn.get("kind")
+        w = float(fn.get("weight", 1.0))
+        if kind == "field_value_factor":
+            sub = _check_numeric_sub(eng, fn["field"])
+            v = _candidate_values(eng, uniq, sub,
+                                  float(fn.get("missing", 1.0)))
+            f = _weight_np(v, float(fn.get("factor", 1.0)),
+                           fn.get("modifier", "log1p"))
+        elif kind in DECAY_FNS:
+            sub = _check_numeric_sub(eng, fn["field"])
+            origin = float(fn["origin"])
+            v = _candidate_values(eng, uniq, sub,
+                                  float(fn.get("missing", origin)))
+            f = _decay_np(v, kind, origin, float(fn["scale"]),
+                          float(fn.get("offset", 0.0)),
+                          float(fn.get("decay", 0.5)))
+        elif kind == "weight":
+            f = np.ones(uniq.size, dtype=np.float64)
+        else:
+            raise ValueError(f"unknown function kind {kind!r}")
+        flt = fn.get("filter")
+        if flt is not None:
+            fld, val, *nrm = flt
+            sub_f, values = eng._resolve_filter(
+                fld, val, bool(nrm[0]) if nrm else False)
+            allowed = eng._filter_allowed(uniq, sub_f, values)
+            mask = np.isin(uniq, allowed)
+        else:
+            mask = np.ones(uniq.size, dtype=bool)
+        vals.append(w * f)
+        weights.append(w)
+        masks.append(mask)
+    any_match = np.logical_or.reduce(masks)
+    if score_mode == "multiply":
+        comb = np.ones(uniq.size)
+        for m, v in zip(masks, vals):
+            comb = np.where(m, comb * v, comb)
+    elif score_mode == "sum":
+        comb = np.zeros(uniq.size)
+        for m, v in zip(masks, vals):
+            comb = np.where(m, comb + v, comb)
+    elif score_mode == "avg":
+        num = np.zeros(uniq.size)
+        den = np.zeros(uniq.size)
+        for m, v, w in zip(masks, vals, weights):
+            num = np.where(m, num + v, num)
+            den = np.where(m, den + w, den)
+        comb = np.where(den > 0, num / np.where(den > 0, den, 1.0), 1.0)
+    elif score_mode == "first":
+        comb = np.ones(uniq.size)
+        assigned = np.zeros(uniq.size, dtype=bool)
+        for m, v in zip(masks, vals):
+            take = m & ~assigned
+            comb = np.where(take, v, comb)
+            assigned |= m
+    elif score_mode == "max":
+        comb = np.full(uniq.size, -np.inf)
+        for m, v in zip(masks, vals):
+            comb = np.where(m, np.maximum(comb, v), comb)
+    else:  # min
+        comb = np.full(uniq.size, np.inf)
+        for m, v in zip(masks, vals):
+            comb = np.where(m, np.minimum(comb, v), comb)
+    comb = np.where(any_match, comb, 1.0)   # no matching fn ⇒ factor 1
+    if max_boost is not None:
+        comb = np.minimum(comb, float(max_boost))
+    if boost_mode == "multiply":
+        score = bm25 * comb
+    elif boost_mode == "replace":
+        score = comb
+    elif boost_mode == "sum":
+        score = bm25 + comb
+    elif boost_mode == "avg":
+        score = (bm25 + comb) / 2.0
+    elif boost_mode == "max":
+        score = np.maximum(bm25, comb)
+    else:
+        score = np.minimum(bm25, comb)
+    if min_score is not None:
+        keep = score >= float(min_score)
+        uniq, score = uniq[keep], score[keep]
+        if uniq.size == 0:
+            return pd.DataFrame(columns=["doc_id", "url", "score"])
+    return _topk_frame(eng, uniq, score, k)

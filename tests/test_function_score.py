@@ -207,3 +207,111 @@ def test_rank_feature_matches_bruteforce(spark, tmp_path_factory):
                           function="saturation")   # pivot required
     with _pt.raises(ValueError):
         rank_feature_topk(spark, d, "common", 5, "pr", function="sqrt")
+
+
+def test_function_score_compose_matches_bruteforce(spark,
+                                                   tmp_path_factory):
+    """Function-array composition: every score_mode and boost_mode,
+    per-function filters and weights, max_boost cap, min_score cut,
+    no-matching-function factor 1.0 — vs brute force."""
+    import math
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+    from tests.oracle import OracleIndex
+    from mongoesindexer_spark.operators.build_index import IndexBuilder
+    from mongoesindexer_spark.operators.function_score import \
+        function_score_compose_topk
+
+    d = str(tmp_path_factory.mktemp("idx-fscomp"))
+    rows = []
+    for i in range(20):
+        pr = (i * 7) % 13 + 1
+        tag = "t0" if i % 3 == 0 else ("t1" if i % 3 == 1 else None)
+        rows.append((f"u{i:02d}", "common " + ("extra " * (i % 3))
+                     + f"w{chr(97 + i)}", pr, tag))
+    df = spark.createDataFrame(
+        rows, "url string, text string, pr long, tag string")
+    IndexBuilder(d, n_buckets=2, block_size=8, numeric_fields=("pr",),
+                 keyword_fields=("tag",)).build(spark, df)
+    pdf = pd.DataFrame([(u, t) for u, t, _, _ in rows],
+                       columns=["url", "text"])
+    pdf["html"] = None
+    oi = OracleIndex.build(pdf)
+
+    FNS = [
+        {"kind": "field_value_factor", "field": "pr", "factor": 0.5,
+         "modifier": "log1p", "weight": 2.0},
+        {"kind": "gauss", "field": "pr", "origin": 6.0, "scale": 4.0,
+         "weight": 1.0},
+        {"kind": "weight", "weight": 3.0, "filter": ("tag", "t0")},
+    ]
+
+    def fvals(i):
+        pr = rows[i][2]
+        out = []
+        out.append((True, 2.0 * math.log1p(0.5 * pr), 2.0))
+        out.append((True,
+                    math.exp(math.log(0.5) * (abs(pr - 6.0) / 4.0) ** 2),
+                    1.0))
+        out.append((rows[i][3] == "t0", 3.0, 3.0))
+        return out
+
+    def brute(score_mode, boost_mode, max_boost=None, min_score=None):
+        res = []
+        for i, (_, t, _, _) in enumerate(rows):
+            toks = t.split()
+            if "common" not in toks and "extra" not in toks:
+                continue
+            bm = oi.score("common extra", i)
+            fs = [(v, w) for m, v, w in fvals(i) if m]
+            if not fs:
+                c = 1.0
+            elif score_mode == "multiply":
+                c = 1.0
+                for v, _ in fs:
+                    c *= v
+            elif score_mode == "sum":
+                c = sum(v for v, _ in fs)
+            elif score_mode == "avg":
+                c = sum(v for v, _ in fs) / sum(w for _, w in fs)
+            elif score_mode == "first":
+                c = fs[0][0]
+            elif score_mode == "max":
+                c = max(v for v, _ in fs)
+            else:
+                c = min(v for v, _ in fs)
+            if max_boost is not None:
+                c = min(c, max_boost)
+            s = {"multiply": bm * c, "replace": c, "sum": bm + c,
+                 "avg": (bm + c) / 2.0, "max": max(bm, c),
+                 "min": min(bm, c)}[boost_mode]
+            if min_score is not None and s < min_score:
+                continue
+            res.append((s, i))
+        res.sort(key=lambda x: (-x[0], x[1]))
+        return res[:10]
+
+    import itertools
+    for sm, bm_ in itertools.product(
+            ("multiply", "sum", "avg", "first", "max", "min"),
+            ("multiply", "replace", "sum")):
+        got = function_score_compose_topk(
+            spark, d, "common extra", 10, FNS, score_mode=sm,
+            boost_mode=bm_)
+        want = brute(sm, bm_)
+        assert [int(x) for x in got["doc_id"]] == [i for _, i in want], \
+            (sm, bm_)
+        for g, (w, _) in zip(got["score"], want):
+            assert abs(g - w) < 1e-9, (sm, bm_)
+    # max_boost + min_score
+    got = function_score_compose_topk(
+        spark, d, "common extra", 10, FNS, score_mode="sum",
+        boost_mode="multiply", max_boost=3.0, min_score=1.0)
+    want = brute("sum", "multiply", max_boost=3.0, min_score=1.0)
+    assert [int(x) for x in got["doc_id"]] == [i for _, i in want]
+    with _pt.raises(ValueError):
+        function_score_compose_topk(spark, d, "common", 5, FNS,
+                                    score_mode="median")
+    with _pt.raises(ValueError):
+        function_score_compose_topk(spark, d, "common", 5, [])
