@@ -1007,6 +1007,40 @@ def q_ft_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", F.col("doc_count").cast("long").alias("doc_count"))
 
 
+PR_VALUES = (200.0, 300.0, 400.0)
+
+
+def q_ft_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentile_ranks`` on n_chars over the flagship query's hit
+    set — the inverse of percentiles, exact integer counts + derived
+    percentage (operators/aggs.py search_percentile_ranks_agg)."""
+    from mongoesindexer_spark.operators.aggs import \
+        search_percentile_ranks_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    out = search_percentile_ranks_agg(
+        get_engine(spark, idx), _read(spark, sf_dir, "documents"),
+        BM25_QUERY, "n_chars", PR_VALUES)
+    return out.select(
+        F.col("value").cast("double").alias("value"),
+        F.col("n_le").cast("long").alias("n_le"),
+        F.round(F.col("rank_pct") * 1e4).cast("long").alias("pct_e4"))
+
+
+def q_ft_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` over the same named filters as
+    ft_filters_agg: singles + pairwise intersections (``a&b`` keys),
+    ONE postings scan for all buckets (operators/aggs.py
+    search_adjacency_matrix_agg)."""
+    from mongoesindexer_spark.operators.aggs import \
+        search_adjacency_matrix_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    return search_adjacency_matrix_agg(
+        get_engine(spark, idx), FILTERS_AGG).select(
+        "bucket", F.col("doc_count").cast("long").alias("doc_count"))
+
+
 COMPOSITE_AFTER, COMPOSITE_SIZE = "src12", 5
 
 
@@ -1689,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_significant_terms": q_ft_significant_terms,
         "ft_filters_agg": q_ft_filters_agg,
         "ft_terms_avg_subagg": q_ft_terms_avg_subagg,
+        "ft_percentile_ranks": q_ft_percentile_ranks,
+        "ft_adjacency_matrix": q_ft_adjacency_matrix,
         "ft_range_agg": q_ft_range_agg,
         "ft_phrase_suggest": q_ft_phrase_suggest,
         "ft_bm25_bool_filters": q_ft_bm25_bool_filters,
@@ -2474,6 +2510,65 @@ def oracle_sql() -> dict[str, str]:
                        AS score_key
             FROM cand c LEFT JOIN big b USING (term)
             CROSS JOIN tot t CROSS JOIN prevcf p
+        """,
+        "ft_percentile_ranks": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            ), v AS (
+                SELECT d.n_chars AS nv
+                FROM documents d JOIN hits USING (doc_id)
+                WHERE d.n_chars IS NOT NULL
+            ), base AS (
+                SELECT count(*)::BIGINT AS n,
+                       (count(*) FILTER (WHERE nv <= 200))::BIGINT AS l0,
+                       (count(*) FILTER (WHERE nv <= 300))::BIGINT AS l1,
+                       (count(*) FILTER (WHERE nv <= 400))::BIGINT AS l2
+                FROM v
+            )
+            SELECT 200.0 AS value, l0 AS n_le,
+                   CAST(round((l0 * 100.0 / n) * 1e4) AS BIGINT)
+                       AS pct_e4 FROM base
+            UNION ALL SELECT 300.0, l1,
+                   CAST(round((l1 * 100.0 / n) * 1e4) AS BIGINT)
+                   FROM base
+            UNION ALL SELECT 400.0, l2,
+                   CAST(round((l2 * 100.0 / n) * 1e4) AS BIGINT)
+                   FROM base
+        """,
+        "ft_adjacency_matrix": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), perdoc AS (
+                SELECT doc_id,
+                       count(DISTINCT CASE WHEN term IN ({cterms})
+                                           THEN term END) AS nc,
+                       count(DISTINCT CASE WHEN term IN ({terms})
+                                           THEN term END) AS nt
+                FROM tok GROUP BY doc_id
+            ), sel AS (
+                SELECT (nc >= 1) AS f_any,
+                       (nc = {len(set(CONJ_QUERY.split()))}) AS f_open,
+                       (nt >= 1) AS f_flag
+                FROM perdoc
+            ), counts AS (
+                SELECT sum(f_any::INT)::BIGINT AS c_any,
+                       sum(f_flag::INT)::BIGINT AS c_flag,
+                       sum(f_open::INT)::BIGINT AS c_open,
+                       sum((f_any AND f_flag)::INT)::BIGINT AS c_af,
+                       sum((f_any AND f_open)::INT)::BIGINT AS c_ao,
+                       sum((f_flag AND f_open)::INT)::BIGINT AS c_fo
+                FROM sel
+            )
+            SELECT bucket, doc_count FROM (
+                SELECT 'any' AS bucket, c_any AS doc_count FROM counts
+                UNION ALL SELECT 'flag', c_flag FROM counts
+                UNION ALL SELECT 'open', c_open FROM counts
+                UNION ALL SELECT 'any&flag', c_af FROM counts
+                UNION ALL SELECT 'any&open', c_ao FROM counts
+                UNION ALL SELECT 'flag&open', c_fo FROM counts)
+            WHERE doc_count > 0 ORDER BY bucket
         """,
         "ft_filters_agg": f"""
             WITH tok AS (

@@ -290,6 +290,94 @@ def search_multi_terms_agg(eng: SearchEngine, query_text: str,
                        *[F.asc(k) for k in keys]).limit(size)
 
 
+def search_percentile_ranks_agg(eng: SearchEngine, docs: DataFrame,
+                                query_text: str, num_col: str,
+                                values: "tuple[float, ...]",
+                                mode: str = "or",
+                                min_should_match: int | None = None
+                                ) -> DataFrame:
+    """ES ``percentile_ranks`` agg — the inverse of percentiles: for
+    each given value, the percentage of the hit set's doc values at or
+    below it.  Exact (100 × count(v ≤ x) / count — integer counts, so
+    the derived doubles are oracle-reproducible; ES defaults to the
+    t-digest estimate, this is its exact form).  One conditional global
+    aggregate for every requested value — N values ≠ N passes."""
+    if not values:
+        raise ValueError("percentile_ranks needs at least one value")
+    hits = match_set(eng, query_text, mode, min_should_match)
+    scoped = (docs.select("doc_id", num_col).join(hits, "doc_id", "semi")
+              .filter(F.col(num_col).isNotNull()))
+    c = F.col(num_col)
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for i, x in enumerate(values):
+        aggs.append(F.coalesce(
+            F.sum(F.when(c <= float(x), 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(f"_le{i}"))
+    row = scoped.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({float(x)} AS DOUBLE), _le{i}" for i, x in
+        enumerate(values))
+    return (row.select("_n", F.expr(
+        f"stack({len(values)}, {stack}) AS (value, n_le)"))
+        .select("value", "n_le",
+                F.when(F.col("_n") > 0,
+                       F.col("n_le") * 100.0 / F.col("_n"))
+                .otherwise(0.0).alias("rank_pct")))
+
+
+def search_adjacency_matrix_agg(eng: SearchEngine,
+                                filters: dict[str, tuple[str, str]]
+                                ) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: doc counts for every named filter
+    AND every pairwise intersection (bucket key ``a&b``, ES's
+    separator) — the co-occurrence matrix dashboards build from named
+    segments.  SINGLE segment pass like the filters agg: one postings
+    scan over the union of every filter's terms, one per-doc aggregation
+    of matched-term counts, then each bucket (single or pair) is a
+    conditional sum in one global aggregate — N filters cost one scan,
+    not N + N²/2.  Empty buckets are omitted (ES behavior)."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    from .build_index import read_flat
+    names = sorted(filters)
+    terms_by = {n: _query_terms(filters[n][0], eng.cfg) for n in names}
+    union_terms = sorted({t for ts in terms_by.values() for t in ts})
+    if not union_terms:
+        return eng.spark.createDataFrame(
+            [], "bucket string, doc_count long")
+    flat = (read_flat(eng.cat, eng.spark)
+            .filter(F.col("term").isin(union_terms))
+            .select("term", "doc_id"))
+    if eng.tombstones:
+        ts = eng.spark.createDataFrame(
+            [(int(d),) for d in sorted(eng.tombstones)], "doc_id long")
+        flat = flat.join(F.broadcast(ts), "doc_id", "left_anti")
+    counts = [F.sum(F.when(F.col("term").isin(ts), 1).otherwise(0))
+              .alias(f"_n{i}") if ts else F.lit(0).alias(f"_n{i}")
+              for i, ts in enumerate(terms_by[n] for n in names)]
+    perdoc = flat.groupBy("doc_id").agg(*counts)
+    match = {}
+    for i, n in enumerate(names):
+        q, mode = filters[n]
+        need = len(terms_by[n]) if mode == "and" else 1
+        match[n] = (F.col(f"_n{i}") >= need) if terms_by[n] \
+            else F.lit(False)
+    buckets = [(n, match[n]) for n in names]
+    buckets += [(f"{a}&{b}", match[a] & match[b])
+                for ai, a in enumerate(names)
+                for b in names[ai + 1:]]
+    conds = [F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+             .cast("long").alias(f"_b{i}")
+             for i, (_, pred) in enumerate(buckets)]
+    row = perdoc.agg(*conds)
+    stack = ", ".join(f"'{nm}', _b{i}"
+                      for i, (nm, _) in enumerate(buckets))
+    return (row.select(F.expr(
+        f"stack({len(buckets)}, {stack}) AS (bucket, doc_count)"))
+        .filter(F.col("doc_count") > 0)
+        .orderBy("bucket"))
+
+
 def search_missing_agg(eng: SearchEngine, query_text: str, field: str,
                        kind: str = "keyword", mode: str = "or",
                        min_should_match: int | None = None) -> DataFrame:

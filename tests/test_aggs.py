@@ -688,3 +688,53 @@ def test_multi_terms_agg(spark, spark_two_kw, tiny_pages, oracle_tiny):
     import pytest as _pt
     with _pt.raises(ValueError):
         search_multi_terms_agg(eng, q, ("lang",))
+
+
+def test_percentile_ranks_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import \
+        search_percentile_ranks_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    nchars = rows["text"].map(
+        lambda t: len(t) if isinstance(t, str) else 0).astype("int64")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "n_chars": nchars,
+    }))
+    vals = (150.0, 300.0, 10_000.0)
+    got = search_percentile_ranks_agg(eng, docs, q, "n_chars",
+                                      vals).toPandas()
+    hv = [int(nchars.iloc[d]) for d in _hit_set(oracle_tiny, q)]
+    for r, x in zip(got.itertuples(), vals):
+        n_le = sum(1 for v in hv if v <= x)
+        assert r.value == x and r.n_le == n_le
+        assert abs(r.rank_pct - 100.0 * n_le / len(hv)) < 1e-9
+    assert float(got["rank_pct"].iloc[-1]) == 100.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        search_percentile_ranks_agg(eng, docs, q, "n_chars", ())
+
+
+def test_adjacency_matrix_agg(spark, agg_index, oracle_tiny):
+    from mongoesindexer_spark.operators.aggs import \
+        search_adjacency_matrix_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    flt = {"a": ("udrndau", "or"), "b": ("atreq kni", "and"),
+           "c": ("zzznope", "or")}
+    got = {r.bucket: int(r.doc_count) for r in
+           search_adjacency_matrix_agg(eng, flt).toPandas().itertuples()}
+    sa = _hit_set(oracle_tiny, "udrndau")
+    sb = _hit_set(oracle_tiny, "atreq kni", mode="and")
+    want = {"a": len(sa), "b": len(sb), "a&b": len(sa & sb)}
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got == want              # empty buckets (c, a&c, b&c) omitted
+    # single-pass plan: one parquet scan regardless of bucket count
+    import contextlib, io, re
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        search_adjacency_matrix_agg(eng, flt).explain("formatted")
+    scans = re.findall(r"^\(\d+\) Scan parquet", buf.getvalue(), re.M)
+    assert len(scans) == 1
