@@ -1007,6 +1007,22 @@ def q_ft_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", F.col("doc_count").cast("long").alias("doc_count"))
 
 
+def q_ft_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``string_stats`` on the source keyword sub-field over the
+    flagship query's hit set — exact length moments (entropy's
+    order-pinned fold is pytest-pinned vs brute force; the gate hashes
+    the integer moments + derived avg)."""
+    from mongoesindexer_spark.operators.aggs import \
+        search_string_stats_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    idx = _docs_index(spark, sf_dir)
+    out = search_string_stats_agg(get_engine(spark, idx), BM25_QUERY,
+                                  "source")
+    return out.select(
+        "count", "min_length", "max_length", "sum_length",
+        F.round(F.col("avg_length") * 1e4).cast("long").alias("avg_e4"))
+
+
 PR_VALUES = (200.0, 300.0, 400.0)
 
 
@@ -1724,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_filters_agg": q_ft_filters_agg,
         "ft_terms_avg_subagg": q_ft_terms_avg_subagg,
         "ft_percentile_ranks": q_ft_percentile_ranks,
+        "ft_string_stats": q_ft_string_stats,
         "ft_adjacency_matrix": q_ft_adjacency_matrix,
         "ft_range_agg": q_ft_range_agg,
         "ft_phrase_suggest": q_ft_phrase_suggest,
@@ -2510,6 +2527,25 @@ def oracle_sql() -> dict[str, str]:
                        AS score_key
             FROM cand c LEFT JOIN big b USING (term)
             CROSS JOIN tot t CROSS JOIN prevcf p
+        """,
+        "ft_string_stats": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK_DD}) AS term FROM documents
+            ), hits AS (
+                SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})
+            ), v AS (
+                SELECT d.source AS s
+                FROM documents d JOIN hits USING (doc_id)
+                WHERE d.source IS NOT NULL
+            )
+            SELECT count(*)::BIGINT AS "count",
+                   min(length(s))::BIGINT AS min_length,
+                   max(length(s))::BIGINT AS max_length,
+                   sum(length(s))::BIGINT AS sum_length,
+                   CAST(round((sum(length(s))::BIGINT
+                               / CAST(count(*) AS DOUBLE)) * 1e4)
+                        AS BIGINT) AS avg_e4
+            FROM v
         """,
         "ft_percentile_ranks": f"""
             WITH tok AS (

@@ -414,7 +414,7 @@ def main() -> None:
         "ft_phrase_suggest", "ft_simple_query_string",
         "ft_match_bool_prefix", "ft_keyword_prefix", "ft_span_first",
         "ft_extended_stats", "ft_rare_terms", "ft_rank_feature",
-        "ft_function_score_multi", "ft_percentile_ranks",
+        "ft_function_score_multi", "ft_percentile_ranks", "ft_string_stats",
         "ft_adjacency_matrix",
         "decontaminate", "ft_weighted_avg", "ft_multi_terms",
         "ft_bm25_bool_filters",

@@ -378,6 +378,56 @@ def search_adjacency_matrix_agg(eng: SearchEngine,
         .orderBy("bucket"))
 
 
+def search_string_stats_agg(eng: SearchEngine, query_text: str,
+                            field: str, normalized: bool = False,
+                            mode: str = "or",
+                            min_should_match: int | None = None
+                            ) -> DataFrame:
+    """ES ``string_stats`` agg on a keyword sub-field over the hit set:
+    count, min/max/avg length, and the Shannon entropy of the
+    CHARACTER distribution across all values (the ES definition).  The
+    length moments derive from exact integer sums; entropy folds the
+    per-character counts in CHARACTER ORDER via an ordered
+    ``aggregate`` lambda, so the float sum is order-pinned and
+    reproducible (a parallel float reduction would be plan-dependent).
+    Char counting explodes values to (char, n) pairs — bounded by the
+    alphabet × value lengths of the HIT SET, never corpus-sized on the
+    driver (the fold runs over the ≤|alphabet| count rows)."""
+    from .build_index import read_fields
+    sub = f"{field}_{'normalized' if normalized else 'keyword'}"
+    fields = read_fields(eng.cat, eng.spark).select("doc_id", sub)
+    hits = match_set(eng, query_text, mode, min_should_match)
+    vals = (fields.join(hits, "doc_id", "semi")
+            .filter(F.col(sub).isNotNull())
+            .select(F.col(sub).alias("v")))
+    base = vals.agg(
+        F.count("*").cast("long").alias("count"),
+        F.min(F.length("v")).cast("long").alias("min_length"),
+        F.max(F.length("v")).cast("long").alias("max_length"),
+        F.sum(F.length("v")).cast("long").alias("sum_length"))
+    chars = (vals.select(F.explode(F.split("v", "")).alias("c"))
+             .filter(F.col("c") != "")
+             .groupBy("c").agg(F.count("*").cast("long").alias("n")))
+    # ordered fold: sort the (char, count) rows, collect into an array,
+    # and aggregate() the entropy terms left-to-right — deterministic
+    # (total chars rides the same row for the p = n/total terms)
+    ent = chars.agg(
+        F.array_sort(F.collect_list(F.struct("c", "n"))).alias("cs"),
+        F.sum("n").cast("double").alias("tot"))
+    entropy = ent.select(
+        F.aggregate(
+            "cs", F.lit(0.0).cast("double"),
+            lambda acc, s: acc
+            - (s["n"].cast("double") / F.col("tot"))
+            * F.log2(s["n"].cast("double") / F.col("tot"))
+        ).alias("entropy"))
+    out = base.crossJoin(entropy)
+    return out.select(
+        "count", "min_length", "max_length", "sum_length",
+        (F.col("sum_length") / F.col("count")).alias("avg_length"),
+        "entropy")
+
+
 def search_missing_agg(eng: SearchEngine, query_text: str, field: str,
                        kind: str = "keyword", mode: str = "or",
                        min_should_match: int | None = None) -> DataFrame:

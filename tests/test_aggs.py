@@ -738,3 +738,32 @@ def test_adjacency_matrix_agg(spark, agg_index, oracle_tiny):
         search_adjacency_matrix_agg(eng, flt).explain("formatted")
     scans = re.findall(r"^\(\d+\) Scan parquet", buf.getvalue(), re.M)
     assert len(scans) == 1
+
+
+def test_string_stats_agg(spark, agg_index, tiny_pages, oracle_tiny):
+    import math
+    from mongoesindexer_spark.operators.aggs import \
+        search_string_stats_agg
+    from mongoesindexer_spark.operators.topk import get_engine
+    eng = get_engine(spark, agg_index)
+    q = "udrndau atreq"
+    rows = tiny_pages.sort_values("url").reset_index(drop=True)
+    hits = _hit_set(oracle_tiny, q)
+    vals = [rows["lang"].iloc[d] for d in hits
+            if rows["lang"].iloc[d] is not None
+            and not pd.isna(rows["lang"].iloc[d])]
+    got = search_string_stats_agg(eng, q, "lang").toPandas().iloc[0]
+    lens = [len(v) for v in vals]
+    assert int(got["count"]) == len(vals)
+    assert int(got["min_length"]) == min(lens)
+    assert int(got["max_length"]) == max(lens)
+    assert int(got["sum_length"]) == sum(lens)
+    assert abs(float(got["avg_length"]) - sum(lens) / len(lens)) < 1e-9
+    cc = {}
+    for v in vals:
+        for ch in v:
+            cc[ch] = cc.get(ch, 0) + 1
+    tot = sum(cc.values())
+    ent = -sum((n / tot) * math.log2(n / tot)
+               for _, n in sorted(cc.items()))
+    assert abs(float(got["entropy"]) - ent) < 1e-9
